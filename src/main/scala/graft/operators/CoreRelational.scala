@@ -1,0 +1,515 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.functions.ExactNum._
+import graft.sources.Tables._
+
+/** Core relational operators — SURVEY.md §2 groups A (scans/sources),
+  * B (project/filter/derive), C (joins), D (aggregation), F (sort/limit),
+  * G (set ops).
+  *
+  * Conventions (SURVEY.md §2): every query reads from the sfDir argument,
+  * ends in a total-order orderBy, and routes double outputs through the
+  * ExactNum scaled-integer kernels so Spark and the DuckDB oracle produce
+  * bit-identical values.
+  *
+  * Scale notes (100-TB design point): all aggregations are partial+final
+  * hash aggregates; dimension joins (part, nation, region, supplier) are
+  * broadcast; fact-fact joins (lineitem⋈orders) shuffle on the join key and
+  * stay sort-merge; no collect(); the only cross join is 25×5.
+  */
+object CoreRelational {
+
+  private val discPrice = "l_extendedprice*(1.0-l_discount)"
+
+  val queries: Map[String, Q] = Map(
+    // ---------------------------------------------------------------- A
+    // A1: plain parquet scan with pruned projection.
+    "a1_scan" -> ((s, d) =>
+      region(s, d).select("r_regionkey", "r_name").orderBy("r_regionkey")),
+
+    // A2: JSON ingest — parse the Table-API-shaped `events.props` payload
+    // into typed columns (the ServiceNow Table API returns JSON records;
+    // `props` is the local analog).
+    "a2_json_ingest" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k_val"))
+        .orderBy("event_id")),
+
+    // A3: CSV parse surface — rows rendered to CSV text and parsed back with
+    // an explicit schema (to_csv/from_csv), proving the delimited-text
+    // connector path without a writable input dir.
+    "a3_csv_roundtrip" -> ((s, d) => {
+      val csvSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      nation(s, d)
+        .select(to_csv(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))).as("line"))
+        .select(from_csv(col("line"), csvSchema, Map.empty[String, String]).as("r"))
+        .select(col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"),
+          col("r.n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
+    // A5: paginated extract — sysparm_offset/sysparm_limit page loop as
+    // deterministic row_number slicing; two non-adjacent pages reassembled.
+    "a5_paginate" -> ((s, d) => {
+      val w = Window.orderBy("o_orderkey")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(expr("((rn - 1) div 100)").isin(2, 4))
+        .orderBy("rn")
+    }),
+
+    // A6: schema-explicit cast-all — Table-API values arrive as strings; the
+    // typed model round-trips every column through string and back.
+    "a6_cast_roundtrip" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey").cast("string").cast("long").as("o_key"),
+          col("o_custkey").cast("string").cast("long").as("o_cust"),
+          col("o_totalprice").cast("string").cast("double").as("o_price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderstatus").as("o_status"))
+        .orderBy("o_key")),
+
+    // ---------------------------------------------------------------- B
+    "b1_project" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures — order by
+        // every output column so ties are identical rows (hash-stable).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")),
+
+    // B2: compound predicate — AND/OR/NOT, isin, between, like.
+    "b2_filter_compound" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(
+          (col("l_quantity") > 45 && col("l_returnflag").isin("A", "R")) ||
+          (col("l_discount").between(0.09, 0.10) && col("l_linestatus") === "F" &&
+            !col("l_returnflag").like("N%")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "l_linestatus")),
+
+    // B3: derived columns — net price (4 decimals) and charge (6 decimals).
+    "b3_derived" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("net", round4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .withColumn("charge",
+          round6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+        .select("l_orderkey", "l_linenumber", "net", "charge")
+        .orderBy("l_orderkey", "l_linenumber", "net", "charge")),
+
+    // B4: cast/coercion — string→timestamp parse with explicit format, out as
+    // epoch seconds (bigint avoids cross-engine timestamp hashing issues).
+    "b4_cast_timestamp" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          unix_timestamp(
+            to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+              "yyyy-MM-dd HH:mm:ss")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    // B5: conditional bucketing (CASE WHEN).
+    "b5_conditional" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") < 10000, "small")
+            .when(col("o_totalprice") < 100000, "mid")
+            .otherwise("large"))
+        .groupBy("o_orderstatus", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus", "bucket")),
+
+    // B6: null handling — ISEMPTY/default-value semantics via nullif+coalesce.
+    "b6_nulls" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("status_n",
+          when(col("o_orderstatus") === "O", lit(null).cast("string"))
+            .otherwise(col("o_orderstatus")))
+        .select(
+          col("o_orderkey"),
+          coalesce(col("status_n"), lit("OPEN")).as("status2"),
+          col("status_n").isNull.cast("int").as("was_open"))
+        .orderBy("o_orderkey")),
+
+    // ---------------------------------------------------------------- C
+    // C1: fact ⋈ small dim with explicit broadcast hint.
+    "c1_join_broadcast" -> ((s, d) =>
+      lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    // C2: multi-way star join — the dot-walk chain
+    // lineitem→orders→customer→nation→region. Fact⋈fact shuffles on the
+    // order key; the dimension chain broadcasts.
+    "c2_star_join" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // C3: left outer — keep customers with no orders (null side counted 0).
+    "c3_join_left" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum2(coalesce(col("o_totalprice"), lit(0.0))).as("total_spent"))
+        .orderBy("c_custkey")),
+
+    // C4: full outer — snapshot reconciliation (old extract vs new extract).
+    "c4_join_full" -> ((s, d) => {
+      val o = orders(s, d)
+      val old = o.filter(year(col("o_orderdate")) < 1998)
+        .select(col("o_orderkey").as("k_old"))
+      val neu = o.filter(year(col("o_orderdate")) >= 1996)
+        .select(col("o_orderkey").as("k_new"))
+      old.join(neu, col("k_old") === col("k_new"), "full")
+        .select(
+          coalesce(col("k_old"), col("k_new")).as("okey"),
+          when(col("k_old").isNull, "added")
+            .when(col("k_new").isNull, "removed")
+            .otherwise("both").as("delta"))
+        .orderBy("okey")
+    }),
+
+    // C5: left semi (EXISTS) — customers having a pending order.
+    "c5_join_semi" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // C6: left anti (NOT EXISTS) — customers with no pending order; the
+    // sync-delta "in source, not in target" shape. (Anti against *all*
+    // orders is empty at sf0.01+ — every customer has orders.)
+    "c6_join_anti" -> ((s, d) =>
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // C9: cross join — small-dim grid only (25×5); never fact-sized.
+    "c9_cross" -> ((s, d) =>
+      nation(s, d).select("n_name")
+        .crossJoin(region(s, d).select("r_name"))
+        .orderBy("n_name", "r_name")),
+
+    // C10: self-join graph hop — cmdb_rel_ci-style traversal emulated on the
+    // customer/nation edge set: same-nation customer pairs, counted per
+    // nation (pair predicate a<b bounds the blow-up; the join itself is an
+    // equi-join on the nation key so it hash-partitions at scale).
+    "c10_self_join" -> ((s, d) => {
+      val c1 = customer(s, d).select(col("c_custkey").as("a"), col("c_nationkey").as("nk"))
+      val c2 = customer(s, d).select(col("c_custkey").as("b"), col("c_nationkey").as("nk2"))
+      c1.join(c2, col("nk") === col("nk2") && col("a") < col("b"))
+        .groupBy(col("nk").as("n_nationkey"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("n_nationkey")
+    }),
+
+    // ---------------------------------------------------------------- D
+    // D1: the flagship pricing summary (TPC-H Q1 shape) — filter, derive,
+    // partial+final hash aggregate, exact monetary sums.
+    "d1_pricing_summary" -> ((s, d) =>
+      lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base_price"),
+          sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          avg2(col("l_quantity")).as("avg_qty"),
+          avg2(col("l_extendedprice")).as("avg_price"),
+          avg2(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // D2: exact distinct counts per group (the approx_count_distinct/HLL
+    // variant is exercised in unit tests — approx can't hash-match an oracle).
+    "d2_distinct_count" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // D3: rollup with grouping_id; keys coalesced to 'ALL' so no NULL
+    // ordering divergence between engines.
+    "d3_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum2(col("l_quantity")).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("gid"))
+        .orderBy("gid", "rf", "ls")),
+
+    // D4: HAVING — post-aggregation filter (sysparm_having analog).
+    "d4_having" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum2(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .orderBy("l_orderkey")),
+
+    // D8: distinct rows on a projection.
+    "d8_distinct" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ---------------------------------------------------------------- F
+    // F1: multi-key sort with tie-break total order.
+    "f1_sort" -> ((s, d) =>
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+
+    // F2: top-k — planned as TakeOrderedAndProject, no full sort at scale.
+    "f2_topk" -> ((s, d) =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // ---------------------------------------------------------------- G
+    // G1: union of per-class extracts (the per-CI-class / per-page merge).
+    "g1_union" -> ((s, d) =>
+      customer(s, d).select(col("c_name").as("name"), lit("customer").as("src"))
+        .union(supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("src")))
+        .orderBy("name", "src")),
+
+    // G2: intersect — customers active in both 1995 and 1996.
+    "g2_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    // G3: except — customers active in 1995 but not 1996 (snapshot diff, the
+    // delete-propagation shape).
+    "g3_except" -> ((s, d) => {
+      val o = orders(s, d)
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    })
+  )
+
+  // ------------------------------------------------------------------------
+  // DuckDB oracle SQL — mirrors each query name-for-name with the same
+  // ExactNum kernels and the same total-order ORDER BY.
+  val oracle: Map[String, String] = Map(
+    "a1_scan" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "a2_json_ingest" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+         FROM events ORDER BY event_id""",
+
+    "a3_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "a5_paginate" ->
+      """SELECT o_orderkey, o_custkey, rn FROM (
+           SELECT o_orderkey, o_custkey,
+                  CAST(row_number() OVER (ORDER BY o_orderkey) AS INT) AS rn
+           FROM orders)
+         WHERE ((rn - 1) // 100) IN (2, 4) ORDER BY rn""",
+
+    "a6_cast_roundtrip" ->
+      """SELECT CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS o_key,
+                CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS o_cust,
+                CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_price,
+                strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+                o_orderstatus AS o_status
+         FROM orders ORDER BY o_key""",
+
+    "b1_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""",
+
+    "b2_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag, l_linestatus
+         FROM lineitem
+         WHERE (l_quantity > 45 AND l_returnflag IN ('A','R'))
+            OR (l_discount BETWEEN 0.09 AND 0.10 AND l_linestatus = 'F'
+                AND l_returnflag NOT LIKE 'N%')
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+                  l_returnflag, l_linestatus""",
+
+    "b3_derived" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                 ${sqlRound4(discPrice)} AS net,
+                 ${sqlRound6(s"$discPrice*(1.0+l_tax)")} AS charge
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, net, charge""",
+
+    "b4_cast_timestamp" ->
+      """SELECT o_orderkey,
+                CAST(epoch(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                                    '%Y-%m-%d %H:%M:%S')) AS BIGINT) AS epoch_s
+         FROM orders ORDER BY o_orderkey""",
+
+    "b5_conditional" ->
+      """SELECT o_orderstatus,
+                CASE WHEN o_totalprice < 10000 THEN 'small'
+                     WHEN o_totalprice < 100000 THEN 'mid'
+                     ELSE 'large' END AS bucket,
+                count(*) AS n
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""",
+
+    "b6_nulls" ->
+      """SELECT o_orderkey,
+                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+                CAST(nullif(o_orderstatus, 'O') IS NULL AS INT) AS was_open
+         FROM orders ORDER BY o_orderkey""",
+
+    "c1_join_broadcast" ->
+      s"""SELECT p_brand, ${sqlSum4(discPrice)} AS revenue, count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+
+    "c2_star_join" ->
+      s"""SELECT r_name, n_name, ${sqlSum4(discPrice)} AS revenue, count(*) AS n_items
+          FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "c3_join_left" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+                 ${sqlSum2("coalesce(o_totalprice, 0.0)")} AS total_spent
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "c4_join_full" ->
+      """SELECT coalesce(a.o_orderkey, b.o_orderkey) AS okey,
+                CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                     WHEN b.o_orderkey IS NULL THEN 'removed'
+                     ELSE 'both' END AS delta
+         FROM (SELECT o_orderkey FROM orders WHERE year(o_orderdate) < 1998) a
+         FULL OUTER JOIN (SELECT o_orderkey FROM orders WHERE year(o_orderdate) >= 1996) b
+           ON a.o_orderkey = b.o_orderkey
+         ORDER BY okey""",
+
+    "c5_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "c6_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+
+    "c9_cross" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+         ORDER BY n_name, r_name""",
+
+    "c10_self_join" ->
+      """SELECT CAST(c1.c_nationkey AS INT) AS n_nationkey, count(*) AS n_pairs
+         FROM customer c1 JOIN customer c2
+           ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+         GROUP BY 1 ORDER BY n_nationkey""",
+
+    "d1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${sqlSum2("l_quantity")} AS sum_qty,
+                 ${sqlSum2("l_extendedprice")} AS sum_base_price,
+                 ${sqlSum4(discPrice)} AS sum_disc_price,
+                 ${sqlAvg2("l_quantity")} AS avg_qty,
+                 ${sqlAvg2("l_extendedprice")} AS avg_price,
+                 ${sqlAvg2("l_discount")} AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1999-06-01 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+
+    "d2_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "d3_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 ${sqlSum2("l_quantity")} AS sum_qty,
+                 CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY gid, rf, ls""",
+
+    "d4_having" ->
+      s"""SELECT l_orderkey, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING ${sqlSum2("l_quantity")} > 150
+          ORDER BY l_orderkey""",
+
+    "d8_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "f1_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC""",
+
+    "f2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+
+    "g1_union" ->
+      """SELECT c_name AS name, 'customer' AS src FROM customer
+         UNION ALL
+         SELECT s_name AS name, 'supplier' AS src FROM supplier
+         ORDER BY name, src""",
+
+    "g2_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey""",
+
+    "g3_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         ORDER BY o_custkey"""
+  )
+}

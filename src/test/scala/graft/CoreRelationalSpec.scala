@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs — one JVM-wide session, UTC, small
+  * shuffle fan-out (SURVEY.md §5 layer 2).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreRelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("every registered query has either an oracle or a documented omission") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // ✘-oracle operators are allowed but must be intentional; batch-1 has none.
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without query: $orphans")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("d1_pricing_summary matches hand-checked oracle values (sf0.001)") {
+    val rows = run("d1_pricing_summary")
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val expected = Seq(
+      ("A", "F", 15557.0, 613L), ("A", "O", 15549.0, 635L),
+      ("N", "F", 18515.0, 704L), ("N", "O", 15891.0, 638L),
+      ("R", "F", 15704.0, 631L), ("R", "O", 15827.0, 624L))
+    assert(rows.toSeq == expected)
+  }
+
+  test("c5 semi + c6 anti partition the customer side (on the P-order predicate)") {
+    val semi = run("c5_join_semi").count()
+    val anti = run("c6_join_anti").count()
+    val all = graft.sources.Tables.customer(spark, sf).count()
+    assert(semi + anti == all)
+    assert(anti == 7)
+  }
+
+  test("c9 cross join is the full 25x5 grid") {
+    assert(run("c9_cross").count() == 125)
+  }
+
+  test("d3 rollup grand total equals d1-style ungrouped sum") {
+    val grand = run("d3_rollup").filter("gid = 3").collect()
+    assert(grand.length == 1)
+    val total = run("d3_rollup").filter("gid = 0")
+      .agg(org.apache.spark.sql.functions.sum("sum_qty")).collect()(0).getDouble(0)
+    assert(math.abs(grand(0).getAs[Double]("sum_qty") - total) < 1e-6)
+  }
+
+  test("g2 intersect and g3 except are disjoint and union to the 1995 set") {
+    val i = run("g2_intersect").count()
+    val e = run("g3_except").count()
+    val y95 = graft.sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")) === 1995)
+      .select("o_custkey").distinct().count()
+    assert(i + e == y95)
+  }
+
+  test("events reader yields microsecond TimestampType despite nanos parquet") {
+    val df = graft.sources.Tables.events(spark, sf)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.count() == 1000)
+  }
+}
