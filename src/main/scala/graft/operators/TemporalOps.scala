@@ -1,0 +1,352 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.functions.ExactNum._
+import graft.sources.Tables._
+
+/** Scalar function families and the incremental-sync loop — SURVEY.md §2
+  * groups H (string/date/math/array/map/JSON) and I (the CMDB sync
+  * operators, in their batch/oracle forms; the Structured Streaming forms
+  * live in graft.streaming and are proven by unit tests).
+  *
+  * The I group models the reference's core loop: poll the source for records
+  * newer than a watermark (I6), window/sessionize the change feed (I1–I3),
+  * dedupe by key (I5), merge last-writer-wins into the target (I7), and
+  * derive insert/update/delete deltas between snapshots (I8).
+  *
+  * Scale notes: the window/sessionize/dedup/upsert operators all partition by
+  * user or (user, window) keys — a single hash shuffle each, no global
+  * windows on fact-sized data; the tumbling/sliding aggregations pre-reduce
+  * map-side. The sliding window uses Spark's native window(slide) generator,
+  * which explodes each row into duration/slide windows before the shuffle —
+  * the blow-up factor (4×) is fixed and bounded.
+  */
+object TemporalOps {
+
+  val queries: Map[String, Q] = Map(
+    // ------------------------------------------------------------------- H
+    // H1: string normalization — the CI-name cleanup surface.
+    "h1_string" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          regexp_replace(lower(trim(col("p_name"))), "\\s+", "_").as("norm"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          regexp_extract(col("p_brand"), "(\\d+)", 1).as("brand_num"),
+          lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+          length(col("p_name")).as("len"))
+        .orderBy("p_partkey")),
+
+    // H2: date/time — the sys_updated_on handling surface.
+    "h2_datetime" -> ((s, d) =>
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mstart"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(date_add(to_date(col("o_orderdate")), 30), "yyyy-MM-dd").as("plus30"))
+        .orderBy("o_orderkey")),
+
+    // H3: math — round/abs/pow/log/floor-bucket/mod.
+    "h3_math" -> ((s, d) =>
+      part(s, d)
+        .select(
+          col("p_partkey"),
+          expr("p_size div 10").cast("int").as("sz_bucket"),
+          pmod(col("p_partkey"), lit(7)).as("modv"),
+          round4(log(col("p_retailprice"))).as("ln_price"),
+          round4(pow(col("p_retailprice"), 0.5)).as("sqrt_price"),
+          round4(abs(col("p_retailprice") - 950.0)).as("dev"))
+        .orderBy("p_partkey")),
+
+    // H4: arrays + higher-order functions over document tokens (the
+    // codegen-friendly alternative to UDFs: transform/aggregate lambdas).
+    "h4_array" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "table").cast("int").as("has_table"),
+          array_join(slice(col("toks"), 1, 3), "-").as("first3"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0), (acc, x) => acc + x).cast("long").as("tok_chars"))
+        .orderBy("doc_id")),
+
+    // H5: map type — parsed props as MapType, keys + element access.
+    "h5_map" -> ((s, d) =>
+      events(s, d)
+        .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"))
+        .orderBy("event_id")),
+
+    // H6: JSON path extraction — string + typed struct forms side by side.
+    "h6_json" -> ((s, d) =>
+      events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+            .getField("k").as("k_num"),
+          get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
+        .orderBy("event_id")),
+
+    // ------------------------------------------------------------------- I
+    // I1: tumbling window aggregation — Spark's window() generator in batch
+    // form (identical plan shape to the streaming twin).
+    "i1_tumbling" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum2(col("value")).as("total_value"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("hour_start", "event_type")),
+
+    // I2: sliding window aggregation — 1h window sliding every 15 min; each
+    // event lands in 4 windows.
+    "i2_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("n"))
+        .orderBy("win_start")),
+
+    // I3: session windows (30-min gap), batch form: lag → new-session flag →
+    // running-sum session id → per-session rollup. (The streaming twin uses
+    // session_window(); this is the standard SQL sessionization that any
+    // engine can mirror.)
+    "i3_session" -> ((s, d) => {
+      val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val runSum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(col("us") - lag(col("us"), 1).over(byTime) > 30L * 60 * 1000000, 1)
+            .otherwise(when(lag(col("us"), 1).over(byTime).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum(col("new_sess")).over(runSum).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // I5: keyed dedup, batch twin of watermarked dropDuplicates — keep the
+    // earliest event per (user, type); row_number=1 is the deterministic form.
+    "i5_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // I6: incremental delta filter — the `sys_updated_on > watermark` poll.
+    "i6_delta_filter" -> ((s, d) =>
+      events(s, d)
+        .filter(col("ts") > lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .orderBy("event_id")),
+
+    // I7: upsert / SCD1 merge — target snapshot (state before the cutoff)
+    // merged with the delta feed, last writer wins per user.
+    "i7_upsert" -> ((s, d) => {
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("ts"))
+      val targetW = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val target = ev.filter(col("ts") <= cutoff)
+        .withColumn("rn", row_number().over(targetW))
+        .filter(col("rn") === 1).drop("rn", "ts")
+      val delta = ev.filter(col("ts") > cutoff).drop("ts")
+      val lwwW = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      target.unionByName(delta)
+        .withColumn("rn", row_number().over(lwwW))
+        .filter(col("rn") === 1).drop("rn")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    // I8: snapshot diff (CDC derive) — per-user state at t1 vs t2; emits
+    // inserted/updated/unchanged rows (the sync delta the reference loads).
+    "i8_snapshot_diff" -> ((s, d) => {
+      def stateAt(cut: String) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        events(s, d)
+          .filter(col("ts") <= lit(cut).cast("timestamp"))
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+            col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"))
+      }
+      val old = stateAt("2024-01-10 00:00:00")
+        .select(col("user_id").as("ku"), col("event_type").as("old_type"))
+      val neu = stateAt("2024-01-20 00:00:00")
+        .select(col("user_id").as("kn"), col("event_type").as("new_type"))
+      old.join(neu, col("ku") === col("kn"), "full")
+        .select(
+          coalesce(col("ku"), col("kn")).as("user_id"),
+          when(col("ku").isNull, "inserted")
+            .when(col("kn").isNull, "deleted")
+            .when(col("old_type") =!= col("new_type"), "updated")
+            .otherwise("unchanged").as("change"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "h1_string" ->
+      """SELECT p_partkey,
+                upper(p_name) AS up,
+                regexp_replace(lower(trim(p_name)), '\s+', '_', 'g') AS norm,
+                string_split(p_name, ' ')[1] AS first_word,
+                regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+                lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+                CAST(length(p_name) AS INT) AS len
+         FROM part ORDER BY p_partkey""",
+
+    "h2_datetime" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS yr,
+                CAST(month(o_orderdate) AS INT) AS mo,
+                CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+                CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+                strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30
+         FROM orders ORDER BY o_orderkey""",
+
+    "h3_math" ->
+      """SELECT p_partkey,
+                CAST(p_size // 10 AS INT) AS sz_bucket,
+                p_partkey % 7 AS modv,
+                CAST(round(ln(p_retailprice)*10000) AS BIGINT)/10000.0 AS ln_price,
+                CAST(round(pow(p_retailprice, 0.5)*10000) AS BIGINT)/10000.0 AS sqrt_price,
+                CAST(round(abs(p_retailprice - 950.0)*10000) AS BIGINT)/10000.0 AS dev
+         FROM part ORDER BY p_partkey""",
+
+    "h4_array" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                CAST(list_contains(string_split(text, ' '), 'table') AS INT) AS has_table,
+                array_to_string(string_split(text, ' ')[1:3], '-') AS first3,
+                CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS tok_chars
+         FROM documents ORDER BY doc_id""",
+
+    "h5_map" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+                array_to_string(list_sort(json_keys(props)), ',') AS keys
+         FROM events ORDER BY event_id""",
+
+    "h6_json" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
+         FROM events ORDER BY event_id""",
+
+    "i1_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+
+    "i2_sliding" ->
+      """SELECT strftime(make_timestamp(((epoch_us(ts) // 900000000) - k) * 900000000),
+                         '%Y-%m-%d %H:%M:%S') AS win_start,
+                count(*) AS n
+         FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) offs(k)
+         GROUP BY 1 ORDER BY win_start""",
+
+    "i3_session" ->
+      """SELECT user_id, session_id, count(*) AS n_events,
+                min(us) AS start_us, max(us) AS end_us
+         FROM (
+           SELECT user_id, event_id, us,
+                  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_id
+           FROM (
+             SELECT user_id, event_id, epoch_us(ts) AS us,
+                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                           > 30*60*1000000 THEN 1
+                         WHEN lag(epoch_us(ts), 1) OVER
+                           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                           IS NULL THEN 1
+                         ELSE 0 END AS new_sess
+             FROM events))
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "i5_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY epoch_us(ts), event_id) = 1
+         ORDER BY user_id, event_type""",
+
+    "i6_delta_filter" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+         FROM events
+         WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+         ORDER BY event_id""",
+
+    "i7_upsert" ->
+      """WITH target AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         delta AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00')
+         SELECT user_id, event_id AS last_event_id, event_type AS last_type, us AS last_us
+         FROM (SELECT * FROM target UNION ALL SELECT * FROM delta)
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    "i8_snapshot_diff" ->
+      """WITH old AS (
+           SELECT user_id AS ku, event_type AS old_type
+           FROM events WHERE ts <= TIMESTAMP '2024-01-10 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         neu AS (
+           SELECT user_id AS kn, event_type AS new_type
+           FROM events WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+         SELECT coalesce(ku, kn) AS user_id,
+                CASE WHEN ku IS NULL THEN 'inserted'
+                     WHEN kn IS NULL THEN 'deleted'
+                     WHEN old_type <> new_type THEN 'updated'
+                     ELSE 'unchanged' END AS change
+         FROM old FULL OUTER JOIN neu ON ku = kn
+         ORDER BY user_id"""
+  )
+}

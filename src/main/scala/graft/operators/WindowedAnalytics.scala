@@ -1,0 +1,267 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.ExactNum._
+import graft.sources.Tables._
+
+/** Window functions, temporal joins, and ordered/statistical aggregation —
+  * SURVEY.md §2 groups E (windows), C7/C8 (range + as-of joins), D5–D7
+  * (collect/pivot/stats).
+  *
+  * Scale notes: every window here is partitioned (user_id / customer /
+  * segment / year) except the daily-revenue moving average, whose input is
+  * already reduced to one row per calendar day before the window runs. The
+  * range join is bucketed into an equi-join on (user, 5-min bucket) so it
+  * hash-partitions instead of falling into a nested-loop; the as-of join is
+  * a single-shuffle window carry-forward, not a join at all.
+  */
+object WindowedAnalytics {
+
+  private val usPer5Min = 300000000L // microseconds in 5 minutes
+
+  val queries: Map[String, Q] = Map(
+    // E1: ranking — top-3 orders per customer; rank/dense_rank share the
+    // value-ordered window, row_number adds the unique tiebreak.
+    "e1_rank" -> ((s, d) => {
+      val byVal = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc)
+      val total = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(total))
+        .withColumn("rk", rank().over(byVal))
+        .withColumn("drk", dense_rank().over(byVal))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // E2: lag — inter-event gap per user in microseconds (first event → 0).
+    "e2_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us",
+          col("us") - coalesce(lag(col("us"), 1).over(w), col("us")))
+        .select("user_id", "event_id", "gap_us")
+        .orderBy("user_id", "event_id")
+    }),
+
+    // E3: running total — cumulative customer spend per year, in exact cents.
+    "e3_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("yr")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .withColumn("yr", year(col("o_orderdate")))
+        .select(col("yr"), col("o_orderkey"),
+          (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("cum_spend"))
+        .orderBy("o_orderkey")
+    }),
+
+    // E4: moving aggregate — trailing-7-day average of daily revenue.
+    // Input is pre-reduced to one row per day, so the unpartitioned window
+    // ranges over ~2.4k rows regardless of fact-table scale.
+    "e4_moving_avg" -> ((s, d) => {
+      val daily = orders(s, d)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).as("day_num"))
+        .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
+      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+      daily
+        .select(
+          col("day_num"),
+          (col("day_cents") / 100.0).as("day_rev"),
+          round4(sum(col("day_cents")).over(w) / 100.0 /
+            count(lit(1)).over(w)).as("avg_7d"))
+        .orderBy("day_num")
+    }),
+
+    // E5: distribution — quartiles + first/last value with explicit frames.
+    "e5_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("seg_lo", first(col("c_acctbal")).over(full))
+        .withColumn("seg_hi", last(col("c_acctbal")).over(full))
+        .orderBy("c_custkey")
+    }),
+
+    // C7: theta/range join — per error event, count same-user non-error
+    // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
+    // ±1, turning the range predicate into an equi-join on
+    // (user_id, bucket) that hash-partitions at any scale; a probe event's
+    // own bucket is unique so no pair dedup is needed.
+    "c7_range_join" -> ((s, d) => {
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id").as("eu"),
+          col("us").as("eus"))
+        .withColumn("bucket",
+          explode(array(expr("eus div 300000000") - 1,
+            expr("eus div 300000000"), expr("eus div 300000000") + 1)))
+      val probes = ev.filter(col("event_type") =!= "error")
+        .select(col("user_id").as("pu"), col("us").as("pus"))
+        .withColumn("pbucket", expr("pus div 300000000"))
+      errors.join(probes,
+          col("eu") === col("pu") && col("bucket") === col("pbucket") &&
+          abs(col("pus") - col("eus")) <= usPer5Min)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_nearby"))
+        .orderBy("error_id")
+    }),
+
+    // C8: as-of join — for each purchase, the latest same-user click
+    // at-or-before it. Implemented Spark-first as a carry-forward window
+    // (one shuffle on user_id, no join): `last(click, ignoreNulls)` over the
+    // time-ordered union of clicks+purchases.
+    "c8_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
+    // D5: collect aggregation — per-nation sorted name roster, rendered as a
+    // joined string so the oracle hash is array-representation-agnostic.
+    "d5_collect" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")),
+
+    // D6: pivot — event_type counts as columns, explicit value list for
+    // deterministic column order, nulls backfilled to 0.
+    "d6_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy("user_id")),
+
+    // D7: statistical aggregation — sample stddev, correlation, exact median
+    // (linear interpolation; identical formula to DuckDB quantile_cont).
+    "d7_stats" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          round4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          round4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"))
+        .orderBy("l_returnflag"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e1_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(row_number() OVER total AS INT) AS rn,
+                CAST(rank() OVER byval AS INT) AS rk,
+                CAST(dense_rank() OVER byval AS INT) AS drk
+         FROM orders
+         WINDOW total AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+                byval AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+         QUALIFY rn <= 3
+         ORDER BY o_custkey, rn""",
+
+    "e2_lag" ->
+      """SELECT user_id, event_id,
+                epoch_us(ts) - coalesce(
+                  lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  epoch_us(ts)) AS gap_us
+         FROM events ORDER BY user_id, event_id""",
+
+    "e3_running_total" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderkey,
+                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+                  PARTITION BY year(o_orderdate)
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)/100.0
+                  AS cum_spend
+         FROM orders ORDER BY o_orderkey""",
+
+    "e4_moving_avg" ->
+      """SELECT day_num,
+                day_cents/100.0 AS day_rev,
+                CAST(round((CAST(sum(day_cents) OVER w AS BIGINT)/100.0
+                            /(count(*) OVER w))*10000) AS BIGINT)/10000.0 AS avg_7d
+         FROM (
+           SELECT CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day_num,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_cents
+           FROM orders GROUP BY 1)
+         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day_num""",
+
+    "e5_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+                CAST(ntile(4) OVER w AS INT) AS quartile,
+                first_value(c_acctbal) OVER wf AS seg_lo,
+                last_value(c_acctbal) OVER wf AS seg_hi
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC),
+                wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey""",
+
+    "c7_range_join" ->
+      """SELECT e.event_id AS error_id, count(*) AS n_nearby
+         FROM events e JOIN events x
+           ON e.user_id = x.user_id
+          AND x.event_type <> 'error'
+          AND abs(epoch_us(x.ts) - epoch_us(e.ts)) <= 300000000
+         WHERE e.event_type = 'error'
+         GROUP BY 1 ORDER BY error_id""",
+
+    "c8_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+                c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY purchase_id""",
+
+    "d5_collect" ->
+      """SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names,
+                count(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "d6_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+                count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+                count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+                count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (WHERE event_type = 'error')    AS n_error
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "d7_stats" ->
+      """SELECT l_returnflag,
+                CAST(round(stddev_samp(l_quantity)*10000) AS BIGINT)/10000.0 AS sd_qty,
+                CAST(round(corr(l_quantity, l_extendedprice)*10000) AS BIGINT)/10000.0 AS corr_qty_price,
+                CAST(round(quantile_cont(l_extendedprice, 0.5)*10000) AS BIGINT)/10000.0 AS median_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+  )
+}

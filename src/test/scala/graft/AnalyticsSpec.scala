@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for window/temporal operators (SURVEY.md §5 layers 2–3) — these
+  * check semantic invariants that the DuckDB hash-compare can't express.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("e1: at most 3 rows per customer, rn strictly increasing") {
+    val bad = run("e1_rank").groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(bad.count() == 0)
+  }
+
+  test("e3: running total per year ends at the year's exact total") {
+    val last = run("e3_running_total")
+      .groupBy("yr").agg(max("cum_spend").as("cum"))
+    val direct = graft.sources.Tables.orders(spark, sf)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg((sum(graft.functions.ExactNum.cents(col("o_totalprice"))) / 100.0).as("tot"))
+    val joined = last.join(direct, "yr")
+      .filter(abs(col("cum") - col("tot")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("c7: every nearby-count is positive and error ids are errors") {
+    val out = run("c7_range_join")
+    assert(out.filter(col("n_nearby") <= 0).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("c8: as-of click is never after its purchase") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val out = run("c8_asof_join")
+      .join(ev.withColumnRenamed("event_id", "purchase_id")
+        .withColumnRenamed("us", "pus"), "purchase_id")
+      .join(ev.withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("us", "cus"), Seq("click_id"), "left")
+    assert(out.filter(col("cus") > col("pus")).count() == 0)
+  }
+
+  test("i3: sessions respect the 30-minute gap invariant") {
+    // within a session, max gap <= 30 min; consecutive sessions of a user
+    // are separated by > 30 min (checked via session boundaries).
+    val sess = run("i3_session")
+    val viol = sess.withColumn("prev_end",
+        lag(col("end_us"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("session_id")))
+      .filter(col("prev_end").isNotNull &&
+        col("start_us") - col("prev_end") <= 30L * 60 * 1000000)
+    assert(viol.count() == 0)
+  }
+
+  test("i5: dedup is idempotent and keeps one row per (user, type)") {
+    val out = run("i5_dedup")
+    assert(out.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("i7: upsert result has exactly one state row per user (LWW)") {
+    val out = run("i7_upsert")
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // the merged state equals the overall latest event per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val latest = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"))
+    val diff = out.select("user_id", "last_event_id")
+      .except(latest)
+    assert(diff.count() == 0)
+  }
+
+  test("i2: each event contributes to exactly 4 sliding windows") {
+    val total = run("i2_sliding").agg(sum("n")).collect()(0).getLong(0)
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(total == 4 * nEvents)
+  }
+
+  test("d6: pivot row sums equal per-user event counts") {
+    val p = run("d6_pivot")
+      .withColumn("tot", col("n_click") + col("n_view") + col("n_signup") +
+        col("n_purchase") + col("n_error"))
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count()
+    val bad = p.join(direct, "user_id").filter(col("tot") =!= col("count"))
+    assert(bad.count() == 0)
+  }
+}
