@@ -1,0 +1,380 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.ExactNum._
+import graft.sources.Tables._
+
+/** LLM-training-data pipeline operators — SURVEY.md §2 group J plus the
+  * text-analysis / multimodal surface the north star mandates: exact and
+  * near dedup, top-k cosine similarity search, centroid aggregation, word
+  * frequencies, quality scoring, language-ID heuristics, fingerprinting,
+  * token statistics, and binary-column decode plumbing.
+  *
+  * Scale notes:
+  *  - Near-dup pairing is a *blocked* self-join — (lang, token-length
+  *    bucket) equi-keys bound the pair blow-up and hash-partition cleanly;
+  *    the MinHash-LSH variant (graft.operators.Lsh) is the 100-TB path.
+  *  - Top-k cosine broadcasts the (small) query set against the corpus:
+  *    one pass, no shuffle of the corpus; the IVF variant in Lsh probes
+  *    one coarse cell instead of the full corpus.
+  *  - All array math uses higher-order functions (transform/zip_with/
+  *    aggregate) — codegen'd, no UDFs; folds run left-to-right in both
+  *    engines so float results are bit-identical.
+  */
+object LlmOps {
+
+  /** Word tokens of the document text. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word-3-gram shingles of the document text. */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  /** Left-to-right float64 fold of an elementwise product — deterministic
+    * dot product (mirrors DuckDB list_reduce(list_prepend(0.0, …))). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Modulus shared by the shingle hashes and the MinHash family. */
+  private[operators] val P = 2147483647L // 2^31 - 1
+
+  /** One row per distinct (doc, hashed word-3-gram shingle), plus the
+    * (lang, length-bucket) block key. Built relationally — posexplode +
+    * lead() window + row-level md5 — because Spark's higher-order-function
+    * lambdas are interpreted (CodegenFallback): the row-level form keeps the
+    * whole shingle pipeline inside whole-stage codegen and is reused by both
+    * the Jaccard join (J2) and the MinHash signatures (Lsh). Hashing
+    * shingles to ints makes every downstream comparison an integer op; the
+    * md5-derived hash is engine-portable so oracles mirror it exactly. */
+  private[operators] def shingleRows(df: DataFrame): DataFrame = {
+    val toks = df.select(col("doc_id"), col("lang"),
+      expr("(size(split(text, ' ')) div 10)").as("blk"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("s2", lead(col("tok"), 1).over(w))
+      .withColumn("s3", lead(col("tok"), 2).over(w))
+      .filter(col("s3").isNotNull)
+      .select(col("doc_id"), col("lang"), col("blk"),
+        (conv(substring(md5(concat_ws(" ", col("tok"), col("s2"), col("s3"))), 1, 15), 16, 10)
+          .cast("long") % P).as("h"))
+      .dropDuplicates("doc_id", "h")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
+    // each duplicate group. (Fixtures plant exact dups at sf0.1.)
+    "j1_exact_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      documents(s, d)
+        .withColumn("text_hash", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text_hash", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // J2: near-dup detection — word-3-gram Jaccard within (lang,
+    // length-bucket) blocks, computed as an inverted-index join: explode
+    // hashed shingles, equi-join on (block, shingle), count shared shingles
+    // per pair. Cost is Σ_shingle (docs sharing it)², never blocksize² —
+    // the shape that survives 100 TB — and the whole pipeline is codegen'd
+    // hash joins + aggregates (no interpreted array_intersect per pair).
+    "j2_jaccard_pairs" -> ((s, d) => {
+      val inv = shingleRows(documents(s, d))
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shared = inv.alias("x").join(inv.alias("y"),
+          col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // J3: similarity search — brute-force top-5 cosine neighbors for a
+    // deterministic query subset (vec_id ≡ 0 mod 100), query set broadcast.
+    "j3_topk_cosine" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val corpus = emb
+      val qs = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qn"))
+      val scored = corpus.join(broadcast(qs))
+        .withColumn("cos_raw",
+          dot(col("q"), col("v")) / (col("qn") * col("nrm")))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // J4: centroid aggregation — per-label mean vector, emitted flat as
+    // (label, pos, c) rows (array outputs hash differently across engines).
+    "j4_centroid" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(round4(avg(col("e").cast("double"))).as("c"))
+        .orderBy("label", "pos")),
+
+    // J5: text analysis — corpus word frequencies (explode → count).
+    "j5_word_freq" -> ((s, d) =>
+      documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word").asc)),
+
+    // J6: quality gate — length/lang corpus-cleaning filter.
+    "j6_quality_filter" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_tokens", size(toks))
+        .filter(col("n_chars").between(100, 400) &&
+          col("lang").isin("en", "fr", "es") && col("n_tokens") >= 20)
+        .select("doc_id", "lang", "n_chars", "n_tokens")
+        .orderBy("doc_id")),
+
+    // J7: multimodal record assembly — text ⋈ embedding with derived
+    // features, projected flat for stable hashing.
+    "j7_multimodal_record" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          round4(sqrt(dot(toDouble(col("embedding")), toDouble(col("embedding"))))).as("emb_norm"))
+      documents(s, d)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(toks).as("n_tokens"), col("label"), col("emb_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: composite quality score from token statistics.
+    "ta_quality_score" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("t", toks)
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("n_unique", size(array_distinct(col("t"))))
+        .withColumn("n_stop",
+          size(filter(col("t"), x => x.isin("the", "a"))))
+        .withColumn("uniq_ratio", col("n_unique").cast("double") / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("score", round4(
+          lit(0.3) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0))))
+        .select(col("doc_id"), col("n_tokens"), col("n_unique"),
+          round4(col("uniq_ratio")).as("uniq_ratio"),
+          round4(col("stop_ratio")).as("stop_ratio"),
+          col("score"), (col("score") >= 0.5).cast("int").as("pass"))
+        .orderBy("doc_id")),
+
+    // Text analysis: marker-word language-ID heuristic (argmax over
+    // stopword hits, alphabetical tiebreak) scored against the label.
+    "ta_langid" -> ((s, d) => {
+      def hits(words: String*): Column =
+        size(filter(toks, x => x.isin(words.map(lit): _*)))
+      documents(s, d)
+        .withColumn("en_h", hits("the", "a", "of"))
+        .withColumn("de_h", hits("der", "die", "und"))
+        .withColumn("fr_h", hits("le", "la", "et"))
+        .withColumn("pred",
+          when(col("en_h") >= col("de_h") && col("en_h") >= col("fr_h") &&
+            col("en_h") > 0, "en")
+            .when(col("de_h") >= col("fr_h") && col("de_h") > 0, "de")
+            .when(col("fr_h") > 0, "fr")
+            .otherwise("und"))
+        .select(col("doc_id"), col("pred"), col("lang"),
+          (col("pred") === col("lang")).cast("int").as("hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Text analysis: polynomial rolling-hash fingerprint over characters
+    // ((acc*31 + code) mod 1e9+7 — identical fold in both engines).
+    "ta_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("fp",
+          aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, x) => (acc * 31 + x) % 1000000007L))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")),
+
+    // Text analysis: token accounting — whitespace tokens plus a BPE-ish
+    // subword estimate (ceil(len/4) pieces per word).
+    "ta_token_stats" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("t", toks)
+        .select(
+          col("doc_id"),
+          size(col("t")).as("ws_tokens"),
+          aggregate(transform(col("t"), x => ceil(length(x) / lit(4.0)).cast("long")),
+            lit(0L), (acc, x) => acc + x).as("subtokens"),
+          length(col("text")).as("chars"))
+        .orderBy("doc_id")),
+
+    // Multimodal decode plumbing — text treated as an opaque binary payload
+    // with a deterministic stub "decoder" (byte length, content hash, fake
+    // dimensions). The mapPartitions-based typed pipeline lives in
+    // graft.multimodal; this is its SQL-expressible projection.
+    "mm_decode_stub" -> ((s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          (ascii(substring(col("text"), 1, 1)) * 7 % 640).as("width"),
+          (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("height"))
+        .orderBy("doc_id"))
+  )
+
+  private val toksSql = "string_split(text, ' ')"
+
+  val oracle: Map[String, String] = Map(
+    "j1_exact_dedup" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS text_hash, lang, source
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                    ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+
+    "j2_jaccard_pairs" ->
+      s"""WITH docs AS (
+            SELECT doc_id, lang, (len($toksSql)) // 10 AS blk,
+                   list_distinct(list_transform(
+                     list_distinct(list_transform(range(1, len($toksSql) - 1),
+                       i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])),
+                     s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS sh
+            FROM documents),
+          sizes AS (SELECT doc_id, len(sh) AS nsh FROM docs),
+          inv AS (SELECT doc_id, lang, blk, unnest(sh) AS h FROM docs),
+          shared AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+            FROM inv x JOIN inv y
+              ON x.lang = y.lang AND x.blk = y.blk AND x.h = y.h
+             AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM (
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (a.nsh + b.nsh - inter) AS jac
+            FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
+                        JOIN sizes b ON shared.doc_b = b.doc_id)
+          WHERE jac >= 0.5
+          ORDER BY doc_a, doc_b""",
+
+    "j3_topk_cosine" ->
+      """WITH corpus AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                       i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))), (a,x) -> a + x)) AS nrm
+              FROM embeddings),
+            qs AS (SELECT vec_id AS query_id, embedding AS q, nrm AS qn FROM corpus
+                   WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT query_id, vec_id,
+                     list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                       i -> (q[i]::DOUBLE) * (embedding[i]::DOUBLE))), (a,x) -> a + x)
+                     / (qn * nrm) AS cos_raw
+              FROM corpus CROSS JOIN qs)
+         SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                CAST(round(cos_raw*10000) AS BIGINT)/10000.0 AS cos
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
+         WHERE rank <= 5
+         ORDER BY query_id, rank""",
+
+    "j4_centroid" ->
+      """SELECT label, CAST(i AS INT) AS pos,
+                CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+         FROM embeddings, range(64) t(i)
+         GROUP BY label, i ORDER BY label, pos""",
+
+    "j5_word_freq" ->
+      s"""SELECT word, count(*) AS cnt
+          FROM (SELECT unnest($toksSql) AS word FROM documents)
+          GROUP BY word ORDER BY cnt DESC, word ASC""",
+
+    "j6_quality_filter" ->
+      s"""SELECT doc_id, lang, n_chars, CAST(len($toksSql) AS INT) AS n_tokens
+          FROM documents
+          WHERE n_chars BETWEEN 100 AND 400 AND lang IN ('en','fr','es')
+            AND len($toksSql) >= 20
+          ORDER BY doc_id""",
+
+    "j7_multimodal_record" ->
+      s"""SELECT doc_id, lang, source, n_chars,
+                 CAST(len($toksSql) AS INT) AS n_tokens, label,
+                 CAST(round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                   i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))), (a,x) -> a + x))*10000) AS BIGINT)/10000.0 AS emb_norm
+          FROM documents JOIN embeddings ON doc_id = vec_id
+          ORDER BY doc_id""",
+
+    "ta_quality_score" ->
+      s"""SELECT doc_id, n_tokens, n_unique,
+                 ${sqlRound4("uniq_ratio")} AS uniq_ratio,
+                 ${sqlRound4("stop_ratio")} AS stop_ratio,
+                 score, CAST(score >= 0.5 AS INT) AS pass
+          FROM (
+            SELECT doc_id, n_tokens, n_unique, uniq_ratio, stop_ratio,
+                   ${sqlRound4("0.3*uniq_ratio + 0.4*(1.0 - stop_ratio) + 0.3*least(n_tokens/100.0, 1.0)")} AS score
+            FROM (
+              SELECT doc_id,
+                     CAST(len(t) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(t)) AS INT) AS n_unique,
+                     CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)/len(t) AS stop_ratio,
+                     CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS uniq_ratio
+              FROM (SELECT doc_id, $toksSql AS t FROM documents)))
+          ORDER BY doc_id""",
+
+    "ta_langid" ->
+      s"""SELECT doc_id, pred, lang, CAST(pred = lang AS INT) AS hit FROM (
+            SELECT doc_id, lang,
+                   CASE WHEN en_h >= de_h AND en_h >= fr_h AND en_h > 0 THEN 'en'
+                        WHEN de_h >= fr_h AND de_h > 0 THEN 'de'
+                        WHEN fr_h > 0 THEN 'fr'
+                        ELSE 'und' END AS pred
+            FROM (
+              SELECT doc_id, lang,
+                     len(list_filter(t, x -> x IN ('the','a','of'))) AS en_h,
+                     len(list_filter(t, x -> x IN ('der','die','und'))) AS de_h,
+                     len(list_filter(t, x -> x IN ('le','la','et'))) AS fr_h
+              FROM (SELECT doc_id, lang, $toksSql AS t FROM documents)))
+          ORDER BY doc_id""",
+
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+                  (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "ta_token_stats" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS ws_tokens,
+                 CAST(list_sum(list_transform($toksSql,
+                   x -> CAST(ceil(length(x)/4.0) AS BIGINT))) AS BIGINT) AS subtokens,
+                 CAST(length(text) AS INT) AS chars
+          FROM documents ORDER BY doc_id""",
+
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                md5(text) AS content_hash,
+                CAST(ascii(text[1]) * 7 % 640 AS INT) AS width,
+                CAST(ascii(text[2]) * 5 % 480 AS INT) AS height
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.functions.ExactNum._
+import graft.sources.Tables._
+
+/** Sketch/LSH-based dedup and ANN — the 100-TB-scale variants of the
+  * brute-force LLM operators in LlmOps:
+  *
+  *  - MinHash + banded LSH: per-doc 16-hash signature → 8 bands of 2 →
+  *    candidate pairs share a band bucket (equi-join, hash-partitioned) →
+  *    exact Jaccard verify on the candidates only. Candidate generation is
+  *    O(docs × bands), never O(docs²).
+  *  - SimHash: 32-bit per-doc fingerprint from token hashes; near-dups
+  *    differ in few bits.
+  *  - IVF top-k cosine: label centroids act as the coarse quantizer; each
+  *    vector is assigned to its nearest (rounded) centroid cell, and a
+  *    query probes only its own cell — 10× less compute than brute force
+  *    here, k/nlist in general.
+  *  - Embedding near-dup: label-blocked cosine pairs above a threshold.
+  *
+  * Hashes are md5-derived on both engines (Spark `conv(substr(md5,…),16,10)`
+  * ≡ DuckDB `('0x'||substr(md5,…))::BIGINT`), so every oracle hash-matches
+  * bit-for-bit; no engine-specific hash function is ever used.
+  */
+object Lsh {
+
+  private val nHashes = 16
+  private val nBands = 8 // rows-per-band = 2
+
+  /** Universal-hash family for MinHash: h_i(x) = (a_i·x + b_i) mod P over a
+    * base md5-derived hash. One md5 per shingle, 16 cheap integer ops —
+    * instead of 16 md5s — keeps the whole signature pipeline inside
+    * whole-stage codegen (higher-order-function lambdas are interpreted in
+    * Spark, so the relational explode→groupBy(min×16) form below is ~50×
+    * faster and is the shape that scales).
+    */
+  private val P = LlmOps.P
+  private val A: IndexedSeq[Long] = (0 until nHashes).map(i => (2654435761L * (i + 1)) % P)
+  private val B: IndexedSeq[Long] = (0 until nHashes).map(i => (40503L * (i + 7) + 1) % P)
+
+  /** 32-bit integer hash of a string via md5. */
+  private def mdHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  // DuckDB-side shared fragments.
+  private val toksSql = "string_split(text, ' ')"
+  private val shSql =
+    s"""list_distinct(list_transform(range(1, len($toksSql) - 1),
+        i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))"""
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE))), (acc, x) -> acc + x)"""
+
+  val queries: Map[String, Q] = Map(
+    // MinHash signatures → banded LSH buckets → candidate pairs → exact
+    // Jaccard verification. Recovers the ≥0.5 pairs (miss probability for a
+    // 0.99-Jaccard pair ≈ (1-j²)⁸ ≈ 1e-13) without a quadratic join.
+    // Pipeline shape: explode shingles once, one md5 each, 16 affine hashes
+    // folded by a single hash-aggregate with 16 min() columns — everything
+    // codegen'd, partial+final aggregable, one shuffle on doc_id.
+    "lsh_minhash_pairs" -> ((s, d) => {
+      val inv = LlmOps.shingleRows(documents(s, d)).select("doc_id", "h")
+      val sigs = inv.groupBy("doc_id").agg(
+        min((col("h") * A(0) + B(0)) % P).as("mh0"),
+        (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
+      val bands = sigs.select(col("doc_id"),
+        posexplode(array((0 until nBands).map(b =>
+          concat(col(s"mh${2 * b}").cast("string"), lit("_"),
+            col(s"mh${2 * b + 1}").cast("string"))): _*))
+          .as(Seq("band_idx", "band_val")))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      // Exact-Jaccard verification of the candidates via the same inverted
+      // index (count shared shingle hashes per pair — no array ops).
+      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val shared = cand
+        .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+        .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      shared
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+        .withColumn("jac",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: 32-bit fingerprint — bit k is the sign of the sum of ±1
+    // votes from each distinct token's hash bit k.
+    "lsh_simhash" -> ((s, d) => {
+      val bitSums: Seq[Column] = (0 until 32).map { k =>
+        aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1))
+      }
+      val sim = bitSums.zipWithIndex
+        .map { case (sc, k) => when(sc > 0, lit(1L << k)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+      documents(s, d)
+        .withColumn("hs",
+          transform(array_distinct(split(col("text"), " ")), t => mdHash32(t)))
+        .select(col("doc_id"), sim.as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF top-k cosine: nearest-centroid cell assignment (centroids rounded
+    // to 4 decimals on both engines → bit-identical cells), then top-5
+    // within the query's cell only.
+    "lsh_ivf_topk" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val cents = emb
+        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("clabel", "pos").agg(round4(avg(col("e"))).as("c"))
+        .groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cent"))
+      val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("dist2",
+          aggregate(zip_with(col("v"), col("cent"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("clabel").as("cell"),
+          sqrt(dot(col("v"), col("v"))).as("nrm"))
+      val qs = assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
+          col("nrm").as("qn"))
+      val scored = assigned.join(broadcast(qs), "cell")
+        .withColumn("cos_raw", dot(col("q"), col("v")) / (col("qn") * col("nrm")))
+      val rankW = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id").asc)
+      scored.withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding-cosine near-dup pairs, blocked by label. Norms are computed
+    // once per vector before the pair join (1 dot per pair, not 3).
+    "lsh_emb_near_dup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      val a = emb.select(col("vec_id").as("vec_a"), col("label").as("la"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
+        .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    })
+  )
+
+  // Oracle-side simhash term list, generated to mirror the Spark bit loop.
+  private val simhashTermsSql: String = (0 until 32).map { k =>
+    s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1)*2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "lsh_minhash_pairs" -> {
+      val minCols = (0 until nHashes)
+        .map(i => s"min((h * ${A(i)} + ${B(i)}) % $P) AS mh$i").mkString(",\n                   ")
+      val bandSelects = (0 until nBands)
+        .map(b => s"SELECT doc_id, $b AS band_idx, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
+        .mkString("\n            UNION ALL ")
+      s"""WITH docs AS (
+            SELECT doc_id, list_distinct(list_transform($shSql,
+              s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS hs
+            FROM documents),
+          sigs AS (
+            SELECT doc_id, $minCols
+            FROM (SELECT doc_id, unnest(hs) AS h FROM docs)
+            GROUP BY doc_id),
+          bands AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM (
+            SELECT doc_a, doc_b,
+                   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                   (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
+            FROM cand JOIN docs x ON cand.doc_a = x.doc_id
+                      JOIN docs y ON cand.doc_b = y.doc_id)
+          WHERE jac >= 0.5
+          ORDER BY doc_a, doc_b"""
+    },
+
+    "lsh_simhash" ->
+      s"""SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash
+          FROM (SELECT doc_id,
+                  list_transform(list_distinct($toksSql),
+                    t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hs
+                FROM documents)
+          ORDER BY doc_id""",
+
+    "lsh_ivf_topk" ->
+      s"""WITH cents AS (
+            SELECT clabel, list(c ORDER BY pos) AS cent FROM (
+              SELECT label AS clabel, i AS pos,
+                     CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+              FROM embeddings, range(64) t(i) GROUP BY 1, 2)
+            GROUP BY clabel),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.clabel AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                         i -> (e.embedding[i]::DOUBLE - c.cent[i])
+                            * (e.embedding[i]::DOUBLE - c.cent[i]))), (acc,x) -> acc + x) ASC,
+                       c.clabel ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE rn = 1),
+          normed AS (
+            SELECT vec_id, embedding, cell,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM assigned),
+          qs AS (SELECT vec_id AS query_id, embedding AS q, cell, nrm AS qn
+                 FROM normed WHERE vec_id % 100 = 0),
+          scored AS (
+            SELECT qs.query_id, a.vec_id,
+                   ${dotSql("qs.q", "a.embedding")} / (qs.qn * a.nrm) AS cos_raw
+            FROM normed a JOIN qs ON a.cell = qs.cell)
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 ${sqlRound4("cos_raw")} AS cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    "lsh_emb_near_dup" ->
+      s"""WITH e AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings)
+          SELECT vec_a, vec_b, ${sqlRound4("cos_raw")} AS cos FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_raw
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id)
+          WHERE cos_raw >= 0.4
+          ORDER BY vec_a, vec_b"""
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the LLM-pipeline operators — properties the
+  * DuckDB hash gate can't express (SURVEY.md §5 layer 3).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("LSH pairs are a superset of the blocked-join Jaccard pairs") {
+    // The planted near-dups have Jaccard ≈0.9+ → band-collision probability
+    // ≈1-(1-j²)⁸ ≈ 1, so LSH must find every pair the blocked join finds.
+    // LSH legitimately finds MORE: the (lang, length-bucket) blocking in j2
+    // misses near-dups whose edit crossed a block boundary (the fixtures
+    // plant cross-language near-dups), while banding is block-free.
+    val lsh = run("lsh_minhash_pairs").select("doc_a", "doc_b", "jac")
+    val brute = run("j2_jaccard_pairs").select("doc_a", "doc_b", "jac")
+    assert(brute.exceptAll(lsh).count() == 0)
+    assert(lsh.count() >= brute.count())
+    assert(lsh.count() > 0) // fixture plants near-dups at every SF
+  }
+
+  test("j1 exact dedup is idempotent") {
+    val once = run("j1_exact_dedup")
+    assert(once.groupBy("text_hash").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("j3 top-1 neighbor of every query is itself with cos 1.0") {
+    val top1 = run("j3_topk_cosine").filter(col("rank") === 1)
+    assert(top1.filter(col("query_id") =!= col("vec_id")).count() == 0)
+    assert(top1.filter(abs(col("cos") - 1.0) > 1e-9).count() == 0)
+  }
+
+  test("ivf cells partition the corpus and self is always retrievable") {
+    val ivf = run("lsh_ivf_topk")
+    val self = ivf.filter(col("query_id") === col("vec_id"))
+    // the query lives in its own probed cell → must appear (at rank 1)
+    assert(self.count() == run("j3_topk_cosine").select("query_id").distinct().count())
+    assert(self.filter(col("rank") =!= 1).count() == 0)
+  }
+
+  test("simhash of near-dup docs differs in few bits") {
+    val pairs = run("j2_jaccard_pairs").filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b")
+    val sh = run("lsh_simhash")
+    val joined = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    assert(joined.filter(col("hamming") > 6).count() == 0)
+  }
+
+  test("quality score is bounded in [0,1] and pass flag is consistent") {
+    val q = run("ta_quality_score")
+    assert(q.filter(col("score") < 0 || col("score") > 1).count() == 0)
+    assert(q.filter((col("score") >= 0.5) =!= (col("pass") === 1)).count() == 0)
+  }
+
+  test("fingerprint is content-determined: same text => same fp") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(md5(col("text")).as("h"))
+    val fps = run("ta_fingerprint")
+    // distinct texts vs distinct fps: fp collisions allowed but must not
+    // exceed text duplicates (fp is a function of text).
+    val nTexts = docs.distinct().count()
+    assert(fps.select("fp").distinct().count() <= nTexts)
+  }
+
+  test("centroids are the exact per-label means (spot check one label/pos)") {
+    val c = run("j4_centroid").filter(col("label") === 0 && col("pos") === 0)
+      .collect()(0).getAs[Double]("c")
+    val direct = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).cast("double").as("e"))
+      .agg(avg("e")).collect()(0).getDouble(0)
+    assert(math.abs(c - direct) < 1e-4)
+  }
+}
