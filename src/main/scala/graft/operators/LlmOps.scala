@@ -43,7 +43,7 @@ object LlmOps {
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   /** Modulus shared by the shingle hashes and the MinHash family. */
-  private[operators] val P = 2147483647L // 2^31 - 1
+  private[graft] val P = 2147483647L // 2^31 - 1
 
   /** One row per distinct (doc, hashed word-3-gram shingle), plus the
     * (lang, length-bucket) block key. Built relationally — posexplode +
@@ -53,7 +53,7 @@ object LlmOps {
     * the Jaccard join (J2) and the MinHash signatures (Lsh). Hashing
     * shingles to ints makes every downstream comparison an integer op; the
     * md5-derived hash is engine-portable so oracles mirror it exactly. */
-  private[operators] def shingleRows(df: DataFrame): DataFrame = {
+  private[graft] def shingleRows(df: DataFrame): DataFrame = {
     val toks = df.select(col("doc_id"), col("lang"),
       expr("(size(split(text, ' ')) div 10)").as("blk"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))

@@ -39,9 +39,9 @@ object Lsh {
     * Spark, so the relational explode→groupBy(min×16) form below is ~50×
     * faster and is the shape that scales).
     */
-  private val P = LlmOps.P
-  private val A: IndexedSeq[Long] = (0 until nHashes).map(i => (2654435761L * (i + 1)) % P)
-  private val B: IndexedSeq[Long] = (0 until nHashes).map(i => (40503L * (i + 7) + 1) % P)
+  private[graft] val P = LlmOps.P
+  private[graft] val A: IndexedSeq[Long] = (0 until nHashes).map(i => (2654435761L * (i + 1)) % P)
+  private[graft] val B: IndexedSeq[Long] = (0 until nHashes).map(i => (40503L * (i + 7) + 1) % P)
 
   /** 32-bit integer hash of a string via md5. */
   private def mdHash32(c: Column): Column =

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Streaming forms vs their batch twins (SURVEY.md §5 layer 4): the same
+  * logical transforms driven through MicroBatchExecution via MemoryStream
+  * must agree with direct batch execution on the same rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val evs = Seq(
+    Ev(1, t("2024-01-01 10:05:00"), 1, "click", 1.0, "{}"),
+    Ev(2, t("2024-01-01 10:20:00"), 1, "view", 1.0, "{}"),
+    Ev(3, t("2024-01-01 11:05:00"), 1, "click", 1.0, "{}"),
+    Ev(4, t("2024-01-01 10:10:00"), 2, "click", 1.0, "{}"),
+    Ev(5, t("2024-01-01 12:30:00"), 2, "click", 1.0, "{}"), // >30m gap: new session
+    Ev(6, t("2024-01-01 12:40:00"), 2, "purchase", 1.0, "{}"))
+
+  test("stream tumbling counts equal the batch twin (complete mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.tumblingCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("tumb").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumb").orderBy("hour_start", "event_type").collect()
+    val batch = StreamingOps.tumblingCounts(evs.toDF())
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
+  test("stream session windows match the lag-based batch sessionization count") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.sessionCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sess").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess")
+    // user 1: one session (gaps 15m, 45m? 10:20→11:05 is 45m > 30m → 2 sessions)
+    // user 1: sessions {10:05,10:20}, {11:05}; user 2: {10:10}, {12:30,12:40}
+    assert(streamed.count() == 4)
+    assert(streamed.filter(col("user_id") === 2 && col("n_events") === 2).count() == 1)
+  }
+
+  test("stream dedup emits one row per (user, type)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.dedupByKey(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup")
+    assert(streamed.count() == evs.map(e => (e.user_id, e.event_type)).distinct.size)
+  }
+
+  test("watermark drops state for windows far behind the event-time frontier") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.tumblingWithWatermark(mem.toDF(), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wm").start()
+    // batch 1 establishes event-time frontier at 12:40 → watermark 12:30
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // batch 2: a very late event at 09:01 — its window [09:00,10:00) closed
+    // long before the watermark, so it must not resurrect state; and in
+    // append mode the closed windows [10:00..12:00) are already emitted.
+    mem.addData(Ev(99, t("2024-01-01 09:01:00"), 9, "click", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wm")
+    assert(out.filter(col("hour_start") === t("2024-01-01 09:00:00")).count() == 0)
+  }
+
+  test("foreachBatch upsert sink converges to last-writer-wins state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val dir = java.nio.file.Files.createTempDirectory("ck").toString
+    val store = StreamingOps.runUpsertSink(spark, mem.toDS(), dir)
+    assert(store(1L) == ((3L, "click")))    // user 1 latest = event 3
+    assert(store(2L) == ((6L, "purchase"))) // user 2 latest = event 6
+  }
+}
