@@ -35,10 +35,11 @@ object LlmOps {
     array_distinct(transform(sequence(lit(1), size(t) - 2),
       i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
 
-  /** Left-to-right float64 fold of an elementwise product — deterministic
-    * dot product (mirrors DuckDB list_reduce(list_prepend(0.0, …))). */
+  /** Left-to-right float64 dot product — the codegen'd Catalyst expression
+    * (graft.plans.DotProduct) whose fold order matches DuckDB's
+    * list_reduce(list_prepend(0.0, …)) bit-for-bit. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dot_product(a, b)
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 

@@ -48,7 +48,7 @@ object Lsh {
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorExpressions.dot_product(a, b)
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -132,8 +132,7 @@ object Lsh {
       val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
       val assigned = emb.join(broadcast(cents))
         .withColumn("dist2",
-          aggregate(zip_with(col("v"), col("cent"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x))
+          graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
         .withColumn("rn", row_number().over(assignW))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("clabel").as("cell"),

@@ -1,0 +1,15 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+
+/** graft-facing API for the custom Catalyst vector expressions (K4).
+  * Implementations live in org.apache.spark.sql.graftexpr (bridge package —
+  * the expression base types they extend are private[sql]).
+  */
+object VectorExpressions {
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExpressions.dot_product(a, b)
+
+  def squared_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExpressions.squared_distance(a, b)
+}
