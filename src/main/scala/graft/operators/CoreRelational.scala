@@ -274,6 +274,20 @@ object CoreRelational {
           col("sum_qty"), col("gid"))
         .orderBy("gid", "rf", "ls")),
 
+    // D9: cube — all grouping-set combinations with grouping_id (completes
+    // the rollup/cube/grouping-sets family started by D3).
+    "d9_cube" -> ((s, d) =>
+      lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum2(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"), col("gid"))
+        .orderBy("gid", "rf", "ls")),
+
     // D4: HAVING — post-aggregation filter (sysparm_having analog).
     "d4_having" -> ((s, d) =>
       lineitem(s, d)
@@ -474,6 +488,15 @@ object CoreRelational {
                  ${sqlSum2("l_quantity")} AS sum_qty,
                  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          ORDER BY gid, rf, ls""",
+
+    "d9_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                 coalesce(l_linestatus, 'ALL') AS ls,
+                 ${sqlSum2("l_quantity")} AS sum_qty,
+                 count(*) AS n,
+                 CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
           ORDER BY gid, rf, ls""",
 
     "d4_having" ->

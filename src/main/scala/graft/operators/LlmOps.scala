@@ -58,15 +58,26 @@ object LlmOps {
     val toks = df.select(col("doc_id"), col("lang"),
       expr("(size(split(text, ' ')) div 10)").as("blk"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // All three windows partition by doc_id, so the whole pipeline is ONE
+    // shuffle: lead() builds the 3-grams, lag() dedups within the sorted
+    // partition (instead of a dropDuplicates that would add a second
+    // exchange), and count() carries the per-doc shingle-set size inline so
+    // consumers never need a separate `sizes` aggregate (which would
+    // re-evaluate this whole subtree — Spark doesn't share plan subtrees).
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val byHash = Window.partitionBy("doc_id").orderBy("h")
+    val perDoc = Window.partitionBy("doc_id")
     toks
-      .withColumn("s2", lead(col("tok"), 1).over(w))
-      .withColumn("s3", lead(col("tok"), 2).over(w))
+      .withColumn("s2", lead(col("tok"), 1).over(byPos))
+      .withColumn("s3", lead(col("tok"), 2).over(byPos))
       .filter(col("s3").isNotNull)
       .select(col("doc_id"), col("lang"), col("blk"),
         (conv(substring(md5(concat_ws(" ", col("tok"), col("s2"), col("s3"))), 1, 15), 16, 10)
           .cast("long") % P).as("h"))
-      .dropDuplicates("doc_id", "h")
+      .withColumn("dup", lag(col("h"), 1).over(byHash) === col("h"))
+      .filter(!coalesce(col("dup"), lit(false)))
+      .drop("dup")
+      .withColumn("nsh", count(lit(1)).over(perDoc))
   }
 
   val queries: Map[String, Q] = Map(
@@ -90,15 +101,13 @@ object LlmOps {
     // hash joins + aggregates (no interpreted array_intersect per pair).
     "j2_jaccard_pairs" -> ((s, d) => {
       val inv = shingleRows(documents(s, d))
-      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
       val shared = inv.alias("x").join(inv.alias("y"),
           col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
+        .agg(count(lit(1)).as("inter"),
+          max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
       shared
-        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
         .withColumn("jac",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jac") >= 0.5)

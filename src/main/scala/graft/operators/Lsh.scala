@@ -69,7 +69,7 @@ object Lsh {
     // folded by a single hash-aggregate with 16 min() columns — everything
     // codegen'd, partial+final aggregable, one shuffle on doc_id.
     "lsh_minhash_pairs" -> ((s, d) => {
-      val inv = LlmOps.shingleRows(documents(s, d)).select("doc_id", "h")
+      val inv = LlmOps.shingleRows(documents(s, d)).select("doc_id", "h", "nsh")
       val sigs = inv.groupBy("doc_id").agg(
         min((col("h") * A(0) + B(0)) % P).as("mh0"),
         (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
@@ -84,15 +84,15 @@ object Lsh {
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
       // Exact-Jaccard verification of the candidates via the same inverted
-      // index (count shared shingle hashes per pair — no array ops).
-      val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      // index (count shared shingle hashes per pair — no array ops; per-doc
+      // set sizes ride along on the inv rows).
       val shared = cand
-        .join(inv.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-        .join(inv.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        .join(inv.select(col("doc_id").as("doc_a"), col("h"), col("nsh").as("na")), "doc_a")
+        .join(inv.select(col("doc_id").as("doc_b"), col("h"), col("nsh").as("nb")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
       shared
-        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
         .withColumn("jac",
           col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
         .filter(col("jac") >= 0.5)

@@ -188,6 +188,28 @@ object TemporalOps {
         .orderBy("user_id")
     }),
 
+    // I9: SCD2 history — the type-2 slowly-changing-dimension view of the
+    // change feed: one validity interval per state transition per user,
+    // with an open interval (valid_to = -1) for the current state.
+    "i9_scd2_history" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val changes = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("event_type") =!= col("prev_type"))
+      val w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+      changes
+        .withColumn("nxt", lead(col("us"), 1).over(w2))
+        .select(
+          col("user_id"),
+          col("event_type").as("state"),
+          col("us").as("valid_from"),
+          coalesce(col("nxt") - 1, lit(-1L)).as("valid_to"),
+          col("nxt").isNull.cast("int").as("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
+
     // I8: snapshot diff (CDC derive) — per-user state at t1 vs t2; emits
     // inserted/updated/unchanged rows (the sync delta the reference loads).
     "i8_snapshot_diff" -> ((s, d) => {
@@ -329,6 +351,21 @@ object TemporalOps {
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY us DESC, event_id DESC) = 1
          ORDER BY user_id""",
+
+    "i9_scd2_history" ->
+      """WITH ch AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                  lag(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         f AS (
+           SELECT user_id, event_type, us, event_id FROM ch
+           WHERE prev_type IS NULL OR event_type <> prev_type)
+         SELECT user_id, event_type AS state, us AS valid_from,
+                coalesce(lead(us, 1) OVER w - 1, -1) AS valid_to,
+                CAST(lead(us, 1) OVER w IS NULL AS INT) AS is_current
+         FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ORDER BY user_id, valid_from""",
 
     "i8_snapshot_diff" ->
       """WITH old AS (

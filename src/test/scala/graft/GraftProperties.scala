@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5 layer 3) — the operators are
+  * checked against executable Scala models on randomly generated inputs,
+  * which catches semantic edge cases fixed fixtures can't (ties, empty
+  * groups, single-element sessions).
+  */
+object GraftProperties extends Properties("graft") {
+
+  // Each sample runs real Spark jobs — keep the sample count modest.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private val opsGen: Gen[List[(Int, Long)]] =
+    Gen.listOfN(30, for {
+      k <- Gen.choose(0, 5)
+      ts <- Gen.choose(0L, 50L) // small range → frequent ts ties
+    } yield (k, ts))
+
+  property("upsert is last-writer-wins against a Map model") = forAll(opsGen) { ops =>
+    import spark.implicits._
+    if (ops.isEmpty) true
+    else {
+      val rows = ops.zipWithIndex.map { case ((k, ts), id) => (k, ts, id.toLong) }
+      // model: fold in arrival order, keep max by (ts, id)
+      val model = rows.groupBy(_._1).map { case (k, g) =>
+        k -> g.maxBy(r => (r._2, r._3))._3
+      }
+      val w = Window.partitionBy("k").orderBy(col("ts").desc, col("id").desc)
+      val got = rows.toDF("k", "ts", "id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("k", "id").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      got == model
+    }
+  }
+
+  property("exact dedup is idempotent and keeps one row per normalized text") =
+    forAll(Gen.listOfN(25, Gen.oneOf("a b c", " a b c ", "A B C", "x y", "x  y"))) { texts =>
+      import spark.implicits._
+      if (texts.isEmpty) true
+      else {
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        def dedup(d: org.apache.spark.sql.DataFrame) = {
+          val w = Window.partitionBy("h").orderBy("doc_id")
+          d.withColumn("h", md5(lower(trim(col("text")))))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .drop("rn")
+        }
+        val once = dedup(df)
+        val twice = dedup(once.select("doc_id", "text"))
+        val distinctNorms = texts.map(_.trim.toLowerCase).distinct.size
+        once.count() == distinctNorms && twice.count() == once.count()
+      }
+    }
+
+  property("sessionization matches a sequential fold model") =
+    forAll(Gen.listOfN(20, Gen.choose(0L, 2000L))) { tsRaw =>
+      import spark.implicits._
+      val ts = tsRaw.distinct.sorted
+      if (ts.isEmpty) true
+      else {
+        val gap = 100L
+        // model: sequential fold over sorted times
+        val modelSessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gap) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }
+        val byTime = Window.partitionBy("u").orderBy("ts")
+        val run = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val got = ts.map((1, _)).toDF("u", "ts")
+          .withColumn("new_sess",
+            when(col("ts") - lag(col("ts"), 1).over(byTime) > gap, 1)
+              .otherwise(when(lag(col("ts"), 1).over(byTime).isNull, 1).otherwise(0)))
+          .withColumn("sid", sum(col("new_sess")).over(run))
+          .groupBy("sid").agg(count(lit(1)).as("n"))
+          .select("n").as[Long].collect().sorted.toList
+        got == modelSessions.map(_.size.toLong).sorted
+      }
+    }
+
+  property("semi and anti joins partition the left side") =
+    forAll(Gen.listOfN(15, Gen.choose(0, 10)), Gen.listOfN(15, Gen.choose(0, 10))) {
+      (left, right) =>
+        import spark.implicits._
+        if (left.isEmpty) true
+        else {
+          val l = left.zipWithIndex.toDF("k", "id")
+          val r = right.toDF("k")
+          val semi = l.join(r, Seq("k"), "left_semi").count()
+          val anti = l.join(r, Seq("k"), "left_anti").count()
+          semi + anti == left.size &&
+            semi == left.count(right.toSet.contains)
+        }
+    }
+}
