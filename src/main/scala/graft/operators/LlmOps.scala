@@ -78,6 +78,13 @@ object LlmOps {
       .filter(!coalesce(col("dup"), lit(false)))
       .drop("dup")
       .withColumn("nsh", count(lit(1)).over(perDoc))
+      // The index is referenced 2-3× per consumer and Spark re-evaluates
+      // subtrees (ReusedExchange doesn't fire through the window chain), so
+      // materialize it once. CacheManager keys on the canonical plan, so the
+      // Jaccard and MinHash queries share a single copy (~40 bytes/shingle).
+      // At cluster scale this is the standard "build the dedup index once"
+      // materialization.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   val queries: Map[String, Q] = Map(

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-technique proofs (SURVEY.md §4, builder-prompt scale checklist):
+  * partitioned sinks, bucketed tables for shuffle-free joins, and salting
+  * for skewed aggregation. These are correctness proofs of the techniques
+  * the 100-TB deployment leans on; the perf effect is visible only at
+  * cluster scale.
+  */
+class ScaleTechniquesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partitioned parquet sink: partition pruning reads one directory") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/li"
+    graft.sources.Tables.lineitem(spark, sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "A")
+    // pruning shows up as a PartitionFilters entry, and only the A rows load
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"))
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "A").count()
+    assert(back.count() == direct)
+  }
+
+  test("bucketed tables join without an exchange on the bucket key") {
+    // (warehouse dir is static config — tables land in ./spark-warehouse,
+    // dropped afterwards and gitignored)
+    try {
+      graft.sources.Tables.orders(spark, sf)
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_b")
+      graft.sources.Tables.lineitem(spark, sf)
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("lineitem_b")
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-bucketed join: no shuffle exchange between the scans and the join
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"))
+      assert(joined.count() == 6000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("salted aggregation equals direct aggregation (skew-mitigation shape)") {
+    // two-phase: salt the hot key, partial-agg per (key, salt), final per key
+    val ev = graft.sources.Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(graft.functions.ExactNum.cents(col("value"))).as("cents"))
+    val salted = ev
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(graft.functions.ExactNum.cents(col("value"))).as("pcents"))
+      .groupBy("event_type")
+      .agg(sum(col("pn")).as("n"), sum(col("pcents")).as("cents"))
+    assert(direct.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(direct).count() == 0)
+  }
+}
