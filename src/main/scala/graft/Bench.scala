@@ -14,11 +14,18 @@ object Bench {
     // Untimed warmup: JIT/codegen/scan paths shared by the suite, so the
     // first measured query doesn't absorb JVM startup.
     try {
+      import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().count()
       li.join(spark.read.parquet(s"$sfDir/orders.parquet"),
-        org.apache.spark.sql.functions.col("l_orderkey") ===
-          org.apache.spark.sql.functions.col("o_orderkey")).count()
+        col("l_orderkey") === col("o_orderkey")).count()
+      // warm the text/window/explode paths the document queries compile
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .groupBy("tok").count().count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -159,6 +159,48 @@ object LlmOps {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("word").asc)),
 
+    // J5b: TF-IDF — top-3 terms per document. tf = in-doc count / doc
+    // length; idf = ln(N / docfreq); all ratios of exact integers, so both
+    // engines compute identical doubles and the ranking is stable.
+    "ta_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val n = docs.count() // driver-side scalar: one tiny parquet count
+      // terms has exactly one row per (doc, word), so document frequency is
+      // a plain window count over the word partition — no docfreq join, no
+      // subtree re-evaluation, one shuffle on word then one on doc_id.
+      val terms = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "dlen", "word")
+        .agg(count(lit(1)).as("cnt"))
+      val scored = terms
+        .withColumn("docfreq", count(lit(1)).over(Window.partitionBy("word")))
+        .withColumn("tfidf",
+          (col("cnt").cast("double") / col("dlen")) *
+            log(lit(n.toDouble) / col("docfreq")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("word").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("word"), round6(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rnk")
+    }),
+
+    // J5c: corpus bigram frequencies — the n-gram counting surface, built
+    // with the same lead-window pattern as the shingle pipeline.
+    "ta_bigrams" -> ((s, d) => {
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 50)
+        .orderBy(col("cnt").desc, col("bigram").asc)
+    }),
+
     // J6: quality gate — length/lang corpus-cleaning filter.
     "j6_quality_filter" -> ((s, d) =>
       documents(s, d)
@@ -323,6 +365,30 @@ object LlmOps {
       s"""SELECT word, count(*) AS cnt
           FROM (SELECT unnest($toksSql) AS word FROM documents)
           GROUP BY word ORDER BY cnt DESC, word ASC""",
+
+    "ta_tfidf" ->
+      s"""WITH terms AS (
+            SELECT doc_id, len($toksSql) AS dlen, word, count(*) AS cnt
+            FROM (SELECT doc_id, text, unnest($toksSql) AS word FROM documents)
+            GROUP BY doc_id, len($toksSql), word),
+          n AS (SELECT count(*) AS total FROM documents),
+          scored AS (
+            SELECT doc_id, word,
+                   (CAST(cnt AS DOUBLE)/dlen)
+                   * ln(CAST(total AS DOUBLE)/(count(*) OVER (PARTITION BY word))) AS tfidf
+            FROM terms CROSS JOIN n)
+          SELECT doc_id, CAST(rnk AS INT) AS rnk, word, ${sqlRound6("tfidf")} AS tfidf
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, word ASC) AS rnk FROM scored)
+          WHERE rnk <= 3
+          ORDER BY doc_id, rnk""",
+
+    "ta_bigrams" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+            SELECT $toksSql[i] || ' ' || $toksSql[i+1] AS bigram
+            FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
+          GROUP BY bigram HAVING count(*) >= 50
+          ORDER BY cnt DESC, bigram ASC""",
 
     "j6_quality_filter" ->
       s"""SELECT doc_id, lang, n_chars, CAST(len($toksSql) AS INT) AS n_tokens

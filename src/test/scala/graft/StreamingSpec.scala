@@ -43,6 +43,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream sliding windows equal the batch twin (each event in 4 windows)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.slidingCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("slide").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide")
+    assert(streamed.agg(sum("n")).collect()(0).getLong(0) == 4L * evs.size)
+    val batch = StreamingOps.slidingCounts(evs.toDF()).orderBy("win_start").collect()
+    assert(streamed.orderBy("win_start").collect().toSeq == batch.toSeq)
+  }
+
   test("stream session windows match the lag-based batch sessionization count") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
