@@ -145,6 +145,22 @@ object CoreRelational {
           col("status_n").isNull.cast("int").as("was_open"))
         .orderBy("o_orderkey")),
 
+    // B7: nested reference fields — the ServiceNow reference-field shape
+    // {"value": sys_id, "link": url} built as a StructType column, traversed
+    // with nested-field access (dot-walking on the struct), then flattened
+    // for the oracle hash.
+    "b7_nested_ref" -> ((s, d) =>
+      orders(s, d)
+        .withColumn("cust_ref", struct(
+          col("o_custkey").cast("string").as("value"),
+          concat(lit("/api/now/table/customer/"), col("o_custkey")).as("link")))
+        .select(
+          col("o_orderkey"),
+          col("cust_ref.value").as("ref_value"),
+          col("cust_ref.link").as("ref_link"),
+          length(col("cust_ref.link")).as("link_len"))
+        .orderBy("o_orderkey")),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -409,6 +425,13 @@ object CoreRelational {
       """SELECT o_orderkey,
                 coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
                 CAST(nullif(o_orderstatus, 'O') IS NULL AS INT) AS was_open
+         FROM orders ORDER BY o_orderkey""",
+
+    "b7_nested_ref" ->
+      """SELECT o_orderkey,
+                CAST(o_custkey AS VARCHAR) AS ref_value,
+                '/api/now/table/customer/' || CAST(o_custkey AS VARCHAR) AS ref_link,
+                CAST(length('/api/now/table/customer/' || CAST(o_custkey AS VARCHAR)) AS INT) AS link_len
          FROM orders ORDER BY o_orderkey""",
 
     "c1_join_broadcast" ->
