@@ -30,11 +30,6 @@ object LlmOps {
   /** Word tokens of the document text. */
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct word-3-gram shingles of the document text. */
-  private def shingles(t: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-
   /** Left-to-right float64 dot product — the codegen'd Catalyst expression
     * (graft.plans.DotProduct) whose fold order matches DuckDB's
     * list_reduce(list_prepend(0.0, …)) bit-for-bit. */

@@ -87,6 +87,17 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("intersect/except match Scala Set semantics") =
+    forAll(Gen.listOfN(20, Gen.choose(0, 8)), Gen.listOfN(20, Gen.choose(0, 8))) {
+      (xs, ys) =>
+        import spark.implicits._
+        val l = xs.toDF("k")
+        val r = ys.toDF("k")
+        val inter = l.intersect(r).as[Int].collect().toSet
+        val exc = l.except(r).as[Int].collect().toSet
+        inter == (xs.toSet intersect ys.toSet) && exc == (xs.toSet diff ys.toSet)
+    }
+
   property("semi and anti joins partition the left side") =
     forAll(Gen.listOfN(15, Gen.choose(0, 10)), Gen.listOfN(15, Gen.choose(0, 10))) {
       (left, right) =>

@@ -52,6 +52,13 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
             n_fail += 1
             continue
+        # dtype strictness: if the driver's hash is type-sensitive, an
+        # int32-vs-int64 mismatch would pass a value compare but fail there.
+        dg, de = list(got.dtypes.astype(str)), list(exp.dtypes.astype(str))
+        if dg != de:
+            print(f"FAIL {name}: dtypes differ\n  spark : {dict(zip(got.columns, dg))}\n  oracle: {dict(zip(exp.columns, de))}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1
