@@ -160,16 +160,20 @@ object LlmOps {
     "ta_tfidf" -> ((s, d) => {
       val docs = documents(s, d)
       val n = docs.count() // driver-side scalar: one tiny parquet count
-      // terms has exactly one row per (doc, word), so document frequency is
-      // a plain window count over the word partition — no docfreq join, no
-      // subtree re-evaluation, one shuffle on word then one on doc_id.
+      // terms has exactly one row per (doc, word); persist it (it feeds both
+      // the docfreq aggregate and the scoring join — Spark re-evaluates
+      // referenced subtrees), aggregate the tiny per-word docfreq, and
+      // broadcast it back. Avoids a vocabulary-keyed window shuffle, which
+      // skews badly when the vocabulary is small relative to the corpus.
       val terms = docs
         .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
           explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "dlen", "word")
         .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
       val scored = terms
-        .withColumn("docfreq", count(lit(1)).over(Window.partitionBy("word")))
+        .join(broadcast(df_), "word")
         .withColumn("tfidf",
           (col("cnt").cast("double") / col("dlen")) *
             log(lit(n.toDouble) / col("docfreq")))

@@ -137,6 +137,11 @@ object Lsh {
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("clabel").as("cell"),
           sqrt(dot(col("v"), col("v"))).as("nrm"))
+        // referenced as both query set and probe corpus — materialize the
+        // (small) assignment once instead of re-running the centroid
+        // pipeline per reference; at cluster scale this is the stored IVF
+        // index.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val qs = assigned.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
           col("nrm").as("qn"))
