@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming forms of the SURVEY.md §2 I-group operators — the
   * CMDB sync loop as an actual stream (the batch twins in
@@ -56,6 +56,48 @@ object StreamingOps {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicates("user_id", "event_type")
+
+  /** Event shape for the custom-state operator. */
+  case class UserEvent(user_id: Long, event_type: String, us: Long)
+
+  /** Alert emitted when a user produces `threshold` errors within
+    * `windowUs` microseconds. */
+  case class BurstAlert(user_id: Long, n_errors: Int, first_us: Long, last_us: Long)
+
+  /** Custom keyed state via flatMapGroupsWithState: an error-burst detector
+    * (N errors from one user inside a sliding time span). This is the
+    * escape hatch for stateful logic the built-in window/dedup operators
+    * can't express — state is per-key, bounded by eviction of old
+    * timestamps, and the operator works identically over a stream.
+    */
+  def errorBursts(events: Dataset[UserEvent], threshold: Int, windowUs: Long)
+      : Dataset[BurstAlert] = {
+    import events.sparkSession.implicits._
+    // state = sorted error timestamps still eligible to form a burst
+    def update(userId: Long, rows: Iterator[UserEvent],
+        state: GroupState[Array[Long]]): Iterator[BurstAlert] = {
+      val prev = state.getOption.getOrElse(Array.empty[Long]).toList
+      val incoming = rows.filter(_.event_type == "error").map(_.us).toList.sorted
+      var times = (prev ++ incoming).sorted
+      val alerts = scala.collection.mutable.ListBuffer[BurstAlert]()
+      // slide over sorted error times; emit one alert per time the window
+      // first reaches the threshold, then reset that window
+      var windowStart = 0
+      for (i <- times.indices) {
+        while (times(i) - times(windowStart) > windowUs) windowStart += 1
+        if (i - windowStart + 1 == threshold) {
+          alerts += BurstAlert(userId, threshold, times(windowStart), times(i))
+          windowStart = i + 1 // reset: don't re-alert on overlapping windows
+        }
+      }
+      // keep only timestamps still inside the span of the newest event
+      times = times.takeRight(threshold - 1)
+      state.update(times.toArray)
+      alerts.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** I7 stream form: last-writer-wins upsert into a driver-side store via
     * foreachBatch — the DynamoDB-style merge sink. Returns the store.

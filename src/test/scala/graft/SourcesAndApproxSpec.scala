@@ -25,6 +25,21 @@ class SourcesAndApproxSpec extends AnyFunSuite {
       nation.exceptAll(back).count() == 0)
   }
 
+  test("A2 file form: spark.read.json ingests an envelope dump with explode") {
+    // Table-API-style payload: {"result": [ {record...} ]} per line
+    val dir = java.nio.file.Files.createTempDirectory("json").toString
+    val nation = graft.sources.Tables.nation(spark, sf)
+    nation.select(to_json(struct(col("n_nationkey"), col("n_name"))).as("rec"))
+      .agg(concat(lit("{\"result\": ["), concat_ws(",", collect_list(col("rec"))), lit("]}"))
+        .as("payload"))
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val parsed = spark.read.json(dir)
+      .select(explode(col("result")).as("r"))
+      .select(col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"))
+    assert(parsed.count() == 25)
+    assert(parsed.exceptAll(nation.select("n_nationkey", "n_name")).count() == 0)
+  }
+
   test("D2 approx: HLL++ distinct count is within its error bound") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(

@@ -102,6 +102,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("hour_start") === t("2024-01-01 09:00:00")).count() == 0)
   }
 
+  test("flatMapGroupsWithState error-burst detector fires across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingOps.errorBursts(mem.toDS(), threshold = 3, windowUs = 60L * 1000000)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("bursts").start()
+    // batch 1: two errors for user 7 within a minute — below threshold
+    mem.addData(UserEvent(7, "error", 1000000), UserEvent(7, "error", 2000000),
+      UserEvent(8, "click", 1500000))
+    q.processAllAvailable()
+    assert(spark.table("bursts").count() == 0)
+    // batch 2: third error inside the window — alert must fire, proving the
+    // partial state survived the micro-batch boundary
+    mem.addData(UserEvent(7, "error", 30000000))
+    q.processAllAvailable()
+    val alerts = spark.table("bursts").collect()
+    assert(alerts.length == 1)
+    assert(alerts(0).getAs[Long]("user_id") == 7 && alerts(0).getAs[Int]("n_errors") == 3)
+    // batch 3: errors far outside the window — no alert
+    mem.addData(UserEvent(7, "error", 500000000))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("bursts").count() == 1)
+  }
+
   test("foreachBatch upsert sink converges to last-writer-wins state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
