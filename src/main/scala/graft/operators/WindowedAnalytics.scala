@@ -162,6 +162,20 @@ object WindowedAnalytics {
           coalesce(col("error"), lit(0L)).as("n_error"))
         .orderBy("user_id")),
 
+    // D6b: unpivot — the inverse reshape of the pivot, melting per-flag
+    // measure columns back into (measure, value) rows.
+    "d6b_unpivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum2(col("l_quantity")).as("sum_qty"),
+          sum2(col("l_extendedprice")).as("sum_base"),
+          sum2(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base"), col("sum_disc")),
+          "measure", "val")
+        .orderBy("l_returnflag", "measure")),
+
     // D7: statistical aggregation — sample stddev, correlation, exact median
     // (linear interpolation; identical formula to DuckDB quantile_cont).
     "d7_stats" -> ((s, d) =>
@@ -256,6 +270,17 @@ object WindowedAnalytics {
                 count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
                 count(*) FILTER (WHERE event_type = 'error')    AS n_error
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "d6b_unpivot" ->
+      s"""SELECT l_returnflag, measure, val FROM (
+            UNPIVOT (
+              SELECT l_returnflag,
+                     ${sqlSum2("l_quantity")} AS sum_qty,
+                     ${sqlSum2("l_extendedprice")} AS sum_base,
+                     ${sqlSum2("l_discount")} AS sum_disc
+              FROM lineitem GROUP BY l_returnflag)
+            ON sum_qty, sum_base, sum_disc INTO NAME measure VALUE val)
+          ORDER BY l_returnflag, measure""",
 
     "d7_stats" ->
       """SELECT l_returnflag,
