@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks any consumer that
+// json-parses Bench's single metric line (the driver's round-1 BENCH record
+// shows parsed:null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

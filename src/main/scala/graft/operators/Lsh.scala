@@ -69,7 +69,7 @@ object Lsh {
     // folded by a single hash-aggregate with 16 min() columns — everything
     // codegen'd, partial+final aggregable, one shuffle on doc_id.
     "lsh_minhash_pairs" -> ((s, d) => {
-      val inv = LlmOps.shingleRows(documents(s, d)).select("doc_id", "h", "nsh")
+      val inv = LlmOps.shingleIndex(documents(s, d)).select("doc_id", "h", "nsh")
       val sigs = inv.groupBy("doc_id").agg(
         min((col("h") * A(0) + B(0)) % P).as("mh0"),
         (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
@@ -130,18 +130,17 @@ object Lsh {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cent"))
       val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
-      val assigned = emb.join(broadcast(cents))
+      // referenced as both query set and probe corpus — materialize the
+      // (small) assignment once instead of re-running the centroid pipeline
+      // per reference; at cluster scale this is the stored IVF index. The
+      // registry owns release (see graft.CacheRegistry).
+      val assigned = graft.CacheRegistry.materialize(emb.join(broadcast(cents))
         .withColumn("dist2",
           graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
         .withColumn("rn", row_number().over(assignW))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("clabel").as("cell"),
-          sqrt(dot(col("v"), col("v"))).as("nrm"))
-        // referenced as both query set and probe corpus — materialize the
-        // (small) assignment once instead of re-running the centroid
-        // pipeline per reference; at cluster scale this is the stored IVF
-        // index.
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sqrt(dot(col("v"), col("v"))).as("nrm")))
       val qs = assigned.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
           col("nrm").as("qn"))

@@ -121,9 +121,14 @@ object WindowedAnalytics {
     // C8: as-of join — for each purchase, the latest same-user click
     // at-or-before it. Implemented Spark-first as a carry-forward window
     // (one shuffle on user_id, no join): `last(click, ignoreNulls)` over the
-    // time-ordered union of clicks+purchases.
+    // time-ordered union of clicks+purchases. Tie semantics are explicit:
+    // ordering by (ts, event_type, event_id) sorts every click before any
+    // purchase at the same timestamp ('click' < 'purchase'), so a boundary-ts
+    // click is always visible to the purchase, and among boundary-ts clicks
+    // the max event_id wins — deterministic on both engines, instead of
+    // relying on an engine's unspecified ASOF tie choice.
     "c8_asof_join" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_type", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .filter(col("event_type").isin("purchase", "click"))
@@ -249,11 +254,16 @@ object WindowedAnalytics {
          GROUP BY 1 ORDER BY error_id""",
 
     "c8_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
-                c.event_id AS click_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND p.ts >= c.ts
+      """SELECT event_id AS purchase_id, user_id, click_id FROM (
+           SELECT event_id, user_id, event_type,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts, event_type, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS click_id
+           FROM events WHERE event_type IN ('purchase', 'click'))
+         WHERE event_type = 'purchase'
          ORDER BY purchase_id""",
 
     "d5_collect" ->

@@ -83,15 +83,21 @@ object StreamingOps {
       // slide over sorted error times; emit one alert per time the window
       // first reaches the threshold, then reset that window
       var windowStart = 0
+      var lastAlertEnd = -1 // index of the last timestamp consumed by an alert
       for (i <- times.indices) {
         while (times(i) - times(windowStart) > windowUs) windowStart += 1
         if (i - windowStart + 1 == threshold) {
           alerts += BurstAlert(userId, threshold, times(windowStart), times(i))
+          lastAlertEnd = i
           windowStart = i + 1 // reset: don't re-alert on overlapping windows
         }
       }
-      // keep only timestamps still inside the span of the newest event
-      times = times.takeRight(threshold - 1)
+      // Retain only timestamps NOT consumed by an emitted alert — otherwise
+      // the same error events could seed a second alert in a later
+      // micro-batch and the output would depend on how the stream happened
+      // to be batched. At most threshold-1 unconsumed tail timestamps can
+      // ever contribute to a future burst, which bounds state per key.
+      times = times.drop(lastAlertEnd + 1).takeRight(threshold - 1)
       state.update(times.toArray)
       alerts.iterator
     }

@@ -121,10 +121,45 @@ class StreamingSpec extends AnyFunSuite {
     val alerts = spark.table("bursts").collect()
     assert(alerts.length == 1)
     assert(alerts(0).getAs[Long]("user_id") == 7 && alerts(0).getAs[Int]("n_errors") == 3)
-    // batch 3: errors far outside the window — no alert
-    mem.addData(UserEvent(7, "error", 500000000))
-    q.processAllAvailable(); q.stop()
+    // batch 3: a 4th error still inside the window of the alerted burst —
+    // the three alerted timestamps were consumed, so one extra error must
+    // NOT produce a second alert (alert output is batch-invariant)
+    mem.addData(UserEvent(7, "error", 40000000))
+    q.processAllAvailable()
     assert(spark.table("bursts").count() == 1)
+    // batch 4+5: two more errors near the 4th — now three unconsumed errors
+    // span < 60s across three different micro-batches → exactly one new alert
+    mem.addData(UserEvent(7, "error", 50000000))
+    q.processAllAvailable()
+    mem.addData(UserEvent(7, "error", 60000000))
+    q.processAllAvailable()
+    assert(spark.table("bursts").count() == 2)
+    // batch 6: an error far outside any window — no alert
+    mem.addData(UserEvent(7, "error", 900000000))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("bursts").count() == 2)
+  }
+
+  test("error-burst alerts are invariant to micro-batch boundaries") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.UserEvent
+    val all = Seq(1000000L, 2000000L, 30000000L, 40000000L, 50000000L, 60000000L)
+      .map(us => UserEvent(5, "error", us))
+    // one event per micro-batch vs everything in one batch → same alerts
+    def run(name: String, batches: Seq[Seq[UserEvent]]): Seq[(Long, Long)] = {
+      val mem = MemoryStream[UserEvent]
+      val out = StreamingOps.errorBursts(mem.toDS(), threshold = 3, windowUs = 60L * 1000000)
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getAs[Long]("first_us"), r.getAs[Long]("last_us"))).toSeq.sorted
+    }
+    val oneByOne = run("bi_single", all.map(Seq(_)))
+    val allAtOnce = run("bi_all", Seq(all))
+    assert(oneByOne == allAtOnce)
+    assert(oneByOne.size == 2) // {1s,2s,30s} and {40s,50s,60s}
   }
 
   test("foreachBatch upsert sink converges to last-writer-wins state") {
