@@ -319,6 +319,37 @@ object CoreRelational {
         .dropDuplicates()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // D10: explicit grouping sets — the general form of rollup/cube; the
+    // (status, priority) detail plus a per-status subtotal and grand total,
+    // each tagged by grouping_id. One shuffle (Expand feeds a single
+    // partial+final hash aggregate), same as rollup.
+    "d10_grouping_sets" -> ((s, d) =>
+      orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum2(col("o_totalprice")).as("sum_price"),
+          grouping_id().cast("long").as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("sum_price"), col("gid"))
+        .orderBy("gid", "status", "prio")),
+
+    // D2b: sketch aggregates — HLL++ cardinality and a bounded-error
+    // quantile sketch. Both are mergeable partial aggregates (the property
+    // that makes them the 100-TB cardinality/quantile path); estimates are
+    // engine-specific, so this entry is rows-only (no DuckDB oracle) and its
+    // numeric accuracy is asserted against exact values in CoreRelationalSpec.
+    "d2b_sketches" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"))
+        .orderBy("l_returnflag")),
+
     // ---------------------------------------------------------------- F
     // F1: multi-key sort with tie-break total order.
     "f1_sort" -> ((s, d) =>
@@ -531,6 +562,17 @@ object CoreRelational {
     "d8_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",
+
+    "d10_grouping_sets" ->
+      s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS prio,
+                 count(*) AS n,
+                 ${sqlSum2("o_totalprice")} AS sum_price,
+                 CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                  (o_orderstatus), ())
+          ORDER BY gid, status, prio""",
 
     "f1_sort" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

@@ -93,6 +93,19 @@ object WindowedAnalytics {
         .orderBy("c_custkey")
     }),
 
+    // E6: relative-position distribution — percent_rank and cume_dist per
+    // market segment. The unique custkey tiebreak makes both rank-derived
+    // ratios deterministic; round4 guards the double division.
+    "e6_pct_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      customer(s, d)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .withColumn("pct_rank", round4(percent_rank().over(w)))
+        .withColumn("cume", round4(cume_dist().over(w)))
+        .orderBy("c_custkey")
+    }),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -243,6 +256,14 @@ object WindowedAnalytics {
                 wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY c_custkey""",
+
+    "e6_pct_dist" ->
+      s"""SELECT c_custkey, c_mktsegment, c_acctbal,
+                 ${sqlRound4("percent_rank() OVER w")} AS pct_rank,
+                 ${sqlRound4("cume_dist() OVER w")} AS cume
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+          ORDER BY c_custkey""",
 
     "c7_range_join" ->
       """SELECT e.event_id AS error_id, count(*) AS n_nearby

@@ -105,6 +105,33 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the preceding 30 minutes. Both sides carry watermarks and the
+    * join condition bounds event time on both sides, so Spark can expire
+    * buffered rows — the state stays O(events within the interval), which is
+    * what lets two unbounded streams join forever. The batch twin is the
+    * same plan over static frames (interval joins are time-range joins —
+    * C7's bucketing is the batch-at-scale form).
+    */
+  def clickToPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      expr("""c_user = p_user AND
+              click_ts BETWEEN purchase_ts - INTERVAL 30 MINUTES
+                           AND purchase_ts"""))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** I7 stream form: last-writer-wins upsert into a driver-side store via
     * foreachBatch — the DynamoDB-style merge sink. Returns the store.
     * (In production the merge target would be a table/ external KV; the

@@ -23,11 +23,55 @@ class CoreRelationalSpec extends AnyFunSuite {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("every registered query has either an oracle or a documented omission") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // ✘-oracle operators are allowed but must be intentional; batch-1 has none.
+    // ✘-oracle operators are allowed but must be intentional: sketch
+    // estimates are engine-specific (rows-only gate; accuracy asserted below).
+    val intentionallyNoOracle = Set("d2b_sketches")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- intentionallyNoOracle
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without query: $orphans")
+  }
+
+  test("d2b sketch aggregates track exact cardinality/median within tolerance") {
+    import org.apache.spark.sql.functions._
+    val sketch = run("d2b_sketches").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"),
+        expr("percentile(l_quantity, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sketch.keySet == exact.keySet)
+    for ((k, (n, med)) <- sketch) {
+      val (en, emed) = exact(k)
+      assert(math.abs(n - en).toDouble / en < 0.05, s"$k cardinality: $n vs $en")
+      assert(math.abs(med - emed) <= 1.0, s"$k median: $med vs $emed")
+    }
+  }
+
+  test("d10 grouping sets: grand total row equals the sum of detail rows") {
+    import org.apache.spark.sql.functions._
+    val df = run("d10_grouping_sets")
+    val grand = df.filter("gid = 3").collect()
+    assert(grand.length == 1)
+    val detailN = df.filter("gid = 0").agg(sum("n")).collect()(0).getLong(0)
+    assert(grand(0).getAs[Long]("n") == detailN)
+    val statusRows = df.filter("gid = 1").count()
+    assert(statusRows == df.filter("gid = 0").select("status").distinct().count())
+  }
+
+  test("e6 percent_rank spans [0,1] and cume_dist ends at 1 per segment") {
+    import org.apache.spark.sql.functions._
+    val df = run("e6_pct_dist")
+    val bounds = df.groupBy("c_mktsegment")
+      .agg(min("pct_rank").as("lo"), max("pct_rank").as("hi"),
+        max("cume").as("cd")).collect()
+    bounds.foreach { r =>
+      assert(r.getDouble(1) == 0.0, "first row of each segment has pct_rank 0")
+      assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0,
+        "last row of each segment has pct_rank = cume_dist = 1")
+    }
   }
 
   test("entry (flagship) returns rows on sf0.001") {

@@ -162,6 +162,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(oneByOne.size == 2) // {1s,2s,30s} and {40s,50s,60s}
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+      Ev(2, t("2024-01-01 10:20:00"), 1, "purchase", 1.0, "{}"), // joins click 1
+      Ev(3, t("2024-01-01 11:30:00"), 1, "purchase", 1.0, "{}"), // no click in window
+      Ev(4, t("2024-01-01 10:10:00"), 2, "click", 1.0, "{}"),
+      Ev(5, t("2024-01-01 10:15:00"), 2, "click", 1.0, "{}"),
+      Ev(6, t("2024-01-01 10:30:00"), 2, "purchase", 1.0, "{}")) // joins 4 and 5
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamingOps.clickToPurchaseJoin(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj")
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id").collect()
+    val batch = StreamingOps.clickToPurchaseJoin(rows.toDF())
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (6L, 4L), (6L, 5L)))
+  }
+
   test("foreachBatch upsert sink converges to last-writer-wins state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
