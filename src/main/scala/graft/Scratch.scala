@@ -1,50 +1,52 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
 
 // Temporary profiling harness (not part of the graded surface).
+// Times a query subset under candidate session configs.
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    val variant = sys.env.getOrElse("SCRATCH_VARIANT", "A")
+    val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b2 = variant match {
+      case "A" => b
+      case "B" => b
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+      case "C" => b
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+      case "D" => b
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+    }
+    val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def t(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val names = Seq("lsh_minhash_pairs", "ta_tfidf", "j2_jaccard_pairs",
+      "c2_star_join", "d4_having", "ta_bigrams", "i3_session", "d9_cube",
+      "e1_rank", "c1_join_broadcast", "i7_upsert", "c10_self_join")
+    val dfs = names.map(n => n -> SparkEntry.queries(n)(spark, sfDir))
+    dfs.foreach(_._2.count())
+    val times = (0 until 2).map { _ =>
+      System.gc()
+      dfs.map { case (n, df) =>
+        val t0 = System.nanoTime(); df.count()
+        n -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-
-    val docs = graft.sources.Tables.documents(spark, sfDir)
-    val terms = graft.CacheRegistry.materialize(docs
-      .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
-        explode(split(col("text"), " ")).as("word"))
-      .groupBy("doc_id", "dlen", "word")
-      .agg(count(lit(1)).as("cnt")))
-    terms.count()
-    t("terms count (cached)")(terms.count())
-    val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
-    val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
-    df_.count(); t("docfreq")(df_.count())
-    val scored = terms
-      .join(broadcast(df_), "word")
-      .crossJoin(broadcast(nDf))
-      .withColumn("tfidf",
-        (col("cnt").cast("double") / col("dlen")) *
-          log(col("n_total") / col("docfreq")))
-    scored.count(); t("scored")(scored.count())
-    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word").asc)
-    val ranked = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-    ranked.count(); t("ranked (window)")(ranked.count())
-
-    val q = SparkEntry.queries("ta_tfidf")(spark, sfDir)
-    q.count(); t("ta_tfidf full")(q.count())
+    val best = names.map(n => n -> times.map(_(n)).min)
+    println(s"== variant=$variant sf=$sfDir")
+    best.foreach { case (n, t) => println(f"$n%-22s $t%.3f s") }
+    println(f"subset total ${best.map(_._2).sum}%.3f s")
     CacheRegistry.releaseAll()
     spark.stop()
   }

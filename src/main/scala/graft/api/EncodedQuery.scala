@@ -1,0 +1,135 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Compiler from the ServiceNow *encoded query* language (the `sysparm_query`
+  * parameter of the Table API — the only query language the reference
+  * integration can send) to Catalyst predicates.
+  *
+  * Public grammar (ServiceNow REST Table API docs):
+  *
+  *   query       := alt ( "^NQ" alt )*           -- NQ: independent OR'd query
+  *   alt         := group ( "^" group )*         -- ^ joins groups with AND
+  *   group       := condition ( "^OR" condition )*  -- adjacent ORs bind first
+  *   condition   := field op value? | "ORDERBY" field | "ORDERBYDESC" field
+  *
+  * i.e. `priority=1^ORpriority=2^category=software` parses as
+  * `(priority=1 OR priority=2) AND category=software` — adjacent `^OR`
+  * conditions group with their left neighbor, and `^` joins the groups.
+  *
+  * Operators: = != > < >= <= IN NOT IN LIKE NOTLIKE STARTSWITH ENDSWITH
+  * ISEMPTY ISNOTEMPTY BETWEEN (value `a@b`).
+  *
+  * Values arrive as strings (Table-API convention); [[applyTo]] resolves each
+  * field against the DataFrame schema and casts the literal to the column
+  * type, so `o_totalprice>100000` is a numeric comparison, not a string one.
+  * The whole result is a single Catalyst predicate tree — filter pushdown,
+  * constant folding, and codegen all apply as if it had been written with the
+  * DataFrame API directly (the reference pushes the same string to the server;
+  * we push it to the optimizer).
+  */
+object EncodedQuery {
+
+  sealed trait Cond
+  final case class Cmp(field: String, op: String, value: String) extends Cond
+  /** groups: OR-of-ANDs-of-OR-groups, per the grammar above. */
+  final case class Parsed(
+      alternatives: Seq[Seq[Seq[Cmp]]],
+      orderBy: Seq[(String, Boolean)]) // (field, descending)
+
+  private val opsByLength: Seq[String] = Seq(
+    "NOT IN", "ISNOTEMPTY", "STARTSWITH", "ENDSWITH", "NOTLIKE", "BETWEEN",
+    "ISEMPTY", "LIKE", "IN", ">=", "<=", "!=", "=", ">", "<")
+
+  /** Parse an encoded query string into its condition tree + sort spec. */
+  def parse(q: String): Parsed = {
+    var orderBy = Vector.empty[(String, Boolean)]
+    val alternatives = q.split("\\^NQ").toSeq.map { alt =>
+      // Split on ^ but keep ^OR markers attached to their condition.
+      val tokens = alt.split("\\^").filter(_.nonEmpty).toSeq
+      val groups = scala.collection.mutable.ArrayBuffer[Vector[Cmp]]()
+      tokens.foreach { tok =>
+        if (tok.startsWith("ORDERBYDESC")) {
+          orderBy :+= (tok.stripPrefix("ORDERBYDESC"), true)
+        } else if (tok.startsWith("ORDERBY")) {
+          orderBy :+= (tok.stripPrefix("ORDERBY"), false)
+        } else if (tok.startsWith("OR") && groups.nonEmpty) {
+          groups(groups.size - 1) :+= parseCond(tok.stripPrefix("OR"))
+        } else {
+          groups += Vector(parseCond(tok))
+        }
+      }
+      groups.toSeq.map(_.toSeq)
+    }
+    Parsed(alternatives, orderBy)
+  }
+
+  private def parseCond(s: String): Cmp = {
+    // ServiceNow field names are lowercase snake_case (dot-walk with '.');
+    // operators are uppercase words or symbols, so the field is the leading
+    // lowercase run. Longer operators first so ISNOTEMPTY beats IN, >= > >.
+    val fieldEnd = s.indexWhere(c =>
+      !(c.isDigit || c == '_' || c == '.' || (c.isLetter && c.isLower)))
+    require(fieldEnd > 0, s"encoded query condition has no operator: '$s'")
+    val field = s.substring(0, fieldEnd)
+    val rest = s.substring(fieldEnd)
+    val op = opsByLength.find(rest.startsWith(_)).getOrElse(
+      throw new IllegalArgumentException(s"unknown operator in '$s'"))
+    Cmp(field, op, rest.stripPrefix(op))
+  }
+
+  /** Literal cast to the column's type so comparisons are type-correct. */
+  private def typed(df: DataFrame, field: String, v: String): Column = {
+    val dt = df.schema.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"encoded query references unknown field '$field'"))
+      .dataType
+    lit(v).cast(dt)
+  }
+
+  private def condColumn(df: DataFrame, c: Cmp): Column = {
+    val f = col(c.field)
+    c.op match {
+      case "="          => f === typed(df, c.field, c.value)
+      case "!="         => f =!= typed(df, c.field, c.value)
+      case ">"          => f > typed(df, c.field, c.value)
+      case "<"          => f < typed(df, c.field, c.value)
+      case ">="         => f >= typed(df, c.field, c.value)
+      case "<="         => f <= typed(df, c.field, c.value)
+      case "IN" =>
+        c.value.split(",").map(v => f === typed(df, c.field, v)).reduce(_ || _)
+      case "NOT IN" =>
+        c.value.split(",").map(v => f =!= typed(df, c.field, v)).reduce(_ && _)
+      case "LIKE"       => f.contains(c.value)
+      case "NOTLIKE"    => !f.contains(c.value)
+      case "STARTSWITH" => f.startsWith(c.value)
+      case "ENDSWITH"   => f.endsWith(c.value)
+      case "ISEMPTY"    => f.isNull || f === lit("")
+      case "ISNOTEMPTY" => f.isNotNull && f =!= lit("")
+      case "BETWEEN" =>
+        val Array(a, b) = c.value.split("@", 2)
+        f >= typed(df, c.field, a) && f <= typed(df, c.field, b)
+    }
+  }
+
+  /** Compile to a single Catalyst predicate against `df`'s schema. */
+  def toPredicate(df: DataFrame, q: String): Column = {
+    val p = parse(q)
+    p.alternatives.map { groups =>
+      groups.map(g => g.map(condColumn(df, _)).reduce(_ || _)).reduce(_ && _)
+    }.reduce(_ || _)
+  }
+
+  /** Apply filter + ORDERBY spec — the full server-side-query emulation. */
+  def applyTo(df: DataFrame, q: String): DataFrame = {
+    val p = parse(q)
+    val filtered =
+      if (p.alternatives.forall(_.isEmpty)) df else df.filter(toPredicate(df, q))
+    if (p.orderBy.isEmpty) filtered
+    else filtered.orderBy(p.orderBy.map { case (f, desc) =>
+      if (desc) col(f).desc else col(f).asc
+    }: _*)
+  }
+}

@@ -161,6 +161,18 @@ object CoreRelational {
           length(col("cust_ref.link")).as("link_len"))
         .orderBy("o_orderkey")),
 
+    // B8: the reference's own query language — a sysparm_query encoded
+    // string compiled to Catalyst predicates by graft.api.EncodedQuery.
+    // `^OR` groups bind before `^` (AND), exactly as the Table API evaluates
+    // them; ORDERBY comes from the same string. The compiled filter is an
+    // ordinary predicate tree, so parquet pushdown applies (PlanAudit checks
+    // b-group scans for PushedFilters).
+    "b8_encoded_query" -> ((s, d) =>
+      graft.api.EncodedQuery.applyTo(
+        orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"),
+        "o_orderstatus=F^o_totalprice>150000^ORo_orderpriority=1-URGENT^ORDERBYo_orderkey")),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -464,6 +476,13 @@ object CoreRelational {
                 '/api/now/table/customer/' || CAST(o_custkey AS VARCHAR) AS ref_link,
                 CAST(length('/api/now/table/customer/' || CAST(o_custkey AS VARCHAR)) AS INT) AS link_len
          FROM orders ORDER BY o_orderkey""",
+
+    "b8_encoded_query" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus = 'F'
+           AND (o_totalprice > 150000 OR o_orderpriority = '1-URGENT')
+         ORDER BY o_orderkey""",
 
     "c1_join_broadcast" ->
       s"""SELECT p_brand, ${sqlSum4(discPrice)} AS revenue, count(*) AS n_items

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.EncodedQuery
+
+case class EqRow(name: String, prio: Long, status: String)
+
+/** The sysparm_query compiler — every public operator of the encoded-query
+  * language, checked against hand-built DataFrame predicates on typed data.
+  */
+class EncodedQuerySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def R(name: String, prio: Long, status: String) = EqRow(name, prio, status)
+  private val df = Seq(
+    R("alpha", 1, "open"), R("beta", 2, "open"), R("gamma", 3, "closed"),
+    R("delta", 10, "closed"), R("omega", 2, ""), R("disk failure", 1, "open"))
+    .toDF("name", "prio", "status")
+
+  private def names(q: String): Seq[String] =
+    EncodedQuery.applyTo(df, q).select("name").collect().map(_.getString(0)).toSeq
+
+  test("^OR binds before ^ (AND of OR-groups, the documented semantics)") {
+    // (prio=1 OR prio=2) AND status=open
+    assert(names("prio=1^ORprio=2^status=open^ORDERBYname") ==
+      Seq("alpha", "beta", "disk failure"))
+  }
+
+  test("numeric literals compare numerically, not lexicographically") {
+    // string compare would exclude 10 ("10" < "2"); numeric keeps it
+    assert(names("prio>2^ORDERBYname") == Seq("delta", "gamma"))
+  }
+
+  test("IN and NOT IN cast each element to the column type") {
+    assert(names("prioIN1,3^ORDERBYname") == Seq("alpha", "disk failure", "gamma"))
+    assert(names("prioNOT IN1,2,3^ORDERBYname") == Seq("delta"))
+  }
+
+  test("string operators: LIKE/NOTLIKE/STARTSWITH/ENDSWITH") {
+    assert(names("nameLIKEisk^ORDERBYname") == Seq("disk failure"))
+    assert(names("nameSTARTSWITHd^ORDERBYname") == Seq("delta", "disk failure"))
+    assert(names("nameENDSWITHa^ORDERBYname") ==
+      Seq("alpha", "beta", "delta", "gamma", "omega"))
+    assert(names("nameNOTLIKEl^ORDERBYname") == Seq("beta", "gamma", "omega"))
+  }
+
+  test("ISEMPTY / ISNOTEMPTY treat empty string like the Table API does") {
+    assert(names("statusISEMPTY^ORDERBYname") == Seq("omega"))
+    assert(names("statusISNOTEMPTY^prio=2^ORDERBYname") == Seq("beta"))
+  }
+
+  test("BETWEEN uses the a@b value form inclusively") {
+    assert(names("prioBETWEEN2@3^ORDERBYname") == Seq("beta", "gamma", "omega"))
+  }
+
+  test("^NQ starts an independent query OR'd with the first") {
+    assert(names("prio=10^NQstatus=closed^prio<5^ORDERBYname") ==
+      Seq("delta", "gamma"))
+  }
+
+  test("ORDERBYDESC sorts descending") {
+    assert(names("prio=1^ORDERBYDESCname") == Seq("disk failure", "alpha"))
+  }
+
+  test("unknown fields and malformed conditions fail loudly") {
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "nosuchfield=1").collect()
+    }
+    intercept[IllegalArgumentException] { EncodedQuery.parse("^^=") }
+  }
+
+  test("compiled predicate reaches the parquet scan as a pushed filter") {
+    val q = SparkEntry.queries("b8_encoded_query")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(o_orderstatus)"))
+  }
+}
