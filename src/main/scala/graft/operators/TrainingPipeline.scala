@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables._
+
+/** Training-corpus assembly operators — the steps between "cleaned corpus"
+  * (LlmOps/Lsh) and "batches on the trainer": dataset splitting, context-
+  * window chunking, and token-budget packing.
+  *
+  * Scale notes:
+  *  - tp_split assigns split membership from a *portable salted hash of the
+  *    stable document key*, never `rand()`: the assignment is reproducible
+  *    run-to-run, stable under re-partitioning, and needs no shuffle at all
+  *    (pure row-local projection before the reporting aggregate).
+  *  - tp_chunk is generate-per-row (sequence+explode): no shuffle, output
+  *    rows ∝ corpus tokens / stride. At 100 TB the chunker is the op that
+  *    multiplies row count — keeping it a narrow map-side transform (inside
+  *    whole-stage codegen, no UDF) is what makes it feasible.
+  *  - tp_pack is the streaming first-fit packer: one shuffle on the
+  *    partition key (source), then a window cumsum assigns each doc to
+  *    bin = floor(tokens-before / capacity). Greedy global bin-packing is
+  *    inherently sequential; per-source streaming packing is the standard
+  *    distributed compromise (each source packs independently in doc order,
+  *    so the plan parallelizes across sources and stays deterministic).
+  */
+object TrainingPipeline {
+
+  /** Portable deterministic hash in [0,100): same value in Spark and DuckDB
+    * (md5 hex prefix → int), salted so different pipeline stages draw
+    * independent assignments from the same key. */
+  private def pct(salt: String, key: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  private val sqlPct =
+    (salt: String, key: String) =>
+      s"('0x'||substr(md5('$salt'||CAST($key AS VARCHAR)),1,15))::BIGINT % 100"
+
+  val queries: Map[String, Q] = Map(
+    // tp_split: deterministic 80/10/10 train/val/test split keyed on doc_id.
+    // Reported as per-(split, lang) doc and char counts so the gate checks
+    // both the assignment hash and the aggregation.
+    "tp_split" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket", pct("split:", col("doc_id")))
+        .withColumn("subset",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("subset", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy("subset", "lang")),
+
+    // tp_chunk: fixed context windows of 64 tokens with stride 48 (16-token
+    // overlap) — the standard LM-pretraining chunker. Chunk text is reported
+    // as its md5 so the gate pins exact chunk boundaries and content without
+    // hashing megabytes of text through the parquet compare.
+    "tp_chunk" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("start", explode(sequence(lit(0), col("n") - 1, lit(48))))
+        .select(col("doc_id"),
+          expr("start div 48").cast("int").as("chunk_idx"),
+          least(col("n") - col("start"), lit(64)).as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(64))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // tp_pack: pack docs (in stable doc_id order, per source) into
+    // 2048-token bins: bin = tokens-accumulated-before div capacity.
+    "tp_pack" -> ((s, d) => {
+      val before = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("cum_before", coalesce(sum(col("n_toks")).over(before), lit(0L)))
+        .withColumn("bin_id", expr("cum_before div 2048").cast("int"))
+        .groupBy("source", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
+        .orderBy("source", "bin_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "tp_split" ->
+      s"""SELECT subset, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM (
+            SELECT lang, n_chars,
+              CASE WHEN ${sqlPct("split:", "doc_id")} < 80 THEN 'train'
+                   WHEN ${sqlPct("split:", "doc_id")} < 90 THEN 'val'
+                   ELSE 'test' END AS subset
+            FROM documents)
+          GROUP BY subset, lang ORDER BY subset, lang""",
+
+    "tp_chunk" ->
+      """SELECT doc_id, CAST(gs // 48 AS INT) AS chunk_idx,
+                CAST(least(n - gs, 64) AS INT) AS chunk_tokens,
+                md5(array_to_string(list_slice(toks, gs + 1, gs + 64), ' ')) AS chunk_md5
+         FROM (
+           SELECT doc_id, toks, n, unnest(generate_series(0, n - 1, 48)) AS gs
+           FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents))
+         ORDER BY doc_id, chunk_idx""",
+
+    "tp_pack" ->
+      """SELECT source, bin_id, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS bin_tokens
+         FROM (
+           SELECT source, n_toks,
+             CAST(coalesce(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS INT) AS bin_id
+           FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
+                 FROM documents))
+         GROUP BY source, bin_id ORDER BY source, bin_id""")
+}

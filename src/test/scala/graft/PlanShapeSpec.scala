@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards over EVERY graded query (SURVEY.md §4).
+  * Correctness gates can't see a plan that silently degrades — a lost
+  * broadcast, a filter that stops reaching the parquet scan, a join that
+  * falls back to a cartesian product — so the shapes that matter at 100 TB
+  * are pinned here, from a PlanSurvey run over the full registry. A failure
+  * means the plan changed, not necessarily that it's wrong: re-run
+  * `sbt "runMain graft.PlanSurvey"`, check the new shape is intended, and
+  * re-pin.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // One executed (AQE-finalized) plan string per graded query. collect() on
+  // the same QueryExecution is required — count() would plan separately.
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      val df = fn(spark, sf)
+      df.collect()
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  // Nested-loop joins that are *intentional*: each broadcasts a provably
+  // tiny side (a dim grid, the k-NN query set, a single-row corpus count).
+  private val allowedNestedLoop =
+    Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf")
+
+  // Full-outer reconciliations can't broadcast either side — sort-merge is
+  // the correct scale-out strategy for them, and only for them.
+  private val allowedSortMerge = Set("c4_join_full", "i8_snapshot_diff")
+
+  test("no query ever executes a cartesian product") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(offenders.isEmpty, s"cartesian product in: $offenders")
+  }
+
+  test("nested-loop joins appear only where a tiny side is broadcast") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") &&
+        !allowedNestedLoop(n) => n
+    }
+    assert(offenders.isEmpty, s"unexpected nested-loop join in: $offenders")
+  }
+
+  test("shuffle joins appear only in the full-outer reconciliations") {
+    val offenders = plans.collect {
+      case (n, p) if (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) &&
+        !allowedSortMerge(n) => n
+    }
+    assert(offenders.isEmpty,
+      s"join lost its broadcast (shuffle join) in: $offenders")
+  }
+
+  test("every graded query runs under whole-stage codegen") {
+    // codegen'd stages print as "*(id) Node" prefixes in the executed plan
+    val offenders = plans.collect {
+      case (n, p) if !"\\*\\(\\d+\\)".r.findFirstIn(p).isDefined => n
+    }
+    assert(offenders.isEmpty, s"no codegen span in: $offenders")
+  }
+
+  test("filters reach the parquet scan where the query filters a base table") {
+    val mustPush = Seq("b2_filter_compound", "b8_encoded_query",
+      "c1_join_broadcast", "c2_star_join", "d1_pricing_summary",
+      "i6_delta_filter", "j6_quality_filter")
+    val offenders = mustPush.filterNot(n =>
+      "PushedFilters: \\[[^\\]]".r.findFirstIn(plans(n)).isDefined)
+    assert(offenders.isEmpty, s"no pushed filters in: $offenders")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plans("f2_topk").contains("TakeOrderedAndProject"))
+    assert(!plans("f2_topk").contains("Exchange"))
+  }
+
+  test("column pruning reaches the scan: d1 reads only the 7 needed columns") {
+    val readSchemas = "ReadSchema: [^\\n]*".r
+      .findAllIn(plans("d1_pricing_summary")).toList
+    assert(readSchemas.nonEmpty)
+    assert(!readSchemas.exists(_.contains("l_partkey")),
+      s"d1 scan reads pruned-out columns: $readSchemas")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-checks for the training-corpus assembly operators: the graded gate
+  * proves Spark≡DuckDB, these prove both match the intended semantics.
+  */
+class TrainingPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("tp_split partitions every document exactly once, roughly 80/10/10") {
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    val bySubset = run("tp_split").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(bySubset.values.sum == total) // a doc lands in exactly one subset
+    assert(bySubset.keySet == Set("train", "val", "test"))
+    // binomial bounds at n=500: train 400±~45 (5σ), val/test 50±~33
+    assert(bySubset("train") > 0.7 * total && bySubset("train") < 0.9 * total)
+    assert(bySubset("val") > 0.03 * total && bySubset("val") < 0.17 * total)
+  }
+
+  test("tp_split assignment is deterministic across runs and partitionings") {
+    val a = run("tp_split").collect().toSeq
+    val b = SparkEntry.queries("tp_split")(spark, sf)
+      .repartition(7).orderBy("subset", "lang").collect().toSeq
+    assert(a == b)
+  }
+
+  test("tp_chunk covers every token: stride-48 starts, 64-token windows") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = run("tp_chunk").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2))).sortBy(_._1)).toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, n) =>
+      val cs = chunks(id)
+      // chunk count = number of stride-48 starts in [0, n)
+      assert(cs.size == (n - 1) / 48 + 1, s"doc $id: n=$n got ${cs.size} chunks")
+      // indices are consecutive from 0; each chunk holds min(64, remaining)
+      cs.zipWithIndex.foreach { case ((idx, len), i) =>
+        assert(idx == i && len == math.min(64, n - i * 48))
+      }
+      // coverage: last chunk reaches the last token; overlap = 16 when full
+      assert(cs.last._1 * 48 + cs.last._2 == n)
+    }
+  }
+
+  test("tp_pack equals a sequential first-fit model per source") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val model = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, _, n) =>
+        val bin = (cum / 2048).toInt; cum += n; (src, bin, n.toLong)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case ((src, bin), g) => (src, bin, g.size.toLong, g.map(_._3).sum) }
+      .toSeq.sorted
+    val got = run("tp_pack").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == model)
+    // no bin except a continuation overflow exceeds capacity + one max doc
+    val maxDoc = docs.map(_._3).max
+    got.foreach { case (_, _, _, toks) => assert(toks < 2048 + maxDoc) }
+  }
+}
