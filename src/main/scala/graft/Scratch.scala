@@ -27,6 +27,17 @@ object Scratch {
         .config("spark.shuffle.spill.compress", "false")
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      case "E" => b
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.broadcast.compress", "false")
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      case "F" => b
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
+      case "G" => b
+        .config("spark.sql.adaptive.enabled", "false")
     }
     val spark = b2.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -82,6 +82,50 @@ object TrainingPipeline {
         .groupBy("source", "bin_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
         .orderBy("source", "bin_id")
+    }),
+
+    // tp_interleave: deterministic weighted language mixing — the
+    // temperature-sampling data-mix schedule made reproducible. Doc n of a
+    // stream with weight w sits at virtual position (n-0.5)/w; merging all
+    // streams by that position yields prefix proportions → w/Σw with no
+    // randomness, no driver-side scheduling, and stability under
+    // repartitioning. One window shuffle + a top-k; the merged order is
+    // total ((vpos, doc_id) — doc_id is unique), so LIMIT is deterministic.
+    "tp_interleave" -> ((s, d) => {
+      val perLang = Window.partitionBy("lang").orderBy("doc_id")
+      documents(s, d)
+        .withColumn("w",
+          when(col("lang") === "en", 3.0)
+            .when(col("lang").isin("fr", "es"), 2.0)
+            .otherwise(1.0))
+        .withColumn("rn", row_number().over(perLang))
+        .withColumn("vpos", (col("rn") - lit(0.5)) / col("w"))
+        .orderBy("vpos", "doc_id")
+        .limit(200)
+        .select(col("doc_id"), col("lang"), col("rn"), col("vpos"))
+    }),
+
+    // emb_quantize: symmetric int8 quantization of the embedding column
+    // (scale = max|x|/127 per vector) with per-vector reconstruction RMSE —
+    // the compression step before an ANN index ships to serving. Relational
+    // form (explode + window max), no interpreted lambdas; the error sum is
+    // a scaled-integer sum so the result is identical under any row order
+    // or partitioning (doubles don't associate; longs do).
+    "emb_quantize" -> ((s, d) => {
+      val perVec = Window.partitionBy("vec_id")
+      embeddings(s, d)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .withColumn("xd", col("x").cast("double"))
+        .withColumn("scale", max(abs(col("xd"))).over(perVec) / 127.0)
+        .withColumn("q", round(col("xd") / col("scale")).cast("int"))
+        .withColumn("err", col("xd") - col("q") * col("scale"))
+        .groupBy("vec_id")
+        .agg(
+          (round(sqrt(sum(round(col("err") * col("err") * 1e12).cast("long"))
+            / 1e12 / 64) * 10000).cast("long") / 10000.0).as("rmse"),
+          max(abs(col("q"))).as("qmax"),
+          (round(max(abs(col("xd"))) * 10000).cast("long") / 10000.0).as("amax"))
+        .orderBy("vec_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -115,5 +159,35 @@ object TrainingPipeline {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS INT) AS bin_id
            FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
                  FROM documents))
-         GROUP BY source, bin_id ORDER BY source, bin_id""")
+         GROUP BY source, bin_id ORDER BY source, bin_id""",
+
+    "tp_interleave" ->
+      """SELECT doc_id, lang, CAST(rn AS INT) AS rn, vpos
+         FROM (
+           SELECT doc_id, lang, rn,
+                  (CAST(rn AS DOUBLE) - 0.5) / w AS vpos
+           FROM (
+             SELECT doc_id, lang,
+               CAST(CASE WHEN lang = 'en' THEN 3.0
+                         WHEN lang IN ('fr', 'es') THEN 2.0
+                         ELSE 1.0 END AS DOUBLE) AS w,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             FROM documents))
+         ORDER BY vpos, doc_id LIMIT 200""",
+
+    "emb_quantize" ->
+      """SELECT vec_id,
+                CAST(round(sqrt(CAST(sum(CAST(round(err*err*1e12) AS BIGINT)) AS BIGINT)
+                     / 1e12 / 64) * 10000) AS BIGINT) / 10000.0 AS rmse,
+                max(abs(q)) AS qmax,
+                CAST(round(max(abs(xd)) * 10000) AS BIGINT) / 10000.0 AS amax
+         FROM (
+           SELECT vec_id, xd, scale,
+                  CAST(round(xd / scale) AS INT) AS q,
+                  xd - CAST(round(xd / scale) AS INT) * scale AS err
+           FROM (
+             SELECT vec_id, CAST(x AS DOUBLE) AS xd,
+                    max(abs(CAST(x AS DOUBLE))) OVER (PARTITION BY vec_id) / 127.0 AS scale
+             FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)))
+         GROUP BY vec_id ORDER BY vec_id""")
 }

@@ -70,4 +70,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val maxDoc = docs.map(_._3).max
     got.foreach { case (_, _, _, toks) => assert(toks < 2048 + maxDoc) }
   }
+
+  test("tp_interleave prefix proportions track the language weights") {
+    val rows = run("tp_interleave").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.length == 200)
+    // merged order is by virtual position — verify it's sorted and that
+    // within each lang the rows appear in rn order (stream order preserved)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(identity).toSeq)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).toSeq == g.map(_._3).sortBy(identity).toSeq)
+    }
+    // prefix proportion ≈ weight share: en weight 3 of Σ per-lang weights;
+    // with 5 langs {en:3, fr:2, es:2, zh:1, de:1} ⇒ en ≈ 200*3/9 ≈ 67
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("en") > 50 && byLang("en") < 85, s"en share off: $byLang")
+    assert(byLang("zh") > 12 && byLang("zh") < 35, s"zh share off: $byLang")
+  }
+
+  test("emb_quantize: int8 range respected, reconstruction error bounded") {
+    val rows = run("emb_quantize").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, rmse, qmax, amax) =>
+      assert(qmax <= 127, s"vec $id: q out of int8 range")
+      // symmetric quantization error per element ≤ scale/2 = amax/254,
+      // so RMSE ≤ amax/254 (+ rounding slack)
+      assert(rmse >= 0 && rmse <= amax / 254 + 1e-4,
+        s"vec $id: rmse $rmse exceeds bound ${amax / 254}")
+    }
+  }
 }
