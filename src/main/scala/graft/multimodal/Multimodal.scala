@@ -59,6 +59,41 @@ object Multimodal {
     }
   }
 
+  /** Batched decode: same contract as [[decodeFeatures]], but the iterator
+    * is consumed in fixed-size batches — the JVM analog of a vectorized
+    * (mapInPandas-style) decode, where a real codec amortizes dispatch over
+    * a batch of payloads. Output must be identical to the row-at-a-time
+    * form; MultimodalSpec asserts it.
+    */
+  def decodeFeaturesBatched(media: Dataset[MediaRecord], batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would submit `batch` to the device/library in one
+        // call; the stub maps it element-wise
+        batch.map { m =>
+          val b = m.payload
+          val w = if (b.length > 0) (b(0) & 0xff) * 7 % 640 else 0
+          val h = if (b.length > 1) (b(1) & 0xff) * 5 % 480 else 0
+          val ck = b.foldLeft(0L)((acc, x) => (acc * 31 + (x & 0xff)) % 1000000007L)
+          MediaFeatures(m.doc_id, m.mime, m.n_bytes, w, h, ck)
+        }
+      }
+    }
+  }
+
+  /** Aspect-preserving resize arithmetic (the real op's geometry, minus the
+    * pixel work): scale = min(maxW/w, maxH/h, 1) — never upscale. */
+  def resizedDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) (0, 0)
+    else {
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      (math.max(1, math.round(w * scale).toInt),
+        math.max(1, math.round(h * scale).toInt))
+    }
+  }
+
   /** End-to-end: documents → media records → stub-decoded features. */
   def pipeline(spark: SparkSession, sfDir: String): DataFrame =
     decodeFeatures(assemble(spark, sfDir)).toDF()

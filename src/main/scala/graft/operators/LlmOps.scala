@@ -302,7 +302,23 @@ object LlmOps {
           md5(col("text")).as("content_hash"),
           (ascii(substring(col("text"), 1, 1)) * 7 % 640).as("width"),
           (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("height"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Multimodal frame sampling — the payload stands in for a media
+    // container of (n_bytes div 100)+1 fixed-size frames; keep every 4th.
+    // Like tp_chunk this is a narrow generate-per-row op (sequence+explode,
+    // no shuffle) — the shape a keyframe sampler has at 100 TB, where the
+    // decoded frames, not the documents, dominate row count.
+    "mm_frame_sample" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        // `div` yields LONG — cast back so every output column is int32
+        .withColumn("n_frames", (expr("n_bytes div 100") + 1).cast("int"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 100).as("byte_offset"), col("n_frames"))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   private val toksSql = "string_split(text, ' ')"
@@ -463,6 +479,16 @@ object LlmOps {
                 md5(text) AS content_hash,
                 CAST(ascii(text[1]) * 7 % 640 AS INT) AS width,
                 CAST(ascii(text[2]) * 5 % 480 AS INT) AS height
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(gs AS INT) AS frame_idx,
+                CAST(gs * 100 AS INT) AS byte_offset,
+                CAST(n_frames AS INT) AS n_frames
+         FROM (
+           SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS gs
+           FROM (SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
+                 FROM documents))
+         ORDER BY doc_id, frame_idx"""
   )
 }

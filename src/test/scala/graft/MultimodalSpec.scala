@@ -35,4 +35,44 @@ class MultimodalSpec extends AnyFunSuite {
     val decoded = Multimodal.decodeFeatures(media)
     assert(decoded.rdd.getNumPartitions == 7)
   }
+
+  test("batched decode (vectorized shape) is identical to row-at-a-time") {
+    val media = Multimodal.assemble(spark, sf).repartition(3)
+    val rowWise = Multimodal.decodeFeatures(media).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.checksum)).sortBy(_._1).toSeq
+    // batch size chosen to leave a ragged tail partition batch
+    val batched = Multimodal.decodeFeaturesBatched(media, batchSize = 7).collect()
+      .map(f => (f.doc_id, f.width, f.height, f.checksum)).sortBy(_._1).toSeq
+    assert(batched == rowWise)
+  }
+
+  test("resize arithmetic: aspect preserved, bounded, never upscales") {
+    assert(Multimodal.resizedDims(640, 480, 320, 320) == ((320, 240)))
+    assert(Multimodal.resizedDims(480, 640, 320, 320) == ((240, 320)))
+    assert(Multimodal.resizedDims(100, 100, 320, 320) == ((100, 100))) // no upscale
+    assert(Multimodal.resizedDims(0, 100, 320, 320) == ((0, 0)))
+    assert(Multimodal.resizedDims(10000, 1, 320, 320)._1 <= 320)
+    // ratio distortion stays within 1 pixel of exact for typical shapes
+    val (w, h) = Multimodal.resizedDims(1920, 1080, 512, 512)
+    assert(math.abs(w.toDouble / h - 1920.0 / 1080) < 0.02)
+  }
+
+  test("mm_frame_sample covers every 4th frame and only those") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), octet_length(col("text")).as("nb"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val frames = SparkEntry.queries("mm_frame_sample")(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(frames.keySet == docs.keySet)
+    docs.foreach { case (id, nb) =>
+      val nFrames = nb / 100 + 1
+      val expected = (0 until nFrames by 4).toSeq
+      val got = frames(id).map(_._1).toSeq.sorted
+      assert(got == expected, s"doc $id")
+      frames(id).foreach { case (idx, off, nf) =>
+        assert(off == idx * 100 && nf == nFrames)
+      }
+    }
+  }
 }
