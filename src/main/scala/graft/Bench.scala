@@ -50,7 +50,11 @@ object Bench {
     // output (round 1's full-precision line overflowed that window and came
     // back unparsed), so per-query seconds are emitted at 2 decimals and the
     // whole line is kept well under the window even as queries are added.
-    def fmt(v: Double): String = f"$v%.2f"
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f" // then trim trailing zeros: 0.20→0.2, 1.00→1
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

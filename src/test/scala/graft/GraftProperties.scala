@@ -98,6 +98,49 @@ object GraftProperties extends Properties("graft") {
         inter == (xs.toSet intersect ys.toSet) && exc == (xs.toSet diff ys.toSet)
     }
 
+  // Random encoded-query trees vs a direct Scala evaluation of the same
+  // grammar: `^OR` binds to its left neighbor, `^` ANDs the groups, `^NQ`
+  // ORs whole alternatives — on random data including empty strings.
+  private case class ECond(frag: String, eval: (String, Long) => Boolean)
+  private val econdGen: Gen[ECond] = Gen.oneOf(
+    Gen.choose(0L, 9L).map(v => ECond(s"num=$v", (_, n) => n == v)),
+    Gen.choose(0L, 9L).map(v => ECond(s"num!=$v", (_, n) => n != v)),
+    Gen.choose(0L, 9L).map(v => ECond(s"num>$v", (_, n) => n > v)),
+    Gen.choose(0L, 9L).map(v => ECond(s"num<=$v", (_, n) => n <= v)),
+    Gen.zip(Gen.choose(0L, 5L), Gen.choose(4L, 9L)).map { case (a, b) =>
+      ECond(s"numBETWEEN$a@$b", (_, n) => n >= a && n <= b) },
+    Gen.someOf(0L to 9L).suchThat(_.nonEmpty).map(vs =>
+      ECond(s"numIN${vs.mkString(",")}", (_, n) => vs.contains(n))),
+    Gen.oneOf("alpha", "beta", "gam").map(v =>
+      ECond(s"name=$v", (s, _) => s == v)),
+    Gen.oneOf("al", "be", "ga").map(v =>
+      ECond(s"nameSTARTSWITH$v", (s, _) => s.startsWith(v))),
+    Gen.oneOf("a", "ta", "ha").map(v =>
+      ECond(s"nameENDSWITH$v", (s, _) => s.endsWith(v))),
+    Gen.oneOf("a", "m", "et").map(v =>
+      ECond(s"nameLIKE$v", (s, _) => s.contains(v))),
+    Gen.const(ECond("nameISEMPTY", (s, _) => s.isEmpty)),
+    Gen.const(ECond("nameISNOTEMPTY", (s, _) => s.nonEmpty)))
+  private val egroupGen = Gen.choose(1, 3).flatMap(Gen.listOfN(_, econdGen))
+  private val ealtGen = Gen.choose(1, 3).flatMap(Gen.listOfN(_, egroupGen))
+
+  property("encoded-query compiler matches a direct grammar evaluation") =
+    forAll(
+      Gen.listOfN(25, Gen.zip(Gen.oneOf("alpha", "beta", "", "gamma", "meta"),
+        Gen.choose(0L, 9L))),
+      Gen.choose(1, 2).flatMap(Gen.listOfN(_, ealtGen))) { (rows, alts) =>
+      import spark.implicits._
+      val q = alts.map(_.map(g => g.map(_.frag).mkString("^OR"))
+        .mkString("^")).mkString("^NQ")
+      val df = rows.toDF("name", "num")
+      val got = graft.api.EncodedQuery.applyTo(df, q)
+        .as[(String, Long)].collect().sorted.toList
+      val want = rows.filter { case (s, n) =>
+        alts.exists(_.forall(_.exists(_.eval(s, n))))
+      }.sorted
+      got == want
+    }
+
   property("semi and anti joins partition the left side") =
     forAll(Gen.listOfN(15, Gen.choose(0, 10)), Gen.listOfN(15, Gen.choose(0, 10))) {
       (left, right) =>

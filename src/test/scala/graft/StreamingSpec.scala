@@ -72,6 +72,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("user_id") === 2 && col("n_events") === 2).count() == 1)
   }
 
+  test("stateful ops run on the RocksDB state store (larger-than-heap state path)") {
+    // At 100 TB the streaming state (sessions, dedup keys, join buffers)
+    // outgrows executor heap; RocksDB is the provider that spills it to
+    // local disk. Prove the same sessionization is provider-agnostic.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val ctx = s2.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.sessionCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_rocks").start()
+    q.processAllAvailable(); q.stop()
+    assert(q.lastProgress.stateOperators.head.customMetrics
+      .containsKey("rocksdbFilesCopied"), "query did not run on RocksDB")
+    assert(s2.table("sess_rocks").count() == 4)
+  }
+
   test("stream dedup emits one row per (user, type)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
