@@ -40,6 +40,23 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(parsed.exceptAll(nation.select("n_nationkey", "n_name")).count() == 0)
   }
 
+  test("A-group: ORC sink/source round-trips the full orders table") {
+    // Second columnar format besides parquet — same write/read surface, so
+    // a deployment can sink to ORC-consuming downstreams with no operator
+    // changes. (No DuckDB oracle: DuckDB reads parquet/csv/json only.)
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/orders"
+    val orders = graft.sources.Tables.orders(spark, sf)
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == orders.schema) // types survive the format round-trip
+    assert(back.count() == 1500)
+    assert(back.exceptAll(orders).count() == 0 && orders.exceptAll(back).count() == 0)
+    // predicate pushdown works against ORC scans too
+    val plan = back.filter(col("o_orderstatus") === "F")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"))
+  }
+
   test("D2 approx: HLL++ distinct count is within its error bound") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(
