@@ -74,4 +74,37 @@ object Aggregators {
     override def outputEncoder: Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Partial top-k per group: buffer holds at most k (score, id) pairs,
+    * ordered by (score desc, id desc). The window form
+    * (`row_number() over (partition by g order by …) <= k`) must shuffle
+    * and fully sort EVERY row of every group; this aggregator reduces each
+    * map partition to ≤ k rows per group before the shuffle — at 100 TB
+    * with millions of rows per hot key, that's the difference between
+    * shuffling the table and shuffling k·|groups| rows. Merge is a bounded
+    * sorted-list union: associative, commutative, deterministic (total
+    * order via the id tie-break), hence safe as a partial aggregate.
+    */
+  class TopKAggregator(k: Int)
+      extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse)
+
+    override def zero: List[(Double, Long)] = Nil
+
+    override def reduce(buf: List[(Double, Long)], v: (Double, Long)): List[(Double, Long)] =
+      if (buf.sizeIs >= k && ord.gteq(v, buf.last)) buf // below the bar: skip
+      else ((v :: buf).sorted(ord)).take(k)
+
+    override def merge(x: List[(Double, Long)], y: List[(Double, Long)]): List[(Double, Long)] =
+      (x ++ y).sorted(ord).take(k)
+
+    override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

@@ -39,6 +39,30 @@ object WindowedAnalytics {
         .orderBy("o_custkey", "rn")
     }),
 
+    // F3: the same top-3-per-customer computed by the partial top-k
+    // aggregator (K2) instead of a window. The window form shuffles and
+    // sorts EVERY order; the aggregator reduces each map partition to ≤3
+    // rows per customer before the shuffle — the scale path for top-k over
+    // hot keys. Same oracle shape as a row_number()<=k query, proving the
+    // two are semantically interchangeable.
+    "f3_topk_per_key" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.Aggregators.TopKAggregator(3).toColumn
+      orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topk.name("top"))
+        .flatMap { case (cust, top) =>
+          top.iterator.zipWithIndex.map { case ((price, okey), i) =>
+            (cust, i + 1, okey, price)
+          }
+        }
+        .toDF("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk")
+    }),
+
     // E2: lag — inter-event gap per user in microseconds (first event → 0).
     "e2_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -217,6 +241,16 @@ object WindowedAnalytics {
                 byval AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
          QUALIFY rn <= 3
          ORDER BY o_custkey, rn""",
+
+    "f3_topk_per_key" ->
+      """SELECT o_custkey,
+                CAST(row_number() OVER w AS INT) AS rnk,
+                o_orderkey, o_totalprice
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey DESC)
+         QUALIFY rnk <= 3
+         ORDER BY o_custkey, rnk""",
 
     "e2_lag" ->
       """SELECT user_id, event_id,

@@ -54,4 +54,36 @@ class AggregatorsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TopKAggregator equals the window row_number form on every partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val windowed = orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val rows = SparkEntry.queries("f3_topk_per_key")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows == windowed)
+  }
+
+  test("TopKAggregator merge is order-insensitive (bounded sorted union)") {
+    val agg = new Aggregators.TopKAggregator(3)
+    val vs = Seq((5.0, 1L), (9.0, 2L), (9.0, 3L), (1.0, 4L), (7.0, 5L), (3.0, 6L))
+    val full = vs.foldLeft(agg.zero)(agg.reduce)
+    // any split of the stream must merge to the same top-3
+    (1 until vs.size).foreach { cut =>
+      val (l, r) = vs.splitAt(cut)
+      val lm = l.foldLeft(agg.zero)(agg.reduce)
+      val rm = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(lm, rm) == full && agg.merge(rm, lm) == full, s"cut=$cut")
+    }
+    assert(agg.finish(full) == Seq((9.0, 3L), (9.0, 2L), (7.0, 5L)))
+  }
 }
