@@ -84,6 +84,24 @@ object LlmOps {
   private[graft] def shingleIndex(df: DataFrame): DataFrame =
     graft.CacheRegistry.materialize(shingleRows(df))
 
+  /** Blocked near-dup candidate pairs with exact Jaccard ≥ tau over the
+    * shared shingle index: the (lang, length-bucket) block keys bound the
+    * pair blow-up and hash-partition cleanly (see j2 scale notes). Used by
+    * j2 (τ=0.5 report) and dd_components (τ=0.3 cluster edges). */
+  private[graft] def jaccardPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, tau: Double): DataFrame = {
+    val inv = shingleIndex(documents(s, d))
+    inv.alias("x").join(inv.alias("y"),
+        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= tau)
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
     // each duplicate group. (Fixtures plant exact dups at sf0.1.)
@@ -103,21 +121,26 @@ object LlmOps {
     // per pair. Cost is Σ_shingle (docs sharing it)², never blocksize² —
     // the shape that survives 100 TB — and the whole pipeline is codegen'd
     // hash joins + aggregates (no interpreted array_intersect per pair).
-    "j2_jaccard_pairs" -> ((s, d) => {
-      val inv = shingleIndex(documents(s, d))
-      val shared = inv.alias("x").join(inv.alias("y"),
-          col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"),
-          max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
-      shared
-        .withColumn("jac",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jac") >= 0.5)
+    "j2_jaccard_pairs" -> ((s, d) =>
+      jaccardPairs(s, d, 0.5)
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jac"))
-        .orderBy("doc_a", "doc_b")
-    }),
+        .orderBy("doc_a", "doc_b")),
+
+    // Dedup clustering: connected components over the τ=0.3 Jaccard pair
+    // graph assigns every doc its duplicate-cluster id (min doc_id in the
+    // cluster) — the step that turns pairwise near-dup hits into "keep one
+    // per cluster". 5 propagation rounds with path halving cover diameter
+    // 2^5 = 32, far beyond any real dup-cluster; the oracle computes the
+    // true closure with a recursive CTE, so the gate also proves the bound
+    // suffices.
+    "dd_components" -> ((s, d) =>
+      GraphOps.minLabelComponents(
+        documents(s, d).select(col("doc_id").as("id")),
+        jaccardPairs(s, d, 0.3)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        rounds = Some(5))
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy("doc_id")),
 
     // J3: similarity search — brute-force top-5 cosine neighbors for a
     // deterministic query subset (vec_id ≡ 0 mod 100), query set broadcast.
@@ -323,16 +346,10 @@ object LlmOps {
 
   private val toksSql = "string_split(text, ' ')"
 
-  val oracle: Map[String, String] = Map(
-    "j1_exact_dedup" ->
-      """SELECT doc_id, md5(lower(trim(text))) AS text_hash, lang, source
-         FROM documents
-         QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
-                                    ORDER BY doc_id) = 1
-         ORDER BY doc_id""",
-
-    "j2_jaccard_pairs" ->
-      s"""WITH docs AS (
+  /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jac)` — the oracle
+    * mirror of [[jaccardPairs]] at threshold `tau`. */
+  private def jacPairsCte(tau: Double): String =
+    s"""docs AS (
             SELECT doc_id, lang, (len($toksSql)) // 10 AS blk,
                    list_distinct(list_transform(
                      list_distinct(list_transform(range(1, len($toksSql) - 1),
@@ -346,14 +363,39 @@ object LlmOps {
             FROM inv x JOIN inv y
               ON x.lang = y.lang AND x.blk = y.blk AND x.h = y.h
              AND x.doc_id < y.doc_id
-            GROUP BY 1, 2)
-          SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM (
-            SELECT doc_a, doc_b,
-                   CAST(inter AS DOUBLE) / (a.nsh + b.nsh - inter) AS jac
-            FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
-                        JOIN sizes b ON shared.doc_b = b.doc_id)
-          WHERE jac >= 0.5
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b, jac FROM (
+              SELECT doc_a, doc_b,
+                     CAST(inter AS DOUBLE) / (a.nsh + b.nsh - inter) AS jac
+              FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
+                          JOIN sizes b ON shared.doc_b = b.doc_id)
+            WHERE jac >= $tau)"""
+
+  val oracle: Map[String, String] = Map(
+    "j1_exact_dedup" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS text_hash, lang, source
+         FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                    ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+
+    "j2_jaccard_pairs" ->
+      s"""WITH ${jacPairsCte(0.5)}
+          SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM pairs
           ORDER BY doc_a, doc_b""",
+
+    "dd_components" ->
+      s"""WITH RECURSIVE ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
+          SELECT src AS doc_id, min(dst) AS comp
+          FROM reach GROUP BY src ORDER BY doc_id""",
 
     "j3_topk_cosine" ->
       """WITH corpus AS (

