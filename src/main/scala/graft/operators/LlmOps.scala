@@ -313,6 +313,20 @@ object LlmOps {
           length(col("text")).as("chars"))
         .orderBy("doc_id")),
 
+    // BPE-ish tokenization: letter runs, digit runs, and single non-space
+    // symbols as separate tokens (the pre-tokenizer shape real BPE applies
+    // before merges), counted against plain whitespace tokens. The pattern
+    // avoids backslash classes so Java-regex and RE2 agree byte-for-byte.
+    "ta_regex_tokens" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("toks",
+          expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(col("toks")).as("bpe_tokens"),
+          size(array_distinct(col("toks"))).as("uniq_bpe"))
+        .orderBy("doc_id")),
+
     // Multimodal decode plumbing — text treated as an opaque binary payload
     // with a deterministic stub "decoder" (byte length, content hash, fake
     // dimensions). The mapPartitions-based typed pipeline lives in
@@ -522,6 +536,16 @@ object LlmOps {
                 CAST(ascii(text[1]) * 7 % 640 AS INT) AS width,
                 CAST(ascii(text[2]) * 5 % 480 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+
+    "ta_regex_tokens" ->
+      s"""SELECT doc_id,
+                 CAST(len($toksSql) AS INT) AS ws_tokens,
+                 CAST(len(toks) AS INT) AS bpe_tokens,
+                 CAST(len(list_distinct(toks)) AS INT) AS uniq_bpe
+          FROM (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+                FROM documents)
+          ORDER BY doc_id""",
 
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(gs AS INT) AS frame_idx,
