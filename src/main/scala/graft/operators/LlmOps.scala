@@ -147,7 +147,7 @@ object LlmOps {
     "j3_topk_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
       val corpus = emb
       val qs = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qn"))
@@ -243,7 +243,7 @@ object LlmOps {
     "j7_multimodal_record" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("label"),
-          round4(sqrt(dot(toDouble(col("embedding")), toDouble(col("embedding"))))).as("emb_norm"))
+          round4(sqrt(graft.plans.VectorExpressions.squared_norm(toDouble(col("embedding"))))).as("emb_norm"))
       documents(s, d)
         .join(emb, col("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),

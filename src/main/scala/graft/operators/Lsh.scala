@@ -140,7 +140,7 @@ object Lsh {
         .withColumn("rn", row_number().over(assignW))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("clabel").as("cell"),
-          sqrt(dot(col("v"), col("v"))).as("nrm")))
+          sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))
       val qs = assigned.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
           col("nrm").as("qn"))
@@ -158,7 +158,7 @@ object Lsh {
     "lsh_emb_near_dup" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
       val a = emb.select(col("vec_id").as("vec_a"), col("label").as("la"),
         col("v").as("va"), col("nrm").as("na"))
       val b = emb.select(col("vec_id").as("vec_b"), col("label").as("lb"),

@@ -12,4 +12,7 @@ object VectorExpressions {
 
   def squared_distance(a: Column, b: Column): Column =
     org.apache.spark.sql.graftexpr.VectorExpressions.squared_distance(a, b)
+
+  def squared_norm(a: Column): Column =
+    org.apache.spark.sql.graftexpr.VectorExpressions.squared_norm(a)
 }

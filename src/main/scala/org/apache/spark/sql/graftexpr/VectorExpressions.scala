@@ -81,6 +81,63 @@ case class SquaredDistance(left: Expression, right: Expression) extends VectorFo
     copy(left = l, right = r)
 }
 
+/** Σ aᵢ² — squared L2 norm. Same fold order as DotProduct(a, a) (acc + x·x
+  * left-to-right), so results are bit-identical, but the generated loop
+  * reads ONE array instead of two — norm computations are per-vector
+  * preprocessing in every similarity query, so halving element loads there
+  * is free throughput. The optimizer rule [[DotSelfToNorm]] applies this
+  * rewrite automatically when users write dot_product(v, v). */
+case class SquaredNorm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: dot_product(v, v) → squared_norm(v). Semantically exact
+  * (same IEEE fold) and strictly cheaper; fires wherever both sides of a
+  * DotProduct are the same attribute/expression. Injected by
+  * graft.plans.GraftExtensions. */
+object DotSelfToNorm
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case DotProduct(a, b) if a.semanticEquals(b) && a.deterministic =>
+        SquaredNorm(a)
+    }
+}
+
 object VectorExpressions {
   /** Column API for the codegen'd dot product. */
   def dot_product(a: Column, b: Column): Column =
@@ -89,4 +146,8 @@ object VectorExpressions {
   /** Column API for the codegen'd squared L2 distance. */
   def squared_distance(a: Column, b: Column): Column =
     ExpressionUtils.column(SquaredDistance(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column API for the codegen'd squared L2 norm. */
+  def squared_norm(a: Column): Column =
+    ExpressionUtils.column(SquaredNorm(ExpressionUtils.expression(a)))
 }

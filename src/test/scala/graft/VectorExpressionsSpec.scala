@@ -39,6 +39,15 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(pairs.filter(abs(col("d2") - col("alg")) > 1e-12).count() == 0)
   }
 
+  test("SquaredNorm equals DotProduct(v, v) bit-for-bit") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val both = emb.select(
+      graft.plans.VectorExpressions.squared_norm(col("v")).as("fused"),
+      dot_product(col("v"), col("v")).as("two_array"))
+    assert(both.filter(col("fused") =!= col("two_array")).count() == 0)
+  }
+
   test("expressions run in interpreted mode too (codegen fallback path)") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
