@@ -57,6 +57,36 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"))
   }
 
+  test("schema evolution: mergeSchema unifies extracts written across syncs") {
+    // A CMDB class gains a column between two sync runs; the lake read must
+    // surface the union schema with nulls for the old batch.
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    val r = graft.sources.Tables.region(spark, sf)
+    r.select("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/batch=1")
+    r.select(col("r_regionkey"), col("r_name"),
+        lit("2024-01-02 00:00:00").as("sys_updated_on"))
+      .write.mode("overwrite").parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("r_regionkey", "r_name", "sys_updated_on", "batch"))
+    assert(merged.count() == 10)
+    assert(merged.filter(col("sys_updated_on").isNull).count() == 5) // old batch
+  }
+
+  test("class-hierarchy union: unionByName fills missing subclass columns") {
+    // cmdb_ci subclass pattern (§1.1): parent columns + extensions, merged
+    // with allowMissingColumns — each class keeps its own extract schema.
+    val base = graft.sources.Tables.supplier(spark, sf)
+      .select(col("s_suppkey").as("sys_id"), col("s_name").as("name"))
+    val extended = graft.sources.Tables.customer(spark, sf).limit(10)
+      .select(col("c_custkey").as("sys_id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+    val all = base.unionByName(extended, allowMissingColumns = true)
+    assert(all.columns.toSeq == Seq("sys_id", "name", "segment"))
+    assert(all.count() == base.count() + 10)
+    assert(all.filter(col("segment").isNull).count() == base.count())
+  }
+
   test("D2 approx: HLL++ distinct count is within its error bound") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(
