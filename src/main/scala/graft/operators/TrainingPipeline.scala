@@ -84,6 +84,19 @@ object TrainingPipeline {
         .orderBy("source", "bin_id")
     }),
 
+    // tp_shuffle: deterministic corpus shuffle — order by a salted portable
+    // hash of the key. Reproducible run-to-run, stable under repartitioning,
+    // and at cluster scale it's a plain sort (range-partitioned, spillable)
+    // rather than rand()-ordering, which changes every execution and breaks
+    // resume-from-checkpoint training.
+    "tp_shuffle" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("shuffle_key",
+          conv(substring(md5(concat(lit("shuf:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .select(col("doc_id"), col("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")),
+
     // tp_interleave: deterministic weighted language mixing — the
     // temperature-sampling data-mix schedule made reproducible. Doc n of a
     // stream with weight w sits at virtual position (n-0.5)/w; merging all
@@ -160,6 +173,11 @@ object TrainingPipeline {
            FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
                  FROM documents))
          GROUP BY source, bin_id ORDER BY source, bin_id""",
+
+    "tp_shuffle" ->
+      """SELECT doc_id,
+                ('0x'||substr(md5('shuf:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS shuffle_key
+         FROM documents ORDER BY shuffle_key, doc_id""",
 
     "tp_interleave" ->
       """SELECT doc_id, lang, CAST(rn AS INT) AS rn, vpos
