@@ -12,9 +12,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0): the
+    * composed corpus-prep pipeline — quality gate → dedup → split → stats
+    * as one Catalyst plan. */
   def entry(spark: SparkSession): DataFrame =
-    queries("d1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("pp_end_to_end")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -80,14 +80,23 @@ object EncodedQuery {
     Cmp(field, op, rest.stripPrefix(op))
   }
 
-  /** Literal cast to the column's type so comparisons are type-correct. */
-  private def typed(df: DataFrame, field: String, v: String): Column = {
-    val dt = df.schema.find(_.name == field)
-      .getOrElse(throw new IllegalArgumentException(
-        s"encoded query references unknown field '$field'"))
-      .dataType
-    lit(v).cast(dt)
-  }
+  /** Literal cast to the column's type so comparisons are type-correct.
+    * Dot-walked fields (`cust_ref.value` — the ServiceNow reference-field
+    * traversal) resolve through nested struct schemas. */
+  private def typed(df: DataFrame, field: String, v: String): Column =
+    lit(v).cast(fieldType(df.schema, field))
+
+  private def fieldType(schema: StructType, path: String): DataType =
+    path.split('.').foldLeft(schema: DataType) {
+      case (st: StructType, name) =>
+        st.find(_.name == name)
+          .getOrElse(throw new IllegalArgumentException(
+            s"encoded query references unknown field '$path'"))
+          .dataType
+      case (dt, name) =>
+        throw new IllegalArgumentException(
+          s"encoded query dot-walks through non-struct '$name' in '$path' ($dt)")
+    }
 
   private def condColumn(df: DataFrame, c: Cmp): Column = {
     val f = col(c.field)

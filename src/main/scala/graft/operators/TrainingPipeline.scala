@@ -40,6 +40,8 @@ object TrainingPipeline {
       s"('0x'||substr(md5('$salt'||CAST($key AS VARCHAR)),1,15))::BIGINT % 100"
 
   val queries: Map[String, Q] = Map(
+    "pp_end_to_end" -> endToEnd,
+
     // tp_split: deterministic 80/10/10 train/val/test split keyed on doc_id.
     // Reported as per-(split, lang) doc and char counts so the gate checks
     // both the assignment hash and the aggregation.
@@ -141,7 +143,46 @@ object TrainingPipeline {
         .orderBy("vec_id")
     }))
 
+  /** pp_end_to_end: the whole corpus-prep pipeline composed as ONE lazy
+    * plan — quality gate → exact dedup (keep lowest doc_id per normalized
+    * text hash) → deterministic train split (same salt as tp_split, so the
+    * subset provably matches it) → per-language corpus stats. Catalyst sees
+    * a single tree: the quality filter pushes to the scan, the dedup window
+    * and the final aggregate share one shuffle each, and nothing
+    * materializes between stages — composition is free, which is the point
+    * of declaring operators as DataFrame transforms.
+    */
+  def endToEnd: Q = (s, d) =>
+    documents(s, d)
+      .filter(col("n_chars").between(200, 20000) &&
+        col("lang").isin("en", "fr", "es", "de", "zh"))
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("text_hash").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+      .filter(pct("split:", col("doc_id")) < 80)
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+
   val oracle: Map[String, String] = Map(
+    "pp_end_to_end" ->
+      s"""SELECT lang, count(*) AS n_docs,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM (
+            SELECT lang, text, n_chars FROM (
+              SELECT lang, text, n_chars, doc_id,
+                     row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+              WHERE n_chars BETWEEN 200 AND 20000
+                AND lang IN ('en', 'fr', 'es', 'de', 'zh'))
+            WHERE rn = 1 AND ${sqlPct("split:", "doc_id")} < 80)
+          GROUP BY lang ORDER BY lang""",
     "tp_split" ->
       s"""SELECT subset, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
           FROM (

@@ -71,6 +71,24 @@ class EncodedQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { EncodedQuery.parse("^^=") }
   }
 
+  test("dot-walked reference fields resolve through nested structs") {
+    import org.apache.spark.sql.functions._
+    // b7-style reference field: {value, link} struct, queried by dot-walk
+    val nested = df.withColumn("ref",
+      struct(col("prio").cast("string").as("value"),
+        concat(lit("/api/now/table/x/"), col("name")).as("link")))
+    val hits = EncodedQuery.applyTo(nested, "ref.value=10^ORDERBYname")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("delta"))
+    val ends = EncodedQuery.applyTo(nested, "ref.linkENDSWITHalpha")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(ends == Seq("alpha"))
+    // dot-walk through a non-struct fails loudly
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(nested, "name.value=1").collect()
+    }
+  }
+
   test("compiled predicate reaches the parquet scan as a pushed filter") {
     val q = SparkEntry.queries("b8_encoded_query")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
