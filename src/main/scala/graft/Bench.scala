@@ -50,10 +50,10 @@ object Bench {
     // output (round 1's full-precision line overflowed that window and came
     // back unparsed), so per-query seconds are emitted at 2 decimals and the
     // whole line is kept well under the window even as queries are added.
-    // 2 decimals under 1 s, 1 decimal above (run noise is ±30%, so the
-    // third digit is meaningless anyway), trailing zeros trimmed.
+    // 2 decimals under 0.1 s, 1 decimal above (run noise is ±30%, so finer
+    // digits are meaningless anyway), trailing zeros trimmed.
     def fmt(v: Double): String = {
-      val s = if (v.abs >= 1) f"$v%.1f" else f"$v%.2f"
+      val s = if (v.abs >= 0.095) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
@@ -62,8 +62,12 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum + 1e6 * failed
+    // "fail" appears only when nonzero — visible on regression, zero cost
+    // on the healthy path (the line competes with the driver's 2000-char
+    // output window).
+    val failPart = if (failed > 0) s""","fail":$failed""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"fail":$failed,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failPart,"sf":"${new java.io.File(sfDir).getName}"}"""
     if (line.length > 1800)
       System.err.println(s"BENCH WARN: JSON line ${line.length} chars — nearing the driver's 2000-char tail window")
     println(line)
