@@ -108,8 +108,10 @@ object EncodedQuery {
       case ">="         => f >= typed(df, c.field, c.value)
       case "<="         => f <= typed(df, c.field, c.value)
       case "IN" =>
+        require(c.value.nonEmpty, s"empty IN list for field '${c.field}'")
         c.value.split(",").map(v => f === typed(df, c.field, v)).reduce(_ || _)
       case "NOT IN" =>
+        require(c.value.nonEmpty, s"empty NOT IN list for field '${c.field}'")
         c.value.split(",").map(v => f =!= typed(df, c.field, v)).reduce(_ && _)
       case "LIKE"       => f.contains(c.value)
       case "NOTLIKE"    => !f.contains(c.value)
@@ -118,8 +120,11 @@ object EncodedQuery {
       case "ISEMPTY"    => f.isNull || f === lit("")
       case "ISNOTEMPTY" => f.isNotNull && f =!= lit("")
       case "BETWEEN" =>
-        val Array(a, b) = c.value.split("@", 2)
-        f >= typed(df, c.field, a) && f <= typed(df, c.field, b)
+        c.value.split("@", 2) match {
+          case Array(a, b) => f >= typed(df, c.field, a) && f <= typed(df, c.field, b)
+          case _ => throw new IllegalArgumentException(
+            s"BETWEEN needs 'lo@hi', got '${c.value}' for field '${c.field}'")
+        }
     }
   }
 

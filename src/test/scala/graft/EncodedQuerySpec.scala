@@ -69,6 +69,12 @@ class EncodedQuerySpec extends AnyFunSuite {
       EncodedQuery.applyTo(df, "nosuchfield=1").collect()
     }
     intercept[IllegalArgumentException] { EncodedQuery.parse("^^=") }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prioBETWEEN5").collect() // no '@'
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prioIN").collect() // empty list
+    }
   }
 
   test("dot-walked reference fields resolve through nested structs") {
