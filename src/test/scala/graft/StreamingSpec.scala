@@ -92,6 +92,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.table("sess_rocks").count() == 4)
   }
 
+  test("custom TopKAggregator runs incrementally over a stream") {
+    // the same partial/merge path that makes top-k map-side combinable in
+    // batch makes it incrementally updatable in a stream: each micro-batch
+    // merges into the bounded per-key state.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val topk = new graft.functions.Aggregators.TopKAggregator(2).toColumn
+    val q = mem.toDS()
+      .map(e => (e.user_id, (e.value, e.event_id)))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(topk.name("top"))
+      .toDF("user_id", "top")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("topk_stream").start()
+    // batch 1: user 1 gets values 5, 1; batch 2: value 9 displaces the 1
+    mem.addData(Ev(10, t("2024-01-01 10:00:00"), 1, "click", 5.0, "{}"),
+      Ev(11, t("2024-01-01 10:01:00"), 1, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData(Ev(12, t("2024-01-01 10:02:00"), 1, "click", 9.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val top = spark.table("topk_stream").filter(col("user_id") === 1)
+      .selectExpr("explode(top)").collect()
+      .map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getLong(1))).toSeq
+    assert(top == Seq((9.0, 12L), (5.0, 10L)))
+  }
+
   test("stream dedup emits one row per (user, type)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
