@@ -100,6 +100,29 @@ object Lsh {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Signed random projection: 64-dim → 8-dim via a deterministic ±1
+    // matrix (md5 parity of "rp:j:i") — the JL-style reduction that shrinks
+    // vectors before an ANN index. The 8×64 sign matrix is a broadcast
+    // crossJoin of two ranges (never data-sized); the projection itself is
+    // explode → broadcast-join → groupBy(vec_id, j) with a scaled-integer
+    // sum, so it is one shuffle, partial-aggregable, and order-invariant.
+    "emb_rproject" -> ((s, d) => {
+      val r = s.range(8).select(col("id").cast("int").as("j"))
+        .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+        .withColumn("sgn",
+          when(conv(substring(md5(concat(lit("rp:"), col("j").cast("string"),
+            lit(":"), col("i").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+      embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .join(broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg((sum(round(col("x").cast("double") * col("sgn") * 1e7).cast("long"))
+          / 1e7).as("raw"))
+        .select(col("vec_id"), col("j"), round4(col("raw")).as("proj"))
+        .orderBy("vec_id", "j")
+    }),
+
     // SimHash: 32-bit fingerprint — bit k is the sign of the sum of ±1
     // votes from each distinct token's hash bit k.
     "lsh_simhash" -> ((s, d) => {
@@ -207,6 +230,22 @@ object Lsh {
           WHERE jac >= 0.5
           ORDER BY doc_a, doc_b"""
     },
+
+    "emb_rproject" ->
+      """SELECT vec_id, CAST(j AS INT) AS j,
+                CAST(round(raw * 10000) AS BIGINT) / 10000.0 AS proj
+         FROM (
+           SELECT vec_id, j,
+                  CAST(sum(CAST(round(x * sgn * 1e7) AS BIGINT)) AS BIGINT) / 1e7 AS raw
+           FROM (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                 FROM embeddings, generate_series(0, 63) g(i))
+           JOIN (SELECT j, i,
+                   CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::BIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS sgn
+                 FROM generate_series(0, 7) t(j), generate_series(0, 63) s(i))
+           USING (i)
+           GROUP BY vec_id, j)
+         ORDER BY vec_id, j""",
 
     "lsh_simhash" ->
       s"""SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash
