@@ -24,9 +24,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
 
   // Nested-loop joins that are *intentional*: each broadcasts a provably
-  // tiny side (a dim grid, the k-NN query set, a single-row corpus count).
+  // tiny side (a dim grid, the k-NN query set, a single-row corpus count,
+  // the constant 8×64 random-projection sign matrix).
   private val allowedNestedLoop =
-    Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf")
+    Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject")
 
   // Full-outer reconciliations can't broadcast either side — sort-merge is
   // the correct scale-out strategy for them, and only for them.
