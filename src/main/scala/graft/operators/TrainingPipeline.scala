@@ -132,7 +132,11 @@ object TrainingPipeline {
         .select(col("vec_id"), explode(col("embedding")).as("x"))
         .withColumn("xd", col("x").cast("double"))
         .withColumn("scale", max(abs(col("xd"))).over(perVec) / 127.0)
-        .withColumn("q", round(col("xd") / col("scale")).cast("int"))
+        // all-zero vector ⇒ scale 0: quantize to 0 rather than divide by it
+        // (same CASE on the oracle side, so the guard itself is verified)
+        .withColumn("q",
+          when(col("scale") === 0, 0)
+            .otherwise(round(col("xd") / col("scale")).cast("int")))
         .withColumn("err", col("xd") - col("q") * col("scale"))
         .groupBy("vec_id")
         .agg(
@@ -242,8 +246,10 @@ object TrainingPipeline {
                 CAST(round(max(abs(xd)) * 10000) AS BIGINT) / 10000.0 AS amax
          FROM (
            SELECT vec_id, xd, scale,
-                  CAST(round(xd / scale) AS INT) AS q,
-                  xd - CAST(round(xd / scale) AS INT) * scale AS err
+                  CASE WHEN scale = 0 THEN 0
+                       ELSE CAST(round(xd / scale) AS INT) END AS q,
+                  xd - (CASE WHEN scale = 0 THEN 0
+                             ELSE CAST(round(xd / scale) AS INT) END) * scale AS err
            FROM (
              SELECT vec_id, CAST(x AS DOUBLE) AS xd,
                     max(abs(CAST(x AS DOUBLE))) OVER (PARTITION BY vec_id) / 127.0 AS scale
