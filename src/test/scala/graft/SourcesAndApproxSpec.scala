@@ -87,6 +87,21 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(all.filter(col("segment").isNull).count() == base.count())
   }
 
+  test("observe() attaches pipeline telemetry without a second pass") {
+    // Production sync-loop observability: row counts / sums ride along on
+    // the same job via named observations — no extra action, no extra scan.
+    val obs = new org.apache.spark.sql.Observation("sync_metrics")
+    val out = graft.sources.Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(graft.functions.ExactNum.cents(col("o_totalprice"))).as("cents"))
+      .filter(col("o_orderstatus") === "F")
+    val kept = out.count()
+    val m = obs.get
+    assert(m("rows_seen") == 1500L) // observed BEFORE the filter
+    assert(kept < 1500)
+    assert(m("cents").asInstanceOf[Long] > 0)
+  }
+
   test("D2 approx: HLL++ distinct count is within its error bound") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(
