@@ -146,4 +146,30 @@ object EncodedQuery {
       if (desc) col(f).desc else col(f).asc
     }: _*)
   }
+
+  /** The complete Table-API request emulation: `sysparm_query` +
+    * `sysparm_fields` (projection) + `sysparm_offset`/`sysparm_limit`
+    * (pagination). Everything stays declarative — the filter and projection
+    * reach the parquet scan, and offset/limit compile to Spark's
+    * Offset/Limit operators (a `sysparm_limit`-style page never needs a
+    * full materialization). Pagination requires a total order: pass an
+    * ORDERBY in the query, or the key column to page on via `pageKey`
+    * (pages are nondeterministic otherwise, exactly like the real API
+    * without ORDERBY).
+    */
+  def tableApi(df: DataFrame, q: String, fields: Seq[String] = Nil,
+      offset: Int = 0, limit: Int = -1, pageKey: Option[String] = None): DataFrame = {
+    val p = parse(q)
+    val base = applyTo(df, q)
+    val ordered = (p.orderBy, pageKey) match {
+      case (Nil, Some(k)) => base.orderBy(col(k))
+      case (Nil, None) if offset > 0 || limit >= 0 =>
+        throw new IllegalArgumentException(
+          "pagination needs ORDERBY in the query or a pageKey")
+      case _ => base
+    }
+    val projected = if (fields.isEmpty) ordered else ordered.select(fields.map(col): _*)
+    val off = if (offset > 0) projected.offset(offset) else projected
+    if (limit >= 0) off.limit(limit) else off
+  }
 }

@@ -95,6 +95,23 @@ class EncodedQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("tableApi composes query + fields + offset/limit like the Table API") {
+    // page 2 of size 2 over prio-ordered rows, projected to one field
+    val page = EncodedQuery.tableApi(df, "prio>0^ORDERBYprio",
+      fields = Seq("name", "prio"), offset = 2, limit = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val all = EncodedQuery.applyTo(df, "prio>0^ORDERBYprio")
+      .select("name", "prio")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(page == all.slice(2, 4))
+    // pageKey substitutes for ORDERBY; without either, pagination refuses
+    assert(EncodedQuery.tableApi(df, "prio>0", pageKey = Some("name"),
+      limit = 3).count() == 3)
+    intercept[IllegalArgumentException] {
+      EncodedQuery.tableApi(df, "prio>0", offset = 1, limit = 2)
+    }
+  }
+
   test("compiled predicate reaches the parquet scan as a pushed filter") {
     val q = SparkEntry.queries("b8_encoded_query")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
