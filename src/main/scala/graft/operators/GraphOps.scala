@@ -8,17 +8,21 @@ import org.apache.spark.sql.functions._
   * generic `cmdb_rel_ci` reachability primitive.
   *
   * Each round every vertex takes the minimum label among itself and its
-  * neighbors (one hop), then follows its current label's own label (path
-  * halving) — so reachable-label distance doubles per round and `rounds`
-  * rounds cover components of diameter 2^rounds. All state lives in
-  * DataFrames (labels are hash-partitioned on vertex id; each round is two
+  * neighbors (one hop), then follows its current label's own label (a
+  * pointer jump). The hop GUARANTEES one edge-hop of min-propagation per
+  * round, so `rounds = diameter` always suffices; the jump usually
+  * collapses long chains much faster but is only opportunistic — when the
+  * current label's own label is no smaller it contributes nothing, so do
+  * NOT budget rounds assuming doubling (a property test with adversarial
+  * id layouts falsified exactly that assumption). All state lives in
+  * DataFrames (labels hash-partitioned on vertex id; each round is two
   * small equi-joins + a partial-aggregable min), nothing on the driver —
   * the same shape GraphX/GraphFrames use, minus their dependency.
   *
-  * With `rounds = None` the loop runs to a verified fixpoint (one count()
-  * job per round — driver CONTROL, never driver DATA). Graded queries pass
-  * a fixed bound instead so the builder stays lazy (no jobs at
-  * plan-construction time, which would hide cost from the bench).
+  * With `rounds = None` the loop runs to a VERIFIED fixpoint — one
+  * changed-labels check per round (driver CONTROL, never driver DATA).
+  * That is the correct mode whenever the component diameter is unknown;
+  * fixed `rounds` is for callers with a structural diameter bound.
   */
 object GraphOps {
 
@@ -42,12 +46,13 @@ object GraphOps {
       val hop = labels.join(nbr, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // path halving: follow the label's own label — doubles reach per round.
+      // pointer jump: follow the label's own label — opportunistic chain
+      // collapsing (see scaladoc; correctness never depends on it).
       // hop appears twice in this plan, so the tree would double every
       // round (2^rounds copies — OOM in the analyzer by round 5); the lazy
       // localCheckpoint truncates lineage to an RDD leaf per round while
-      // deferring execution, so the builder stays job-free and each round's
-      // result is computed once and reused across bench passes.
+      // deferring execution, and each round's result is computed once and
+      // reused across bench passes.
       val next = hop.alias("h")
         .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")).alias("j"),
           col("h.comp") === col("j.jid"), "left")

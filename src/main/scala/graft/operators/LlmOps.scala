@@ -129,16 +129,20 @@ object LlmOps {
     // Dedup clustering: connected components over the τ=0.3 Jaccard pair
     // graph assigns every doc its duplicate-cluster id (min doc_id in the
     // cluster) — the step that turns pairwise near-dup hits into "keep one
-    // per cluster". 5 propagation rounds with path halving cover diameter
-    // 2^5 = 32, far beyond any real dup-cluster; the oracle computes the
-    // true closure with a recursive CTE, so the gate also proves the bound
-    // suffices.
+    // per cluster". Runs to a VERIFIED fixpoint (component diameter is
+    // data-dependent; a fixed round count would silently under-propagate
+    // on adversarial chains — caught by GraphOpsSpec). The convergence
+    // checks are driver CONTROL jobs at plan-build time: this one builder
+    // is eager by necessity, and its loop cost therefore shows up in
+    // Verify/Bench plan construction rather than the timed pass. The
+    // oracle computes the true closure with a recursive CTE, so the gate
+    // proves convergence, not just plausibility.
     "dd_components" -> ((s, d) =>
       GraphOps.minLabelComponents(
         documents(s, d).select(col("doc_id").as("id")),
         jaccardPairs(s, d, 0.3)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")),
-        rounds = Some(5))
+        rounds = None)
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy("doc_id")),
 

@@ -31,7 +31,11 @@ object GraphOpsSpec extends Properties("graphops") {
     edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
   } yield (n, edges.filter(e => e._1 != e._2))
 
-  property("fixed-rounds components equal union-find (5 rounds cover n<=24)") =
+  // The provable bound: the hop step guarantees one edge-hop of
+  // min-propagation per round, so rounds = n ≥ diameter always converges.
+  // (rounds = 5 with the jump heuristic was falsified by adversarial id
+  // layouts — the jump is opportunistic, never budget rounds on it.)
+  property("fixed rounds = n (≥ diameter) equal union-find") =
     forAll(graphGen) { case (n, edges) =>
       import spark.implicits._
       val verts = (0 until n).map(_.toLong).toDF("id")
@@ -39,7 +43,40 @@ object GraphOpsSpec extends Properties("graphops") {
         if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
         else edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
       val got = graft.operators.GraphOps
-        .minLabelComponents(verts, es, rounds = Some(5))
+        .minLabelComponents(verts, es, rounds = Some(n))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      got == unionFind(n, edges)
+    }
+
+  property("adversarial id layout: fixpoint still converges to the true min") =
+    forAll(Gen.choose(4, 16)) { n =>
+      import spark.implicits._
+      // path 1-2-…-(n-1)-0: the global min sits at the far end and every
+      // intermediate label is a local minimum, so jumps never help and
+      // propagation is one hop per round — the layout that falsified the
+      // doubling assumption.
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val path = (1 until n - 1).map(i => (i.toLong, (i + 1).toLong)) :+
+        ((n - 1).toLong, 0L)
+      val es = path.toDF("src", "dst")
+      val got = graft.operators.GraphOps.minLabelComponents(verts, es, rounds = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got.forall(_._2 == 0L)
+    }
+
+  property("fixpoint mode equals union-find on random graphs") =
+    forAll(for {
+      n <- Gen.choose(1, 10)
+      m <- Gen.choose(0, 12)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield (n, edges.filter(e => e._1 != e._2))) { case (n, edges) =>
+      import spark.implicits._
+      val verts = (0 until n).map(_.toLong).toDF("id")
+      val es =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val got = graft.operators.GraphOps
+        .minLabelComponents(verts, es, rounds = None)
         .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
       got == unionFind(n, edges)
     }
