@@ -31,10 +31,11 @@ object GraphOps {
     * @return (id, comp) where comp = min vertex id reachable. */
   def minLabelComponents(vertices: DataFrame, edges: DataFrame,
       rounds: Option[Int] = None): DataFrame = {
+    // no distinct(): duplicate/multi-edges are harmless under min() and
+    // deduping them would cost a full shuffle of the edge list every run
     val e = graft.CacheRegistry.materialize(
       edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = graft.CacheRegistry.materialize(
       vertices.select(col("id"), col("id").as("comp")))
     var round = 0

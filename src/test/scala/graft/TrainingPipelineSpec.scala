@@ -22,6 +22,20 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(bySubset("val") > 0.03 * total && bySubset("val") < 0.17 * total)
   }
 
+  test("split-hash buckets are roughly uniform over a large key range") {
+    import spark.implicits._
+    // the 80/10/10 split is only as good as the hash's uniformity: over
+    // 20k sequential keys every percent bucket should be populated evenly
+    val buckets = spark.range(20000)
+      .select((conv(substring(md5(concat(lit("split:"), col("id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets.keySet == (0L until 100L).toSet)
+    // expected 200/bucket; 5σ ≈ 70
+    assert(buckets.values.forall(c => c > 130 && c < 270),
+      s"skewed buckets: ${buckets.toSeq.sortBy(_._2).take(3)} … ${buckets.toSeq.sortBy(-_._2).take(3)}")
+  }
+
   test("tp_split assignment is deterministic across runs and partitionings") {
     val a = run("tp_split").collect().toSeq
     val b = SparkEntry.queries("tp_split")(spark, sf)
