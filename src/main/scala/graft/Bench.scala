@@ -15,7 +15,7 @@ object Bench {
     // run one untimed pass over the whole suite. Spark caches generated code
     // by source, so the warm pass absorbs per-query janino compilation, JIT,
     // and first-plan costs — one-time artifacts of a cold JVM. The timed
-    // pass then measures query execution, which is what a resident engine
+    // passes then measure query execution, which is what a resident engine
     // serves.
     val dfs = SparkEntry.queries.map { case (name, fn) =>
       name -> (try Some(fn(spark, sfDir)) catch { case e: Throwable =>
@@ -24,17 +24,21 @@ object Bench {
     dfs.foreach { case (_, df) =>
       try df.foreach(_.count()) catch { case _: Throwable => () }
     }
+    // Builders that run driver-side control jobs at plan-construction time
+    // (the components fixpoint loop) are REBUILT inside the timing, so the
+    // reported seconds include the work the builder actually does — a
+    // pre-built plan would time only a cached-RDD read for them.
+    val eagerBuilders = Set("dd_components")
     // A failed query records -1 (never a tiny elapsed time) so a regression
-    // that breaks a query can't lower the bench total; `failures` counts them.
-    // Each query is timed twice (separate full passes, GC between) and the
-    // min is kept: at local[32] a single concurrent GC or compilation pause
-    // can inflate a 0.1 s query to >1 s, and min-of-passes measures the
-    // steady-state cost a resident engine actually serves while still
-    // executing the real plan end-to-end each time.
-    def timedPass(): Map[String, Double] = dfs.map { case (name, df) =>
+    // that breaks a query can't lower the bench total; `fail` counts them.
+    def timedPass(): Map[String, Double] = dfs.map { case (name, df0) =>
       val t0 = System.nanoTime()
       val ok =
-        try { df.map(_.count()).isDefined } catch { case e: Throwable =>
+        try {
+          val df = if (eagerBuilders(name))
+            Some(SparkEntry.queries(name)(spark, sfDir)) else df0
+          df.map(_.count()).isDefined
+        } catch { case e: Throwable =>
           System.err.println(s"BENCH FAIL (run) $name: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
@@ -46,28 +50,36 @@ object Bench {
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
-    // The driver parses this JSON out of the LAST ~2000 chars of the run's
-    // output (round 1's full-precision line overflowed that window and came
-    // back unparsed), so per-query seconds are emitted at 2 decimals and the
-    // whole line is kept well under the window even as queries are added.
-    // 2 decimals under 0.1 s, 1 decimal above (run noise is ±30%, so finer
-    // digits are meaningless anyway), trailing zeros trimmed.
     def fmt(v: Double): String = {
       val s = if (v.abs >= 0.095) f"$v%.1f" else f"$v%.2f"
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.toSeq.sortBy(_._1)
+    // Full-precision per-query seconds go to a FILE — the driver parses its
+    // metric out of the LAST ~2000 chars of the run's stdout, and a
+    // 90+-query map no longer fits that window (round 1's full-precision
+    // line already overflowed it once). The stdout line keeps the total
+    // plus only the slow queries (≥0.095 s — the ones worth comparing
+    // round-over-round; sub-0.1 s values are run-to-run noise at local[32]),
+    // with the fast remainder summarized as a count + sum.
+    val detailPath = java.nio.file.Paths.get("bench_detail.json")
+    val detail = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{\"sf\":\"" + new java.io.File(sfDir).getName + "\",\"queries\":{", ",", "}}")
+    java.nio.file.Files.writeString(detailPath, detail)
+    val slow = results.toSeq.filter(_._2 >= 0.095).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val fast = results.values.filter(v => v >= 0 && v < 0.095)
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum + 1e6 * failed
     // "fail" appears only when nonzero — visible on regression, zero cost
-    // on the healthy path (the line competes with the driver's 2000-char
-    // output window).
+    // on the healthy path.
     val failPart = if (failed > 0) s""","fail":$failed""" else ""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failPart,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slow,""" +
+        s""""nfast":${fast.size},"fastsum":${fmt(fast.sum)},""" +
+        s""""detail":"bench_detail.json"$failPart,"sf":"${new java.io.File(sfDir).getName}"}"""
     if (line.length > 1800)
       System.err.println(s"BENCH WARN: JSON line ${line.length} chars — nearing the driver's 2000-char tail window")
     println(line)

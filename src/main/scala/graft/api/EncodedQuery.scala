@@ -82,9 +82,34 @@ object EncodedQuery {
 
   /** Literal cast to the column's type so comparisons are type-correct.
     * Dot-walked fields (`cust_ref.value` — the ServiceNow reference-field
-    * traversal) resolve through nested struct schemas. */
-  private def typed(df: DataFrame, field: String, v: String): Column =
-    lit(v).cast(fieldType(df.schema, field))
+    * traversal) resolve through nested struct schemas.
+    *
+    * The literal is validated at compile time: a runtime cast of an
+    * unparseable literal (`prio>abc` on a numeric column) yields NULL and
+    * silently filters out every row, which would be inconsistent with the
+    * compiler's fail-loudly behavior for unknown fields and operators. */
+  private def typed(df: DataFrame, field: String, v: String): Column = {
+    import scala.util.Try
+    val dt = fieldType(df.schema, field)
+    val parses = dt match {
+      // ANSI cast (Spark 4 default) rejects fractional strings for integral
+      // targets — validate with the same strictness so failure is at
+      // compile time with the field name, not mid-job from codegen.
+      case ByteType | ShortType | IntegerType | LongType =>
+        Try(v.trim.toLong).isSuccess
+      case _: NumericType => Try(new java.math.BigDecimal(v)).isSuccess
+      case DateType => Try(java.time.LocalDate.parse(v)).isSuccess
+      case TimestampType => Seq(
+        Try(java.sql.Timestamp.valueOf(v)),
+        Try(java.time.LocalDate.parse(v)),
+        Try(java.time.Instant.parse(v))).exists(_.isSuccess)
+      case BooleanType => Try(v.trim.toLowerCase.toBoolean).isSuccess
+      case _ => true
+    }
+    require(parses,
+      s"encoded query literal '$v' does not parse as $dt for field '$field'")
+    lit(v).cast(dt)
+  }
 
   private def fieldType(schema: StructType, path: String): DataType =
     path.split('.').foldLeft(schema: DataType) {
@@ -128,10 +153,15 @@ object EncodedQuery {
     }
   }
 
-  /** Compile to a single Catalyst predicate against `df`'s schema. */
+  /** Compile to a single Catalyst predicate against `df`'s schema. An
+    * alternative with no conditions (e.g. `x=1^NQORDERBYfoo`, where the
+    * second alternative is only a sort spec) is match-all — ORed with the
+    * rest, the whole predicate folds to TRUE, matching the Table API's
+    * behavior for a condition-free query. */
   def toPredicate(df: DataFrame, q: String): Column = {
     val p = parse(q)
-    p.alternatives.map { groups =>
+    if (p.alternatives.exists(_.isEmpty)) lit(true)
+    else p.alternatives.map { groups =>
       groups.map(g => g.map(condColumn(df, _)).reduce(_ || _)).reduce(_ && _)
     }.reduce(_ || _)
   }
@@ -140,7 +170,7 @@ object EncodedQuery {
   def applyTo(df: DataFrame, q: String): DataFrame = {
     val p = parse(q)
     val filtered =
-      if (p.alternatives.forall(_.isEmpty)) df else df.filter(toPredicate(df, q))
+      if (p.alternatives.exists(_.isEmpty)) df else df.filter(toPredicate(df, q))
     if (p.orderBy.isEmpty) filtered
     else filtered.orderBy(p.orderBy.map { case (f, desc) =>
       if (desc) col(f).desc else col(f).asc

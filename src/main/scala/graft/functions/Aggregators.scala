@@ -37,7 +37,9 @@ object Aggregators {
     }
 
     override def bufferEncoder: Encoder[(Array[Double], Long)] =
-      Encoders.tuple(Encoders.javaSerialization[Array[Double]], Encoders.scalaLong)
+      Encoders.tuple(
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+        Encoders.scalaLong)
     override def outputEncoder: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   }

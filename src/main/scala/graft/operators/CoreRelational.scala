@@ -60,13 +60,31 @@ object CoreRelational {
     }),
 
     // A5: paginated extract — sysparm_offset/sysparm_limit page loop as
-    // deterministic row_number slicing; two non-adjacent pages reassembled.
+    // key-range pagination: pages 2 and 4 (rows 201-300 and 401-500 in
+    // o_orderkey order). Phase 1 computes the page-boundary KEYS from a
+    // top-(pageEnd) scan of the key column alone (TakeOrderedAndProject —
+    // partial top-k per partition, cost bounded by the cursor depth, never
+    // a table sort). Phase 2 filters the table to those key ranges and
+    // numbers rows with a window PARTITIONED BY page (≤ pageSize rows per
+    // partition, pages in parallel) — no global single-partition window
+    // anywhere, which is what lets the same plan page a 100-TB extract.
+    // The real Table API pages the same way once offsets get deep: the
+    // last-seen key becomes the cursor (`o_orderkey > lastKey LIMIT page`).
     "a5_paginate" -> ((s, d) => {
-      val w = Window.orderBy("o_orderkey")
-      orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .withColumn("rn", row_number().over(w))
-        .filter(expr("((rn - 1) div 100)").isin(2, 4))
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      val bounds = o.select("o_orderkey").orderBy("o_orderkey").limit(500)
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
+        .select(
+          element_at(col("ks"), 201).as("lo2"), element_at(col("ks"), 300).as("hi2"),
+          element_at(col("ks"), 401).as("lo4"), element_at(col("ks"), 500).as("hi4"))
+      val w = Window.partitionBy("page").orderBy("o_orderkey")
+      o.crossJoin(broadcast(bounds))
+        .withColumn("page",
+          when(col("o_orderkey").between(col("lo2"), col("hi2")), 2)
+            .when(col("o_orderkey").between(col("lo4"), col("hi4")), 4))
+        .filter(col("page").isNotNull)
+        .withColumn("rn", (col("page") * 100 + row_number().over(w)).cast("int"))
+        .select("o_orderkey", "o_custkey", "rn")
         .orderBy("rn")
     }),
 
@@ -172,6 +190,18 @@ object CoreRelational {
         orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority"),
         "o_orderstatus=F^o_totalprice>150000^ORo_orderpriority=1-URGENT^ORDERBYo_orderkey")),
+
+    // B9: the rest of the encoded-query grammar at the oracle gate — ^NQ
+    // (independent OR'd alternative), BETWEEN (`lo@hi` value), and ISEMPTY.
+    // Alternative 1: mid-price open orders; alternative 2: empty-priority
+    // rows (none in the fixtures — the branch still compiles and ORs) or
+    // very expensive orders.
+    "b9_encoded_nq" -> ((s, d) =>
+      graft.api.EncodedQuery.applyTo(
+        orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority"),
+        "o_totalpriceBETWEEN100000@150000^o_orderstatus=O" +
+          "^NQo_orderpriorityISEMPTY^ORo_totalprice>400000^ORDERBYo_orderkey")),
 
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
@@ -482,6 +512,14 @@ object CoreRelational {
          FROM orders
          WHERE o_orderstatus = 'F'
            AND (o_totalprice > 150000 OR o_orderpriority = '1-URGENT')
+         ORDER BY o_orderkey""",
+
+    "b9_encoded_nq" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE (o_totalprice BETWEEN 100000 AND 150000 AND o_orderstatus = 'O')
+            OR (o_orderpriority IS NULL OR o_orderpriority = ''
+                OR o_totalprice > 400000)
          ORDER BY o_orderkey""",
 
     "c1_join_broadcast" ->

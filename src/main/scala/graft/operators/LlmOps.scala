@@ -75,22 +75,54 @@ object LlmOps {
       .withColumn("nsh", count(lit(1)).over(perDoc))
   }
 
+  /** Stop-shingle document-frequency cap. The cost of every inverted-index
+    * pair expansion below is Σ_shingle df(shingle)² — one boilerplate
+    * 3-gram shared by a large fraction of the corpus makes a single key
+    * quadratic at scale, so shingles with df above this bound are dropped
+    * from the index before ANY pair generation (candidate and verification
+    * alike; the per-doc set size `nsh` deliberately stays the FULL size, so
+    * a capped pair's Jaccard can only shrink — a hot boilerplate shingle
+    * never manufactures a near-dup). Fixture max df is 25 at sf0.1, so 100
+    * leaves every graded result unchanged while bounding any one shingle's
+    * pair contribution to df² ≤ 10⁴. Mirrored in the oracles as
+    * `HAVING count(*) > cap` anti-joins. */
+  private[graft] val MaxShingleDf = 100
+
   /** The shingle index is referenced 2-3× per consumer and Spark re-evaluates
     * subtrees (ReusedExchange doesn't fire through the window chain), so
     * materialize it once via the registry (the harness owns release;
     * CacheManager keys on the canonical plan, so the Jaccard and MinHash
     * queries share a single copy, ~40 bytes/shingle). At cluster scale this
-    * is the standard "build the dedup index once" materialization. */
-  private[graft] def shingleIndex(df: DataFrame): DataFrame =
-    graft.CacheRegistry.materialize(shingleRows(df))
+    * is the standard "build the dedup index once" materialization.
+    *
+    * The returned index is df-capped: the hot-shingle set (an aggregate of
+    * the materialized index — partial+final, so the skewed key is combined
+    * map-side) is tiny by construction and broadcast into a left-anti join;
+    * no shuffle keys on the skewed shingle itself. */
+  private[graft] def shingleIndex(df: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    val full = graft.CacheRegistry.materialize(shingleRows(df))
+    val hot = full.groupBy("h").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDf).select("h")
+    // the CAPPED index is what every consumer references 2-3× — materialize
+    // it as well, or each reference re-runs the hot-set aggregate + anti-join
+    // over the cached raw index (measured +0.7 s on j2/minhash at sf0.1)
+    graft.CacheRegistry.materialize(full.join(broadcast(hot), Seq("h"), "left_anti"))
+  }
 
   /** Blocked near-dup candidate pairs with exact Jaccard ≥ tau over the
     * shared shingle index: the (lang, length-bucket) block keys bound the
     * pair blow-up and hash-partition cleanly (see j2 scale notes). Used by
     * j2 (τ=0.5 report) and dd_components (τ=0.3 cluster edges). */
   private[graft] def jaccardPairs(s: org.apache.spark.sql.SparkSession,
-      d: String, tau: Double): DataFrame = {
-    val inv = shingleIndex(documents(s, d))
+      d: String, tau: Double): DataFrame =
+    jaccardPairsOf(documents(s, d), tau)
+
+  /** Core of [[jaccardPairs]] over any documents-shaped frame (doc_id, lang,
+    * text) — separated so tests can drive it with synthetic hot-shingle
+    * corpora and a tight `maxDf`. */
+  private[graft] def jaccardPairsOf(docs: DataFrame, tau: Double,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val inv = shingleIndex(docs, maxDf)
     inv.alias("x").join(inv.alias("y"),
         col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -146,14 +178,17 @@ object LlmOps {
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy("doc_id")),
 
-    // J3: similarity search — brute-force top-5 cosine neighbors for a
-    // deterministic query subset (vec_id ≡ 0 mod 100), query set broadcast.
+    // J3: similarity search — brute-force top-5 cosine neighbors for an
+    // explicit bounded query set: the 5 lowest vec_ids via a top-k scan
+    // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
+    // size and total compute is O(5·N) — the exact-oracle baseline; the
+    // IVF/LSH forms in graft.operators.Lsh are the indexed scale paths.
     "j3_topk_cosine" -> ((s, d) => {
       val emb = embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
       val corpus = emb
-      val qs = emb.filter(col("vec_id") % 100 === 0)
+      val qs = emb.orderBy("vec_id").limit(5)
         .select(col("vec_id").as("query_id"), col("v").as("q"), col("nrm").as("qn"))
       val scored = corpus.join(broadcast(qs))
         .withColumn("cos_raw",
@@ -174,6 +209,25 @@ object LlmOps {
         .groupBy("label", "pos")
         .agg(round4(avg(col("e").cast("double"))).as("c"))
         .orderBy("label", "pos")),
+
+    // J4b: the typed-Aggregator form of J4, graded against the SAME oracle —
+    // the K2 extensibility surface proven at the hash gate, not just in unit
+    // tests. The aggregator pre-reduces each map partition to one
+    // (sum-vector, count) buffer per label, so the shuffle carries
+    // n_labels·dim doubles instead of the corpus.
+    "j4b_centroid_typed" -> ((s, d) => {
+      import s.implicits._
+      val cent = new graft.functions.Aggregators.CentroidAggregator(64).toColumn
+      embeddings(s, d).select(col("label"), col("embedding"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(cent)
+        .toDF("label", "cent")
+        .select(col("label"), posexplode(col("cent")).as(Seq("pos", "c")))
+        .select(col("label"), col("pos"), round4(col("c")).as("c"))
+        .orderBy("label", "pos")
+    }),
 
     // J5: text analysis — corpus word frequencies (explode → count).
     "j5_word_freq" -> ((s, d) =>
@@ -365,7 +419,9 @@ object LlmOps {
   private val toksSql = "string_split(text, ' ')"
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jac)` — the oracle
-    * mirror of [[jaccardPairs]] at threshold `tau`. */
+    * mirror of [[jaccardPairsOf]] at threshold `tau`, including the
+    * stop-shingle df cap (`hot`/`capped`): intersections count capped
+    * shingles only, while `nsh` stays the full set size. */
   private def jacPairsCte(tau: Double): String =
     s"""docs AS (
             SELECT doc_id, lang, (len($toksSql)) // 10 AS blk,
@@ -376,9 +432,11 @@ object LlmOps {
             FROM documents),
           sizes AS (SELECT doc_id, len(sh) AS nsh FROM docs),
           inv AS (SELECT doc_id, lang, blk, unnest(sh) AS h FROM docs),
+          hot AS (SELECT h FROM inv GROUP BY h HAVING count(*) > $MaxShingleDf),
+          capped AS (SELECT inv.* FROM inv ANTI JOIN hot USING (h)),
           shared AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-            FROM inv x JOIN inv y
+            FROM capped x JOIN capped y
               ON x.lang = y.lang AND x.blk = y.blk AND x.h = y.h
              AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
@@ -389,6 +447,12 @@ object LlmOps {
               FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
                           JOIN sizes b ON shared.doc_b = b.doc_id)
             WHERE jac >= $tau)"""
+
+  private val centroidSql =
+    """SELECT label, CAST(i AS INT) AS pos,
+              CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+       FROM embeddings, range(64) t(i)
+       GROUP BY label, i ORDER BY label, pos"""
 
   val oracle: Map[String, String] = Map(
     "j1_exact_dedup" ->
@@ -422,7 +486,7 @@ object LlmOps {
                        i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))), (a,x) -> a + x)) AS nrm
               FROM embeddings),
             qs AS (SELECT vec_id AS query_id, embedding AS q, nrm AS qn FROM corpus
-                   WHERE vec_id % 100 = 0),
+                   ORDER BY vec_id LIMIT 5),
             scored AS (
               SELECT query_id, vec_id,
                      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
@@ -436,11 +500,11 @@ object LlmOps {
          WHERE rank <= 5
          ORDER BY query_id, rank""",
 
-    "j4_centroid" ->
-      """SELECT label, CAST(i AS INT) AS pos,
-                CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
-         FROM embeddings, range(64) t(i)
-         GROUP BY label, i ORDER BY label, pos""",
+    "j4_centroid" -> centroidSql,
+
+    // Same oracle on purpose: the typed Aggregator must reproduce the
+    // relational answer bit-for-bit (round4 absorbs partial-sum-order ulps).
+    "j4b_centroid_typed" -> centroidSql,
 
     "j5_word_freq" ->
       s"""SELECT word, count(*) AS cnt

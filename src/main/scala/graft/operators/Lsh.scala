@@ -52,6 +52,29 @@ object Lsh {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Deterministic ±1 sign matrix (`nOut`×64) from md5 parity of "rp:j:i" —
+    * the JL-style projection seed. A crossJoin of two tiny ranges: never
+    * data-sized, always broadcast. */
+  private def signMatrix(s: org.apache.spark.sql.SparkSession, nOut: Int): org.apache.spark.sql.DataFrame =
+    s.range(nOut).select(col("id").cast("int").as("j"))
+      .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
+      .withColumn("sgn",
+        when(conv(substring(md5(concat(lit("rp:"), col("j").cast("string"),
+          lit(":"), col("i").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
+
+  /** Signed random projections (vec_id, j, raw): explode → broadcast-join →
+    * groupBy(vec_id, j) with a scaled-integer sum — one shuffle,
+    * partial-aggregable, order-invariant, so both engines produce the exact
+    * same `raw` (and therefore the exact same sign) for every coordinate. */
+  private def projections(emb: org.apache.spark.sql.DataFrame,
+      mat: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .join(broadcast(mat), "i")
+      .groupBy("vec_id", "j")
+      .agg((sum(round(col("x").cast("double") * col("sgn") * 1e7).cast("long"))
+        / 1e7).as("raw"))
+
   // DuckDB-side shared fragments.
   private val toksSql = "string_split(text, ' ')"
   private val shSql =
@@ -106,21 +129,44 @@ object Lsh {
     // crossJoin of two ranges (never data-sized); the projection itself is
     // explode → broadcast-join → groupBy(vec_id, j) with a scaled-integer
     // sum, so it is one shuffle, partial-aggregable, and order-invariant.
-    "emb_rproject" -> ((s, d) => {
-      val r = s.range(8).select(col("id").cast("int").as("j"))
-        .crossJoin(s.range(64).select(col("id").cast("int").as("i")))
-        .withColumn("sgn",
-          when(conv(substring(md5(concat(lit("rp:"), col("j").cast("string"),
-            lit(":"), col("i").cast("string"))), 1, 15), 16, 10)
-            .cast("long") % 2 === 0, 1.0).otherwise(-1.0))
-      embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .join(broadcast(r), "i")
-        .groupBy("vec_id", "j")
-        .agg((sum(round(col("x").cast("double") * col("sgn") * 1e7).cast("long"))
-          / 1e7).as("raw"))
+    "emb_rproject" -> ((s, d) =>
+      projections(embeddings(s, d), signMatrix(s, 8))
         .select(col("vec_id"), col("j"), round4(col("raw")).as("proj"))
-        .orderBy("vec_id", "j")
+        .orderBy("vec_id", "j")),
+
+    // Embedding near-dup via sign-bucket LSH — the sub-quadratic scale path
+    // for `lsh_emb_near_dup` (whose label-blocked form is the oracle-simple
+    // baseline but quadratic per block). Compose L12: a 16-dim signed
+    // projection's sign bits, split into 4 bands of 4 bits; two vectors are
+    // candidates iff they share any band's 4-bit bucket (equi-join on
+    // (band, band_val) — hash-partitioned, never all-pairs), then exact
+    // cosine verifies candidates. Knobs at scale: bits-per-band grows with
+    // log(corpus/target-bucket-size) to keep buckets bounded, and more
+    // bands (or ±1-bit multiprobe) buys recall — the same trade the banded
+    // MinHash makes. The oracle mirrors the bucketing bit-for-bit (signs of
+    // identical scaled-integer sums), so the gate proves the candidate set
+    // and the verification, while RpNearDupSpec measures recall against the
+    // brute-force all-pairs truth.
+    "lsh_rp_near_dup" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
+      val bands = projections(embeddings(s, d), signMatrix(s, 16))
+        .select(col("vec_id"), expr("j div 4").as("band"),
+          expr("shiftleft(cast(raw >= 0 as int), j % 4)").as("bitv"))
+        .groupBy("vec_id", "band").agg(sum(col("bitv")).as("band_val"))
+      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("band_val"))
+        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("band_val")),
+          Seq("band", "band_val"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b").distinct()
+      cand
+        .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+        .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+        .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos_raw") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
+        .orderBy("vec_a", "vec_b")
     }),
 
     // SimHash: 32-bit fingerprint — bit k is the sign of the sum of ±1
@@ -140,41 +186,10 @@ object Lsh {
         .orderBy("doc_id")
     }),
 
-    // IVF top-k cosine: nearest-centroid cell assignment (centroids rounded
-    // to 4 decimals on both engines → bit-identical cells), then top-5
-    // within the query's cell only.
-    "lsh_ivf_topk" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      val cents = emb
-        .select(col("label").as("clabel"), posexplode(col("v")).as(Seq("pos", "e")))
-        .groupBy("clabel", "pos").agg(round4(avg(col("e"))).as("c"))
-        .groupBy("clabel")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          x => x.getField("c")).as("cent"))
-      val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
-      // referenced as both query set and probe corpus — materialize the
-      // (small) assignment once instead of re-running the centroid pipeline
-      // per reference; at cluster scale this is the stored IVF index. The
-      // registry owns release (see graft.CacheRegistry).
-      val assigned = graft.CacheRegistry.materialize(emb.join(broadcast(cents))
-        .withColumn("dist2",
-          graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
-        .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("clabel").as("cell"),
-          sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))
-      val qs = assigned.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
-          col("nrm").as("qn"))
-      val scored = assigned.join(broadcast(qs), "cell")
-        .withColumn("cos_raw", dot(col("q"), col("v")) / (col("qn") * col("nrm")))
-      val rankW = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(rankW))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
-        .orderBy("query_id", "rank")
-    }),
+    // IVF top-k cosine — see [[ivfTopK]]; the graded setting is nlist=10,
+    // nprobe=1, k=5 over the 5 lowest vec_ids as queries.
+    "lsh_ivf_topk" -> ((s, d) =>
+      ivfTopK(s, d, nlist = 10, nprobe = 1, k = 5, nq = 5)),
 
     // Embedding-cosine near-dup pairs, blocked by label. Norms are computed
     // once per vector before the pair join (1 dot per pair, not 3).
@@ -194,6 +209,58 @@ object Lsh {
     })
   )
 
+  /** Parameterized IVF top-k cosine index + search over `embeddings`.
+    *
+    *  - `nlist` cells, seeded deterministically: seed cell₀ =
+    *    md5-hash(vec_id) mod nlist, centroid = mean of its seed cell
+    *    (rounded to 4 decimals on both engines → bit-identical cells) —
+    *    one k-means assignment step from a hash-random start, no label
+    *    leakage. At scale nlist grows ~√N and more k-means rounds refine
+    *    the same pipeline shape (each round is one broadcast-join + agg).
+    *  - Every vector is assigned to its nearest centroid (its home cell);
+    *    the assignment is materialized once — at cluster scale this is the
+    *    stored IVF index (the registry owns release, see graft.CacheRegistry).
+    *  - Queries are an explicit bounded set (the `nq` lowest vec_ids via a
+    *    top-k scan), each probing its `nprobe` nearest cells, so the
+    *    broadcast is O(nq·nprobe·dim) regardless of corpus size and compute
+    *    is ~nq·nprobe/nlist of brute force. IvfSpec measures recall vs the
+    *    brute-force truth at nprobe 1 and 2.
+    */
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nlist: Int, nprobe: Int, k: Int, nq: Int): org.apache.spark.sql.DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val seeded = emb.withColumn("cell0",
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % nlist).cast("int"))
+    val cents = seeded
+      .select(col("cell0").as("clabel"), posexplode(col("v")).as(Seq("pos", "e")))
+      .groupBy("clabel", "pos").agg(round4(avg(col("e"))).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
+    val ranked = graft.CacheRegistry.materialize(emb.join(broadcast(cents))
+      .withColumn("dist2",
+        graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
+      .withColumn("rnk", row_number().over(assignW))
+      .filter(col("rnk") <= math.max(1, nprobe))
+      .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))
+    val corpus = ranked.filter(col("rnk") === 1)
+    val qIds = corpus.select("vec_id").orderBy("vec_id").limit(nq)
+    val qs = ranked.join(broadcast(qIds), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"),
+        col("nrm").as("qn"))
+    val scored = corpus.join(broadcast(qs), "cell")
+      .withColumn("cos_raw", dot(col("q"), col("v")) / (col("qn") * col("nrm")))
+    val rankW = Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   // Oracle-side simhash term list, generated to mirror the Spark bit loop.
   private val simhashTermsSql: String = (0 until 32).map { k =>
     s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1)*2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
@@ -210,9 +277,13 @@ object Lsh {
             SELECT doc_id, list_distinct(list_transform($shSql,
               s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS hs
             FROM documents),
+          inv AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+          hot AS (SELECT h FROM inv GROUP BY h
+                  HAVING count(*) > ${LlmOps.MaxShingleDf}),
+          capped AS (SELECT inv.doc_id, inv.h FROM inv ANTI JOIN hot USING (h)),
           sigs AS (
             SELECT doc_id, $minCols
-            FROM (SELECT doc_id, unnest(hs) AS h FROM docs)
+            FROM capped
             GROUP BY doc_id),
           bands AS (
             $bandSelects),
@@ -220,13 +291,16 @@ object Lsh {
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-             AND a.doc_id < b.doc_id)
+             AND a.doc_id < b.doc_id),
+          cdocs AS (SELECT doc_id, list(h) AS ch FROM capped GROUP BY doc_id)
           SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM (
             SELECT doc_a, doc_b,
-                   CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
-                   (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs))) AS jac
+                   CAST(len(list_intersect(cx.ch, cy.ch)) AS DOUBLE) /
+                   (len(x.hs) + len(y.hs) - len(list_intersect(cx.ch, cy.ch))) AS jac
             FROM cand JOIN docs x ON cand.doc_a = x.doc_id
-                      JOIN docs y ON cand.doc_b = y.doc_id)
+                      JOIN docs y ON cand.doc_b = y.doc_id
+                      JOIN cdocs cx ON cand.doc_a = cx.doc_id
+                      JOIN cdocs cy ON cand.doc_b = cy.doc_id)
           WHERE jac >= 0.5
           ORDER BY doc_a, doc_b"""
     },
@@ -247,6 +321,40 @@ object Lsh {
            GROUP BY vec_id, j)
          ORDER BY vec_id, j""",
 
+    "lsh_rp_near_dup" ->
+      s"""WITH mat AS (
+            SELECT j, i,
+                   CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::BIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS sgn
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(i)),
+          proj AS (
+            SELECT vec_id, j,
+                   CAST(sum(CAST(round(x * sgn * 1e7) AS BIGINT)) AS BIGINT) / 1e7 AS raw
+            FROM (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                  FROM embeddings, generate_series(0, 63) g(i))
+            JOIN mat USING (i)
+            GROUP BY vec_id, j),
+          bands AS (
+            SELECT vec_id, j // 4 AS band,
+                   sum(CAST(raw >= 0 AS INT) * (1 << (j % 4))) AS band_val
+            FROM proj GROUP BY vec_id, j // 4),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id),
+          e AS (
+            SELECT vec_id, embedding,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings)
+          SELECT vec_a, vec_b, ${sqlRound4("cos_raw")} AS cos FROM (
+            SELECT vec_a, vec_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_raw
+            FROM cand JOIN e a ON cand.vec_a = a.vec_id
+                      JOIN e b ON cand.vec_b = b.vec_id)
+          WHERE cos_raw >= 0.4
+          ORDER BY vec_a, vec_b""",
+
     "lsh_simhash" ->
       s"""SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash
           FROM (SELECT doc_id,
@@ -256,11 +364,15 @@ object Lsh {
           ORDER BY doc_id""",
 
     "lsh_ivf_topk" ->
-      s"""WITH cents AS (
+      s"""WITH seeded AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 10 AS INT) AS cell0
+            FROM embeddings),
+          cents AS (
             SELECT clabel, list(c ORDER BY pos) AS cent FROM (
-              SELECT label AS clabel, i AS pos,
+              SELECT cell0 AS clabel, i AS pos,
                      CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
-              FROM embeddings, range(64) t(i) GROUP BY 1, 2)
+              FROM seeded, range(64) t(i) GROUP BY 1, 2)
             GROUP BY clabel),
           assigned AS (
             SELECT vec_id, embedding, cell FROM (
@@ -277,7 +389,7 @@ object Lsh {
                    sqrt(${dotSql("embedding", "embedding")}) AS nrm
             FROM assigned),
           qs AS (SELECT vec_id AS query_id, embedding AS q, cell, nrm AS qn
-                 FROM normed WHERE vec_id % 100 = 0),
+                 FROM normed ORDER BY vec_id LIMIT 5),
           scored AS (
             SELECT qs.query_id, a.vec_id,
                    ${dotSql("qs.q", "a.embedding")} / (qs.qn * a.nrm) AS cos_raw

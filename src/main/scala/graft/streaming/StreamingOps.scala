@@ -132,11 +132,77 @@ object StreamingOps {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** I7 production form: last-writer-wins upsert merge-written into a
+    * versioned parquet table via foreachBatch — the shape a real
+    * lakehouse-style sink has (Delta/Iceberg MERGE is this loop with a
+    * transaction log; here the "log" is a `_VERSION` pointer file written
+    * after the new snapshot lands, so readers always see a complete
+    * version and a crashed batch merely leaves an orphaned directory).
+    *
+    * Per micro-batch, everything stays distributed DataFrame work: reduce
+    * the batch to its latest row per key (window over the batch only),
+    * union with the current table snapshot, keep the winner per key, write
+    * the next version. No driver-side collection at any size; the
+    * read-merge-write is O(table + batch) per batch, which is the honest
+    * cost of upsert-on-parquet (a real table format turns it into
+    * O(affected files) via file-level pruning on the same plan).
+    */
+  def runUpsertSinkToParquet(spark: SparkSession, events: Dataset[_],
+      checkpoint: String, target: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val q = events.toDF()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val latest = batch
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        // next version = pointer + 1 (not batchId: a restart with a fresh
+        // checkpoint must never overwrite the snapshot it is reading from)
+        val verPtr = Paths.get(target, "_VERSION")
+        val (prev, next) =
+          if (Files.exists(verPtr)) {
+            val cur = Files.readString(verPtr).trim
+            (Some(spark.read.parquet(s"$target/$cur")),
+              s"v${cur.stripPrefix("v").toLong + 1}")
+          } else (None, "v0")
+        val merged = prev
+          .map(_.unionByName(latest)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn"))
+          .getOrElse(latest)
+        merged.write.mode("overwrite").parquet(s"$target/$next")
+        // publish: write-then-atomic-move so a reader never sees a torn pointer
+        val tmp = Paths.get(target, "_VERSION.tmp")
+        Files.writeString(tmp, next)
+        Files.move(tmp, verPtr, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read the current snapshot of a [[runUpsertSinkToParquet]] target. */
+  def currentUpsertTable(spark: SparkSession, target: String): DataFrame = {
+    val cur = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(target, "_VERSION")).trim
+    spark.read.parquet(s"$target/$cur")
+  }
+
   /** I7 stream form: last-writer-wins upsert into a driver-side store via
     * foreachBatch — the DynamoDB-style merge sink. Returns the store.
     * (In production the merge target would be a table/ external KV; the
     * merge logic per micro-batch — reduce batch to latest per key, then
-    * overwrite — is the part this demonstrates.)
+    * overwrite — is the part this demonstrates; [[runUpsertSinkToParquet]]
+    * is the table-target form.)
     */
   def runUpsertSink(spark: SparkSession, events: Dataset[_], checkpoint: String)
       : scala.collection.concurrent.Map[Long, (Long, String)] = {

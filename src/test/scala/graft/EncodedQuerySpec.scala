@@ -112,6 +112,31 @@ class EncodedQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("an empty ^NQ alternative is match-all, not an empty.reduce crash") {
+    // second alternative carries only a sort spec → matches everything
+    assert(names("prio=1^NQORDERBYname") ==
+      Seq("alpha", "beta", "delta", "disk failure", "gamma", "omega"))
+    // direct predicate form folds to TRUE as well
+    assert(df.filter(EncodedQuery.toPredicate(df, "prio=1^NQORDERBYname"))
+      .count() == df.count())
+  }
+
+  test("unparseable literals fail at compile time, not as silent NULL filters") {
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prio>abc").collect()
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prioBETWEEN1@abc").collect()
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prioIN1,x").collect()
+    }
+    // ANSI cast rejects fractional→integral: caught at compile time too
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(df, "prio>2.5").collect()
+    }
+  }
+
   test("compiled predicate reaches the parquet scan as a pushed filter") {
     val q = SparkEntry.queries("b8_encoded_query")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString

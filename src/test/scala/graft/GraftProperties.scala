@@ -141,6 +141,21 @@ object GraftProperties extends Properties("graft") {
       got == want
     }
 
+  property("stop-shingle df cap bounds inverted-index pair blow-up") =
+    forAll(Gen.choose(8, 16)) { n =>
+      import spark.implicits._
+      // every doc shares one hot trigram ("hot stop phrase"); all other
+      // shingles are per-doc unique, all docs land in the same (lang, blk)
+      // block — uncapped, the hot shingle alone manufactures all C(n,2)
+      // candidate pairs; capped, it is dropped and no pair survives.
+      val docs = (0 until n).map(i =>
+        (i.toLong, "en", s"u${i}a u${i}b u${i}c hot stop phrase u${i}d u${i}e u${i}f"))
+        .toDF("doc_id", "lang", "text")
+      val uncapped = operators.LlmOps.jaccardPairsOf(docs, 0.0001, maxDf = n).count()
+      val capped = operators.LlmOps.jaccardPairsOf(docs, 0.0001, maxDf = 5).count()
+      uncapped == n.toLong * (n - 1) / 2 && capped == 0L
+    }
+
   property("semi and anti joins partition the left side") =
     forAll(Gen.listOfN(15, Gen.choose(0, 10)), Gen.listOfN(15, Gen.choose(0, 10))) {
       (left, right) =>

@@ -25,13 +25,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   // Nested-loop joins that are *intentional*: each broadcasts a provably
   // tiny side (a dim grid, the k-NN query set, a single-row corpus count,
-  // the constant 8×64 random-projection sign matrix).
+  // the constant random-projection sign matrix, a5's one-row page bounds).
   private val allowedNestedLoop =
-    Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject")
+    Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject",
+      "a5_paginate", "lsh_rp_near_dup")
 
-  // Full-outer reconciliations can't broadcast either side — sort-merge is
-  // the correct scale-out strategy for them, and only for them.
-  private val allowedSortMerge = Set("c4_join_full", "i8_snapshot_diff")
+  // Shuffle joins that are *correct at scale*: full-outer reconciliations
+  // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
+  // data-sized × data-sized EQUI join on (band, band_val) — hash-partitioned
+  // by bucket, exactly the shape that replaces all-pairs; broadcasting it
+  // would be wrong at 100 TB. (The no-cartesian test above still pins that
+  // it never degrades past an equi join.)
+  private val allowedSortMerge =
+    Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
@@ -66,7 +72,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("filters reach the parquet scan where the query filters a base table") {
-    val mustPush = Seq("b2_filter_compound", "b8_encoded_query",
+    val mustPush = Seq("b2_filter_compound", "b8_encoded_query", "b9_encoded_nq",
       "c1_join_broadcast", "c2_star_join", "d1_pricing_summary",
       "i6_delta_filter", "j6_quality_filter")
     val offenders = mustPush.filterNot(n =>

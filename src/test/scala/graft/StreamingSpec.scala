@@ -234,6 +234,30 @@ class StreamingSpec extends AnyFunSuite {
       Seq((2L, 1L), (6L, 4L), (6L, 5L)))
   }
 
+  test("parquet upsert sink: on-disk table equals the batch i7_upsert result") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the real sf0.001 change feed, streamed in two separate runs (second
+    // run merges into the first run's published snapshot — the restart path)
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq
+    val (first, second) = feed.splitAt(feed.size * 2 / 3)
+    val target = java.nio.file.Files.createTempDirectory("upsert_tbl").toString
+    Seq(first, second).foreach { chunk =>
+      val mem = MemoryStream[Ev]
+      mem.addData(chunk: _*)
+      val ck = java.nio.file.Files.createTempDirectory("ck").toString
+      StreamingOps.runUpsertSinkToParquet(spark, mem.toDS(), ck, target)
+    }
+    val got = StreamingOps.currentUpsertTable(spark, target)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"))
+      .orderBy("user_id").collect().toSeq
+    val want = SparkEntry.queries("i7_upsert")(spark, sf).collect().toSeq
+    assert(got == want)
+  }
+
   test("foreachBatch upsert sink converges to last-writer-wins state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
