@@ -202,4 +202,23 @@ object EncodedQuery {
     val off = if (offset > 0) projected.offset(offset) else projected
     if (limit >= 0) off.limit(limit) else off
   }
+
+  /** Key-cursor pagination — the deep-page form of [[tableApi]]. A page is
+    * "the first `limit` rows with `pageKey` beyond `afterKey`", so the cost
+    * of page N is O(scan + limit) via a pushed-down range filter and a
+    * top-k (TakeOrderedAndProject), never O(offset) — `offset(1e9)` must
+    * materialize and discard a billion rows, a cursor never does. This is
+    * also how the real Table API is paged at depth (sysparm_query
+    * `key>last_seen` + sysparm_limit). The cursor for the next page is the
+    * last row's `pageKey` value. */
+  def pageAfter(df: DataFrame, q: String, pageKey: String,
+      afterKey: Option[Any], limit: Int): DataFrame = {
+    require(limit > 0, "pageAfter needs a positive page size")
+    val base = applyTo(df, q)
+    val from = afterKey match {
+      case Some(k) => base.filter(col(pageKey) > lit(k))
+      case None => base
+    }
+    from.orderBy(col(pageKey)).limit(limit)
+  }
 }

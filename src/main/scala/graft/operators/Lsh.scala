@@ -147,27 +147,8 @@ object Lsh {
     // identical scaled-integer sums), so the gate proves the candidate set
     // and the verification, while RpNearDupSpec measures recall against the
     // brute-force all-pairs truth.
-    "lsh_rp_near_dup" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
-      val bands = projections(embeddings(s, d), signMatrix(s, 16))
-        .select(col("vec_id"), expr("j div 4").as("band"),
-          expr("shiftleft(cast(raw >= 0 as int), j % 4)").as("bitv"))
-        .groupBy("vec_id", "band").agg(sum(col("bitv")).as("band_val"))
-      val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("band_val"))
-        .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("band_val")),
-          Seq("band", "band_val"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct()
-      cand
-        .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
-        .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
-        .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos_raw") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
-        .orderBy("vec_a", "vec_b")
-    }),
+    "lsh_rp_near_dup" -> ((s, d) =>
+      rpNearDup(s, d, nBits = 16, bandBits = 4, tau = 0.4)),
 
     // SimHash: 32-bit fingerprint — bit k is the sign of the sum of ±1
     // votes from each distinct token's hash bit k.
@@ -209,6 +190,58 @@ object Lsh {
     })
   )
 
+  /** Sign-bucket LSH near-dup over `embeddings` — the parameterized form of
+    * `lsh_rp_near_dup`. `nBits` signed projections split into bands of
+    * `bandBits` sign bits; two vectors are candidates iff they share a
+    * band's bucket value, then exact cosine ≥ `tau` verifies. Knobs:
+    *
+    *  - `bandBits` sets bucket occupancy (2^bandBits buckets per band —
+    *    grow it ~log(corpus/target-bucket-size) to stay sub-quadratic);
+    *  - `nBits/bandBits` bands buy recall (any-band-matches semantics);
+    *  - `multiprobe` = m additionally probes, per band, every bucket within
+    *    Hamming distance m of one side's bucket (side A emits the probe
+    *    set, side B stays exact — a true pair disagreeing on ≤ m sign bits
+    *    in some band is still found). Recall without more bands, at
+    *    ×(1 + Σ C(bandBits, i)) candidate cost.
+    *
+    * Both the bucket index (`bands`) and the candidates stay equi-joined,
+    * hash-partitioned DataFrames; AnnRecallSpec pins recall vs the
+    * brute-force truth at multiprobe 0 and 1. */
+  private[graft] def rpNearDup(s: org.apache.spark.sql.SparkSession, d: String,
+      nBits: Int, bandBits: Int, tau: Double, multiprobe: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    require(nBits % bandBits == 0, s"nBits=$nBits not divisible by bandBits=$bandBits")
+    require(multiprobe <= 1, "only ±1-bit multiprobe is implemented")
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
+    // both sides of the candidate self-join reference `bands` — materialize
+    // it once (nBits/bandBits small rows per vector) or the explode→agg
+    // pipeline runs twice; at cluster scale this is the stored bucket index
+    val bands = graft.CacheRegistry.materialize(
+      projections(embeddings(s, d), signMatrix(s, nBits))
+        .select(col("vec_id"), expr(s"j div $bandBits").as("band"),
+          expr(s"shiftleft(cast(raw >= 0 as int), j % $bandBits)").as("bitv"))
+        .groupBy("vec_id", "band").agg(sum(col("bitv")).as("band_val")))
+    val aProbes =
+      if (multiprobe == 0) bands
+      else bands.select(col("vec_id"), col("band"),
+        explode(array(col("band_val") +: (0 until bandBits).map(k =>
+          col("band_val").bitwiseXOR(lit(1L << k))): _*)).as("band_val"))
+    val cand = aProbes.select(col("vec_id").as("vec_a"), col("band"), col("band_val"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("band_val")),
+        Seq("band", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= tau)
+      .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Parameterized IVF top-k cosine index + search over `embeddings`.
     *
     *  - `nlist` cells, seeded deterministically: seed cell₀ =
@@ -223,27 +256,41 @@ object Lsh {
     *  - Queries are an explicit bounded set (the `nq` lowest vec_ids via a
     *    top-k scan), each probing its `nprobe` nearest cells, so the
     *    broadcast is O(nq·nprobe·dim) regardless of corpus size and compute
-    *    is ~nq·nprobe/nlist of brute force. IvfSpec measures recall vs the
-    *    brute-force truth at nprobe 1 and 2.
+    *    is ~nq·nprobe/nlist of brute force. AnnRecallSpec measures recall
+    *    vs the brute-force truth at nprobe 1 and 2.
+    *  - `refine` runs that many Lloyd (k-means) rounds from the hash seed —
+    *    each round is one broadcast-join + aggregate over the corpus, so
+    *    index build cost is linear in rounds at any scale.
     */
   private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      nlist: Int, nprobe: Int, k: Int, nq: Int): org.apache.spark.sql.DataFrame = {
+      nlist: Int, nprobe: Int, k: Int, nq: Int, refine: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val seeded = emb.withColumn("cell0",
-      (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % nlist).cast("int"))
-    val cents = seeded
+    val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
+    // per-cell mean vectors, rounded so both engines build identical cells
+    def centroidsOf(assigned: org.apache.spark.sql.DataFrame) = assigned
       .select(col("cell0").as("clabel"), posexplode(col("v")).as(Seq("pos", "e")))
       .groupBy("clabel", "pos").agg(round4(avg(col("e"))).as("c"))
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cent"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
-    val ranked = graft.CacheRegistry.materialize(emb.join(broadcast(cents))
+    def nearestCell(cents: org.apache.spark.sql.DataFrame) = emb
+      .join(broadcast(cents))
       .withColumn("dist2",
         graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
       .withColumn("rnk", row_number().over(assignW))
+    val seeded = emb.withColumn("cell0",
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % nlist).cast("int"))
+    // optional Lloyd rounds: reassign to the nearest centroid, recompute
+    // means — each round is one broadcast-join + one aggregate, the same
+    // pipeline shape at any scale (empty cells simply drop out)
+    val cents = (0 until refine).foldLeft(centroidsOf(seeded)) { (c, _) =>
+      centroidsOf(nearestCell(c).filter(col("rnk") === 1)
+        .select(col("clabel").as("cell0"), col("v")))
+    }
+    val ranked = graft.CacheRegistry.materialize(nearestCell(cents)
       .filter(col("rnk") <= math.max(1, nprobe))
       .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
         sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))

@@ -51,6 +51,31 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall collapsed: $recall (${got.size}/${truePairs.size})")
   }
 
+  test("±1-bit multiprobe buys recall without more bands, still exact-verified") {
+    def pairs(multiprobe: Int): Set[(Long, Long)] =
+      graft.operators.Lsh.rpNearDup(spark, d, nBits = 16, bandBits = 4,
+        tau = 0.4, multiprobe = multiprobe)
+        .select("vec_a", "vec_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val probed = pairs(1)
+    assert(exact.subsetOf(probed), "multiprobe can only add candidates")
+    assert(probed.subsetOf(truePairs), "probed pairs must still verify exactly")
+    assert(probed.size > exact.size,
+      s"±1-bit probing found nothing new (${exact.size} -> ${probed.size})")
+  }
+
+  test("IVF: a Lloyd refinement round keeps the index sound") {
+    val refined = graft.operators.Lsh.ivfTopK(spark, d, nlist = 10, nprobe = 1,
+      k = 5, nq = 5, refine = 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 5 queries × full top-5 each, and every query still retrieves itself
+    // (cos=1 with itself is always in its own home cell)
+    assert(refined.size == 25)
+    assert(refined.count { case (q, v) => q == v } == 5)
+  }
+
   test("IVF: nprobe=2 strictly dominates nprobe=1, with pinned top-5 recall") {
     def recallAt(nprobe: Int): Double = {
       val got = graft.operators.Lsh.ivfTopK(spark, d, nlist = 10, nprobe = nprobe,

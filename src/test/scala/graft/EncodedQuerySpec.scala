@@ -137,6 +137,34 @@ class EncodedQuerySpec extends AnyFunSuite {
     }
   }
 
+  test("key-cursor pagination walks the full result with bounded pages") {
+    // cursor pages must reassemble exactly the ordered full result
+    val full = EncodedQuery.applyTo(df, "prio>0").orderBy("name")
+      .select("name").collect().map(_.getString(0)).toSeq
+    var cursor: Option[Any] = None
+    var out = Vector.empty[String]
+    var pageN = 0
+    while (pageN == 0 || cursor.isDefined) {
+      val page = EncodedQuery.pageAfter(df, "prio>0", "name", cursor, 2)
+        .select("name").collect().map(_.getString(0)).toSeq
+      out ++= page
+      cursor = if (page.size < 2) None else Some(page.last)
+      pageN += 1
+    }
+    assert(out == full)
+    assert(pageN == 4) // 6 rows / page size 2 → 3 full pages + short page
+    // the page plan is a top-k, not a global sort, and the cursor range
+    // filter is pushable — the O(offset) cost never appears
+    val planned = EncodedQuery.pageAfter(
+      graft.sources.Tables.orders(spark, sf), "", "o_orderkey",
+      Some(100L), 10)
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(o_orderkey".r
+      .findFirstIn(plan).isDefined, s"cursor filter not pushed:\n$plan")
+  }
+
   test("compiled predicate reaches the parquet scan as a pushed filter") {
     val q = SparkEntry.queries("b8_encoded_query")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
