@@ -96,11 +96,14 @@ object Lsh {
       val sigs = inv.groupBy("doc_id").agg(
         min((col("h") * A(0) + B(0)) % P).as("mh0"),
         (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
-      val bands = sigs.select(col("doc_id"),
+      // both sides of the candidate self-join reference `bands` — materialize
+      // it (8 small rows per doc) or the signature aggregate + band explode
+      // run twice; at cluster scale this is the stored LSH band index
+      val bands = graft.CacheRegistry.materialize(sigs.select(col("doc_id"),
         posexplode(array((0 until nBands).map(b =>
           concat(col(s"mh${2 * b}").cast("string"), lit("_"),
             col(s"mh${2 * b + 1}").cast("string"))): _*))
-          .as(Seq("band_idx", "band_val")))
+          .as(Seq("band_idx", "band_val"))))
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
           Seq("band_idx", "band_val"))
