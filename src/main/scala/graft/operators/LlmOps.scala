@@ -178,6 +178,28 @@ object LlmOps {
         .select(col("id").as("doc_id"), col("comp"))
         .orderBy("doc_id")),
 
+    // Dedup outcome: keep one representative per duplicate cluster — the
+    // step that turns L9's component ids into the deduplicated corpus. The
+    // representative is the cluster's min doc_id, i.e. exactly the rows
+    // whose component label equals their own id; a left-semi join against
+    // that keep set prunes the corpus. The semi join is data×data on
+    // doc_id (most docs are singleton clusters, so the keep set is
+    // corpus-sized and must NOT be broadcast — the shuffle join is the
+    // correct 100-TB shape here).
+    "dd_keep_one" -> ((s, d) => {
+      val keep = GraphOps.minLabelComponents(
+        documents(s, d).select(col("doc_id").as("id")),
+        jaccardPairs(s, d, 0.3)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        rounds = None)
+        .filter(col("id") === col("comp"))
+        .select(col("id").as("doc_id"))
+      documents(s, d)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // J3: similarity search — brute-force top-5 cosine neighbors for an
     // explicit bounded query set: the 5 lowest vec_ids via a top-k scan
     // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
@@ -478,6 +500,21 @@ object LlmOps {
             SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
           SELECT src AS doc_id, min(dst) AS comp
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    "dd_keep_one" ->
+      s"""WITH RECURSIVE ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a),
+          comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src)
+          SELECT d.doc_id, d.lang, d.source, d.n_chars
+          FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+          WHERE c.doc_id = c.comp
+          ORDER BY d.doc_id""",
 
     "j3_topk_cosine" ->
       """WITH corpus AS (

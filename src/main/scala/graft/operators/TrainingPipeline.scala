@@ -56,6 +56,21 @@ object TrainingPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy("subset", "lang")),
 
+    // tp_sample_stratified: deterministic per-stratum sampling — each source
+    // keeps a configured fraction (src0 20%, others 10%) chosen by a salted
+    // portable hash threshold on the stable key. Spark's own
+    // df.stat.sampleBy draws from rand() (non-reproducible, partitioning-
+    // dependent); the hash-threshold form is reproducible run-to-run,
+    // repartition-stable, resume-safe, and engine-portable — membership is
+    // a pure row-local predicate (no shuffle, pushable, codegen'd).
+    "tp_sample_stratified" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("bucket", pct("smp:", col("doc_id")))
+        .filter(col("bucket") <
+          when(col("source") === "src0", 20).otherwise(10))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // tp_chunk: fixed context windows of 64 tokens with stride 48 (16-token
     // overlap) — the standard LM-pretraining chunker. Chunk text is reported
     // as its md5 so the gate pins exact chunk boundaries and content without
@@ -196,6 +211,13 @@ object TrainingPipeline {
                    ELSE 'test' END AS subset
             FROM documents)
           GROUP BY subset, lang ORDER BY subset, lang""",
+
+    "tp_sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars
+          FROM documents
+          WHERE ${sqlPct("smp:", "doc_id")} <
+                CASE WHEN source = 'src0' THEN 20 ELSE 10 END
+          ORDER BY doc_id""",
 
     "tp_chunk" ->
       """SELECT doc_id, CAST(gs // 48 AS INT) AS chunk_idx,

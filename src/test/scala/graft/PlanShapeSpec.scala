@@ -36,8 +36,11 @@ class PlanShapeSpec extends AnyFunSuite {
   // by bucket, exactly the shape that replaces all-pairs; broadcasting it
   // would be wrong at 100 TB. (The no-cartesian test above still pins that
   // it never degrades past an equi join.)
+  // dd_keep_one's semi join prunes a corpus-sized table against a
+  // corpus-sized keep set (most clusters are singletons) — broadcasting
+  // either side would be wrong at scale.
   private val allowedSortMerge =
-    Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup")
+    Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
