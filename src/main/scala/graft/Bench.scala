@@ -45,7 +45,12 @@ object Bench {
     // min over 3 passes: at local[32] a single concurrent GC inflates a
     // 0.1 s query to >1 s, and full-suite totals swing ±30% run-to-run;
     // the per-query min converges on the steady-state cost.
-    val passes = Seq.fill(3) { System.gc(); timedPass() }
+    // drop the shared components index before each pass: one pass = one
+    // honest index build (whichever dd_* query runs first pays it; the
+    // other reads the shared index, which is the real serving shape)
+    val passes = Seq.fill(3) {
+      operators.LlmOps.clearComponentsMemo(); System.gc(); timedPass()
+    }
     val results = dfs.keys.map { name =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)

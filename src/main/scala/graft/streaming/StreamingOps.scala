@@ -132,6 +132,20 @@ object StreamingOps {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment join: each event joined to a static dimension
+    * snapshot (the CMDB "reference field" resolution done stream-side). The
+    * static side is broadcast per micro-batch — no stream state at all, so
+    * unlike a stream-stream join this needs no watermark and never grows;
+    * the dimension is re-read each batch, so a slowly-changing dimension is
+    * picked up at batch granularity. The batch twin is the identical plan
+    * over a static frame (proven by StreamingSpec). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events("user_id") === dim("dim_user_id"), "left")
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        dim("segment"))
+
   /** I7 production form: last-writer-wins upsert merge-written into a
     * versioned parquet table via foreachBatch — the shape a real
     * lakehouse-style sink has (Delta/Iceberg MERGE is this loop with a

@@ -234,6 +234,23 @@ class StreamingSpec extends AnyFunSuite {
       Seq((2L, 1L), (6L, 4L), (6L, 5L)))
   }
 
+  test("stream-static enrichment join equals the batch twin, stateless") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("dim_user_id", "segment")
+    val mem = MemoryStream[Ev]
+    mem.addData(evs: _*)
+    val q = StreamingOps.enrichWithDim(mem.toDF(), dim)
+      .writeStream.outputMode("append").format("memory").queryName("enrich").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("enrich").orderBy("event_id").collect().toSeq
+    val batch = StreamingOps.enrichWithDim(evs.toDF(), dim)
+      .orderBy("event_id").collect().toSeq
+    assert(streamed == batch)
+    // user 2 has no dim row → left join keeps the event with a null segment
+    assert(streamed.count(_.isNullAt(3)) == 3)
+  }
+
   test("parquet upsert sink: on-disk table equals the batch i7_upsert result") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
