@@ -87,20 +87,35 @@ object WindowedAnalytics {
     }),
 
     // E4: moving aggregate — trailing-7-day average of daily revenue.
-    // Input is pre-reduced to one row per day, so the unpartitioned window
-    // ranges over ~2.4k rows regardless of fact-table scale.
+    // Input is pre-reduced to one row per day, but even that time line is
+    // windowed PARTITIONED: fixed 365-day blocks, with the last 6 days of
+    // each block replicated into the next block as "halo" rows so every
+    // trailing frame is complete inside its block (a frame never sees both
+    // copies — they live in different partitions — and halo rows are
+    // dropped after the window). Identical results to the global window,
+    // no single-partition WindowExec anywhere in the suite, and the shape
+    // holds for a time line of any length.
     "e4_moving_avg" -> ((s, d) => {
       val daily = orders(s, d)
         .groupBy(datediff(to_date(col("o_orderdate")),
           lit("1970-01-01").cast("date")).as("day_num"))
         .agg(sum(cents(col("o_totalprice"))).as("day_cents"))
-      val w = Window.orderBy("day_num").rangeBetween(-6, 0)
-      daily
+      val base = daily.select(col("day_num"), col("day_cents"),
+        expr("day_num div 365").as("blk"), lit(false).as("halo"))
+      val halos = daily
+        .filter(expr("(day_num div 365) != ((day_num + 6) div 365)"))
+        .select(col("day_num"), col("day_cents"),
+          expr("(day_num div 365) + 1").as("blk"), lit(true).as("halo"))
+      val w = Window.partitionBy("blk").orderBy("day_num").rangeBetween(-6, 0)
+      base.unionByName(halos)
         .select(
           col("day_num"),
           (col("day_cents") / 100.0).as("day_rev"),
           round4(sum(col("day_cents")).over(w) / 100.0 /
-            count(lit(1)).over(w)).as("avg_7d"))
+            count(lit(1)).over(w)).as("avg_7d"),
+          col("halo"))
+        .filter(!col("halo"))
+        .drop("halo")
         .orderBy("day_num")
     }),
 
