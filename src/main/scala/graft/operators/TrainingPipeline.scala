@@ -101,6 +101,28 @@ object TrainingPipeline {
         .orderBy("source", "bin_id")
     }),
 
+    // tp_pack_sharded: the packer's 100-TB form. tp_pack's per-source
+    // window is a skew bomb when sources are few (3 sources → 3 partitions
+    // carry the corpus); sharding the cumsum key to (source, shard) — shard
+    // a salted hash of the doc key — caps every window partition at
+    // corpus/(sources·shards) while keeping packing deterministic and
+    // shard-local (bins never span shards, matching how a packed corpus is
+    // written out file-per-shard anyway). Shards here = 8; at scale it is
+    // corpus/(sources · target-partition-rows).
+    "tp_pack_sharded" -> ((s, d) => {
+      val nShards = 8
+      val before = Window.partitionBy("source", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("shard", (pct("shard:", col("doc_id")) % nShards).cast("int"))
+        .withColumn("cum_before", coalesce(sum(col("n_toks")).over(before), lit(0L)))
+        .withColumn("bin_id", expr("cum_before div 2048").cast("int"))
+        .groupBy("source", "shard", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
+        .orderBy("source", "shard", "bin_id")
+    }),
+
     // tp_shuffle: deterministic corpus shuffle — order by a salted portable
     // hash of the key. Reproducible run-to-run, stable under repartitioning,
     // and at cluster scale it's a plain sort (range-partitioned, spillable)
@@ -240,6 +262,19 @@ object TrainingPipeline {
            FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
                  FROM documents))
          GROUP BY source, bin_id ORDER BY source, bin_id""",
+
+    "tp_pack_sharded" ->
+      s"""SELECT source, shard, bin_id, count(*) AS n_docs,
+                 CAST(sum(n_toks) AS BIGINT) AS bin_tokens
+          FROM (
+            SELECT source, shard, n_toks,
+              CAST(coalesce(sum(n_toks) OVER (PARTITION BY source, shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS INT) AS bin_id
+            FROM (SELECT source, doc_id,
+                    CAST(${sqlPct("shard:", "doc_id")} % 8 AS INT) AS shard,
+                    len(string_split(text, ' ')) AS n_toks
+                  FROM documents))
+          GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""",
 
     "tp_shuffle" ->
       """SELECT doc_id,
