@@ -117,10 +117,11 @@ object LlmOps {
       d: String, tau: Double): DataFrame =
     jaccardPairsOf(documents(s, d), tau)
 
-  /** Core of [[jaccardPairs]] over any documents-shaped frame (doc_id, lang,
-    * text) — separated so tests can drive it with synthetic hot-shingle
-    * corpora and a tight `maxDf`. */
-  private[graft] def jaccardPairsOf(docs: DataFrame, tau: Double,
+  /** Blocked inverted-index pair expansion shared by every set-similarity
+    * scorer: one row per candidate pair with the shared-shingle count and
+    * both (full) set sizes — Jaccard, containment, and overlap are all just
+    * different arithmetic over these three integers. */
+  private[graft] def sharedShinglePairs(docs: DataFrame,
       maxDf: Int = MaxShingleDf): DataFrame = {
     val inv = shingleIndex(docs, maxDf)
     inv.alias("x").join(inv.alias("y"),
@@ -129,10 +130,17 @@ object LlmOps {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
+  }
+
+  /** Core of [[jaccardPairs]] over any documents-shaped frame (doc_id, lang,
+    * text) — separated so tests can drive it with synthetic hot-shingle
+    * corpora and a tight `maxDf`. */
+  private[graft] def jaccardPairsOf(docs: DataFrame, tau: Double,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    sharedShinglePairs(docs, maxDf)
       .withColumn("jac",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= tau)
-  }
 
   /** The near-dup cluster index (doc_id → component), computed ONCE per
     * (session, dir) and shared by every consumer — `dd_components` reports
@@ -177,6 +185,19 @@ object LlmOps {
     "j2_jaccard_pairs" -> ((s, d) =>
       jaccardPairs(s, d, 0.5)
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jac"))
+        .orderBy("doc_a", "doc_b")),
+
+    // J2b: containment similarity — |A∩B| / min(|A|,|B|) over the same
+    // shared-shingle pairs. Catches the asymmetric near-dups Jaccard
+    // misses: a boilerplate-padded copy or an excerpt has low Jaccard
+    // against its source (union is large) but containment ≈ 1. Same
+    // inverted-index cost, different arithmetic.
+    "j2b_containment" -> ((s, d) =>
+      sharedShinglePairs(documents(s, d))
+        .withColumn("cont",
+          col("inter").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round4(col("cont")).as("cont"))
         .orderBy("doc_a", "doc_b")),
 
     // Dedup clustering: connected components over the τ=0.3 Jaccard pair
@@ -500,6 +521,19 @@ object LlmOps {
     "j2_jaccard_pairs" ->
       s"""WITH ${jacPairsCte(0.5)}
           SELECT doc_a, doc_b, ${sqlRound4("jac")} AS jac FROM pairs
+          ORDER BY doc_a, doc_b""",
+
+    // reuses the jacPairsCte chain for its shared/sizes CTEs (the final
+    // `pairs` CTE goes unused — containment is different arithmetic over
+    // the same three integers)
+    "j2b_containment" ->
+      s"""WITH ${jacPairsCte(0.0)}
+          SELECT doc_a, doc_b, ${sqlRound4("cont")} AS cont FROM (
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / least(a.nsh, b.nsh) AS cont
+            FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
+                        JOIN sizes b ON shared.doc_b = b.doc_id)
+          WHERE cont >= 0.8
           ORDER BY doc_a, doc_b""",
 
     "dd_components" ->
