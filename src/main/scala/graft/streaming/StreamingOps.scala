@@ -50,12 +50,18 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col("n"))
 
-  /** I5 stream form: stateful dedup on the natural key, state bounded by
-    * the watermark. */
+  /** I5 stream form: stateful dedup on the natural key. Plain
+    * `dropDuplicates(keys)` only evicts state under a watermark when the
+    * event-time column is PART of the keys — deduping on business keys
+    * alone grows state forever on an unbounded feed. The WithinWatermark
+    * variant keys state on the business columns but expires each entry
+    * once the watermark passes its event time, which is the semantics a
+    * change-feed dedup actually wants (duplicates arrive close together;
+    * a key may legitimately recur much later). */
   def dedupByKey(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Event shape for the custom-state operator. */
   case class UserEvent(user_id: Long, event_type: String, us: Long)
