@@ -101,6 +101,29 @@ object TrainingPipeline {
         .orderBy("source", "bin_id")
     }),
 
+    // tp_decontaminate: train/test leakage detection — the decontamination
+    // pass every serious pretraining pipeline runs before training. A train
+    // doc is contaminated if it shares ≥ 5 distinct 3-gram shingles with
+    // ANY test doc (the planted near-dup whose twin landed in test is the
+    // canonical catch). Shape: the shared shingle index split by the
+    // tp_split hash, train-side ⋈ test-side equi-join on the shingle hash —
+    // cost Σ_h df_train(h)·df_test(h), bounded by the same stop-shingle cap
+    // as every other index consumer; never corpus × corpus.
+    "tp_decontaminate" -> ((s, d) => {
+      val inv = LlmOps.shingleIndex(documents(s, d))
+        .withColumn("bucket", pct("split:", col("doc_id")))
+      val train = inv.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_id"), col("h"))
+      val test = inv.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("test_id"), col("h"))
+      train.join(test, "h")
+        .groupBy("train_id")
+        .agg(count_distinct(col("h")).as("n_shared"),
+          count_distinct(col("test_id")).as("n_test_docs"))
+        .filter(col("n_shared") >= 5)
+        .orderBy("train_id")
+    }),
+
     // tp_pack_sharded: the packer's 100-TB form. tp_pack's per-source
     // window is a skew bomb when sources are few (3 sources → 3 partitions
     // carry the corpus); sharding the cumsum key to (source, shard) — shard
@@ -262,6 +285,28 @@ object TrainingPipeline {
            FROM (SELECT source, doc_id, len(string_split(text, ' ')) AS n_toks
                  FROM documents))
          GROUP BY source, bin_id ORDER BY source, bin_id""",
+
+    "tp_decontaminate" ->
+      s"""WITH docs AS (
+            SELECT doc_id,
+                   ${sqlPct("split:", "doc_id")} AS bucket,
+                   list_distinct(list_transform(
+                     list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])),
+                     s -> ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)) AS sh
+            FROM documents),
+          inv AS (SELECT doc_id, bucket, unnest(sh) AS h FROM docs),
+          hot AS (SELECT h FROM inv GROUP BY h
+                  HAVING count(*) > ${graft.operators.LlmOps.MaxShingleDf}),
+          capped AS (SELECT inv.* FROM inv ANTI JOIN hot USING (h)),
+          train AS (SELECT doc_id AS train_id, h FROM capped WHERE bucket < 80),
+          test AS (SELECT doc_id AS test_id, h FROM capped WHERE bucket >= 90)
+          SELECT train_id, count(DISTINCT h) AS n_shared,
+                 count(DISTINCT test_id) AS n_test_docs
+          FROM train JOIN test USING (h)
+          GROUP BY train_id
+          HAVING count(DISTINCT h) >= 5
+          ORDER BY train_id""",
 
     "tp_pack_sharded" ->
       s"""SELECT source, shard, bin_id, count(*) AS n_docs,
