@@ -163,6 +163,35 @@ object LlmOps {
 
   private[graft] def clearComponentsMemo(): Unit = componentsMemo.clear()
 
+  /** Per-document repetition signals over any documents-shaped frame —
+    * `n_bigrams`/`n_unique` token-bigram counts, the duplicate-bigram
+    * fraction `1 - unique/total`, the top-bigram share `max(count)/total`,
+    * and a pass flag at the 0.2/0.2 thresholds (the Gopher-paper family of
+    * within-doc repetition filters). Thresholds compare the *rounded*
+    * fractions so the flag is bit-stable across engines. Documents with
+    * fewer than two tokens have no bigrams and drop out (mirrored by the
+    * oracle's empty unnest). Separated from the registry entry so tests can
+    * drive it with synthetic looping text. */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(byPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_unique"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unique"),
+        round4(lit(1.0) - col("n_unique").cast("double") / col("n_bigrams")).as("dup_frac"),
+        round4(col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"))
+      .withColumn("pass",
+        (col("dup_frac") <= 0.2 && col("top_frac") <= 0.2).cast("int"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
     // each duplicate group. (Fixtures plant exact dups at sf0.1.)
@@ -441,6 +470,15 @@ object LlmOps {
           size(array_distinct(col("toks"))).as("uniq_bpe"))
         .orderBy("doc_id")),
 
+    // Text analysis: Gopher-style repetition signals — the duplicate-bigram
+    // fraction and the most-frequent-bigram share of each document, the two
+    // cheapest detectors of boilerplate/looping text (a failure mode exact
+    // and near dedup both miss because the repetition is *within* one doc).
+    // Relational throughout: bigrams via the same one-shuffle lead() window
+    // shape as shingleRows, then two partial+final hash aggregates — no
+    // HOF lambdas, fully codegen'd, so the op is a linear scan at 100 TB.
+    "ta_repetition" -> ((s, d) => repetitionOf(documents(s, d))),
+
     // Multimodal decode plumbing — text treated as an opaque binary payload
     // with a deterministic stub "decoder" (byte length, content hash, fake
     // dimensions). The mapPartitions-based typed pipeline lives in
@@ -697,6 +735,22 @@ object LlmOps {
           FROM (SELECT doc_id, text,
                   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
                 FROM documents)
+          ORDER BY doc_id""",
+
+    "ta_repetition" ->
+      s"""WITH bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+          cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2)
+          SELECT doc_id, n_bigrams, n_unique,
+                 ${sqlRound4("1.0 - CAST(n_unique AS DOUBLE)/n_bigrams")} AS dup_frac,
+                 ${sqlRound4("CAST(top_cnt AS DOUBLE)/n_bigrams")} AS top_frac,
+                 CAST(${sqlRound4("1.0 - CAST(n_unique AS DOUBLE)/n_bigrams")} <= 0.2
+                  AND ${sqlRound4("CAST(top_cnt AS DOUBLE)/n_bigrams")} <= 0.2 AS INT) AS pass
+          FROM (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+                       count(*) AS n_unique, CAST(max(cnt) AS BIGINT) AS top_cnt
+                FROM cnts GROUP BY doc_id)
           ORDER BY doc_id""",
 
     "mm_frame_sample" ->

@@ -175,6 +175,11 @@ object Lsh {
     "lsh_ivf_topk" -> ((s, d) =>
       ivfTopK(s, d, nlist = 10, nprobe = 1, k = 5, nq = 5)),
 
+    // SemDeDup-style semantic dedup — see [[semDedup]]; graded at nlist=10,
+    // τ=0.4: cluster by the hash-seeded IVF coarse quantizer, drop every
+    // vector that has a lower-id semantic duplicate in its cell.
+    "sem_dedup" -> ((s, d) => semDedup(s, d, nlist = 10, tau = 0.4)),
+
     // Embedding-cosine near-dup pairs, blocked by label. Norms are computed
     // once per vector before the pair join (1 dot per pair, not 3).
     "lsh_emb_near_dup" -> ((s, d) => {
@@ -265,8 +270,13 @@ object Lsh {
     *    each round is one broadcast-join + aggregate over the corpus, so
     *    index build cost is linear in rounds at any scale.
     */
-  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      nlist: Int, nprobe: Int, k: Int, nq: Int, refine: Int = 0)
+  /** The IVF coarse-quantizer index build shared by [[ivfTopK]] and
+    * [[semDedup]]: hash-seeded cells → (optionally Lloyd-refined) centroids
+    * → every vector ranked by distance to its `nprobe` nearest cells. The
+    * returned frame (vec_id, v, cell, rnk, nrm) is materialized once — at
+    * cluster scale this is the stored IVF index the registry owns. */
+  private[graft] def ivfAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String, nlist: Int, nprobe: Int, refine: Int = 0)
       : org.apache.spark.sql.DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -293,10 +303,16 @@ object Lsh {
       centroidsOf(nearestCell(c).filter(col("rnk") === 1)
         .select(col("clabel").as("cell0"), col("v")))
     }
-    val ranked = graft.CacheRegistry.materialize(nearestCell(cents)
+    graft.CacheRegistry.materialize(nearestCell(cents)
       .filter(col("rnk") <= math.max(1, nprobe))
       .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
         sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))
+  }
+
+  private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nlist: Int, nprobe: Int, k: Int, nq: Int, refine: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val ranked = ivfAssignments(s, d, nlist, nprobe, refine)
     val corpus = ranked.filter(col("rnk") === 1)
     val qIds = corpus.select("vec_id").orderBy("vec_id").limit(nq)
     val qs = ranked.join(broadcast(qIds), "vec_id")
@@ -310,6 +326,67 @@ object Lsh {
       .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
       .orderBy("query_id", "rank")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
+    * clustering embeddings and removing near-identical vectors *within each
+    * cluster*: assign every vector to its nearest IVF cell (the same
+    * hash-seeded coarse quantizer as [[ivfTopK]] — no label leakage), score
+    * within-cell pairs by exact cosine, and drop every vector that has a
+    * duplicate with a smaller vec_id in its cell (keep-lowest is the
+    * deterministic stand-in for the paper's keep-one-per-group). Output is
+    * the surviving (vec_id, cell) corpus.
+    *
+    * Scale shape: the pair join is equi on `cell`, so cost is
+    * Σ_cell |cell|² — exactly the bound SemDeDup chooses, with nlist grown
+    * ~√N (the knob is a parameter here) to hold cells at a constant size;
+    * for huge cells the in-cell verify composes with [[rpNearDup]]'s
+    * sign-bucket banding. The cell index is built once ([[ivfAssignments]]
+    * materializes it) and norms are computed per vector, not per pair. */
+  private[graft] def semDedup(s: org.apache.spark.sql.SparkSession, d: String,
+      nlist: Int, tau: Double, refine: Int = 0): org.apache.spark.sql.DataFrame = {
+    val assigned = ivfAssignments(s, d, nlist, nprobe = 1, refine)
+    val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("vec_id").as("vec_b"), col("cell"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.join(dups, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle CTE chain `seeded, cents, assigned, normed` — the DuckDB mirror
+    * of [[ivfAssignments]] at nprobe=1, refine=0, shared by the IVF search
+    * and SemDeDup oracles so the cell assignment is asserted once. */
+  private def ivfAssignSql(nlist: Int): String =
+    s"""seeded AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % $nlist AS INT) AS cell0
+            FROM embeddings),
+          cents AS (
+            SELECT clabel, list(c ORDER BY pos) AS cent FROM (
+              SELECT cell0 AS clabel, i AS pos,
+                     CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+              FROM seeded, range(64) t(i) GROUP BY 1, 2)
+            GROUP BY clabel),
+          assigned AS (
+            SELECT vec_id, embedding, cell FROM (
+              SELECT e.vec_id, e.embedding, c.clabel AS cell,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                         i -> (e.embedding[i]::DOUBLE - c.cent[i])
+                            * (e.embedding[i]::DOUBLE - c.cent[i]))), (acc,x) -> acc + x) ASC,
+                       c.clabel ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c)
+            WHERE rn = 1),
+          normed AS (
+            SELECT vec_id, embedding, cell,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM assigned)"""
 
   // Oracle-side simhash term list, generated to mirror the Spark bit loop.
   private val simhashTermsSql: String = (0 until 32).map { k =>
@@ -414,30 +491,7 @@ object Lsh {
           ORDER BY doc_id""",
 
     "lsh_ivf_topk" ->
-      s"""WITH seeded AS (
-            SELECT vec_id, embedding,
-                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 10 AS INT) AS cell0
-            FROM embeddings),
-          cents AS (
-            SELECT clabel, list(c ORDER BY pos) AS cent FROM (
-              SELECT cell0 AS clabel, i AS pos,
-                     CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
-              FROM seeded, range(64) t(i) GROUP BY 1, 2)
-            GROUP BY clabel),
-          assigned AS (
-            SELECT vec_id, embedding, cell FROM (
-              SELECT e.vec_id, e.embedding, c.clabel AS cell,
-                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-                         i -> (e.embedding[i]::DOUBLE - c.cent[i])
-                            * (e.embedding[i]::DOUBLE - c.cent[i]))), (acc,x) -> acc + x) ASC,
-                       c.clabel ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c)
-            WHERE rn = 1),
-          normed AS (
-            SELECT vec_id, embedding, cell,
-                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
-            FROM assigned),
+      s"""WITH ${ivfAssignSql(10)},
           qs AS (SELECT vec_id AS query_id, embedding AS q, cell, nrm AS qn
                  FROM normed ORDER BY vec_id LIMIT 5),
           scored AS (
@@ -450,6 +504,17 @@ object Lsh {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "sem_dedup" ->
+      s"""WITH ${ivfAssignSql(10)},
+          dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM normed a JOIN normed b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.4)
+          SELECT vec_id, CAST(cell AS INT) AS cell
+          FROM normed ANTI JOIN dups USING (vec_id)
+          ORDER BY vec_id""",
 
     "lsh_emb_near_dup" ->
       s"""WITH e AS (

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
+import graft.functions.ExactNum._
 import graft.sources.Tables._
 
 /** Training-corpus assembly operators — the steps between "cleaned corpus"
@@ -41,6 +42,30 @@ object TrainingPipeline {
 
   val queries: Map[String, Q] = Map(
     "pp_end_to_end" -> endToEnd,
+
+    // pp_corpus_stats: the per-source "dataset card" — doc/token/char
+    // volumes, language spread, exact-dup counts, and each source's share
+    // of corpus tokens, as ONE Catalyst tree. One wide scan, one
+    // partial+final hash aggregate (the two distinct aggregates plan as a
+    // single Expand), then the token-share window runs over the
+    // |sources|-row aggregate — tiny by construction, never data-sized, so
+    // the lit(0) partition is safe at any corpus size.
+    "pp_corpus_stats" -> ((s, d) => {
+      val per = documents(s, d).select(
+        col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_toks"),
+        md5(lower(trim(col("text")))).as("th"))
+      val w = Window.partitionBy(lit(0))
+      per.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tokens"),
+          round4(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (count(lit(1)) - countDistinct(col("th"))).as("n_exact_dups"))
+        .withColumn("token_share",
+          round4(col("tokens").cast("double") / sum(col("tokens")).over(w)))
+        .orderBy("source")
+    }),
 
     // tp_split: deterministic 80/10/10 train/val/test split keyed on doc_id.
     // Reported as per-(split, lang) doc and char counts so the gate checks
@@ -247,6 +272,19 @@ object TrainingPipeline {
                 AND lang IN ('en', 'fr', 'es', 'de', 'zh'))
             WHERE rn = 1 AND ${sqlPct("split:", "doc_id")} < 80)
           GROUP BY lang ORDER BY lang""",
+
+    "pp_corpus_stats" ->
+      s"""SELECT source, n_docs, tokens, avg_chars, n_langs, n_exact_dups,
+                 ${sqlRound4("CAST(tokens AS DOUBLE) / sum(tokens) OVER ()")} AS token_share
+          FROM (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+                   ${sqlRound4("CAST(sum(n_chars) AS DOUBLE) / count(*)")} AS avg_chars,
+                   count(DISTINCT lang) AS n_langs,
+                   count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+            FROM documents GROUP BY source)
+          ORDER BY source""",
+
     "tp_split" ->
       s"""SELECT subset, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
           FROM (

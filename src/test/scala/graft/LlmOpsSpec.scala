@@ -79,4 +79,45 @@ class LlmOpsSpec extends AnyFunSuite {
       .agg(avg("e")).collect()(0).getDouble(0)
     assert(math.abs(c - direct) < 1e-4)
   }
+
+  test("ta_repetition: hand-computed signals on a looping vs a clean doc") {
+    import spark.implicits._
+    // "a b a b a": bigrams [a b, b a, a b, b a] → 4 total, 2 unique, top 2
+    // "a b c d e f g": 6 bigrams, all unique, top share 1/6 → passes
+    // "solo": one token, no bigrams → must not appear at all
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c d e f g"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.repetitionOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    val loop = r(1L)
+    assert(loop.getLong(1) == 4 && loop.getLong(2) == 2)
+    assert(loop.getDouble(3) == 0.5 && loop.getDouble(4) == 0.5)
+    assert(loop.getInt(5) == 0)
+    val clean = r(2L)
+    assert(clean.getLong(1) == 6 && clean.getLong(2) == 6)
+    assert(clean.getDouble(3) == 0.0 && clean.getDouble(4) == 0.1667)
+    assert(clean.getInt(5) == 1)
+  }
+
+  test("sem_dedup: survivors are in-cell pairwise below the threshold, " +
+    "and every cell's minimum vec_id survives") {
+    val survivors = run("sem_dedup")
+    val all = graft.operators.Lsh.ivfAssignments(spark, sf, nlist = 10, nprobe = 1)
+      .filter(col("rnk") === 1)
+    // keep-lowest can never drop the lowest vec_id of a cell
+    val cellMins = all.groupBy("cell").agg(min("vec_id").as("vec_id"))
+    assert(cellMins.join(survivors, Seq("vec_id"), "left_anti").count() == 0)
+    // survivors of the same cell must all be below τ pairwise: if a<b with
+    // cos≥τ shared a cell, b is dropped by definition — so none remain
+    val s = survivors.join(all.select("vec_id", "v", "nrm"), "vec_id")
+    val pairs = s.alias("x").join(s.alias("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .withColumn("cos",
+        graft.plans.VectorExpressions.dot_product(col("x.v"), col("y.v")) /
+          (col("x.nrm") * col("y.nrm")))
+    assert(pairs.filter(col("cos") >= 0.4).count() == 0)
+    // dedup is a pruning: survivors ⊆ corpus, and nothing else was invented
+    assert(survivors.join(all, Seq("vec_id"), "left_anti").count() == 0)
+  }
 }

@@ -28,7 +28,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // the constant random-projection sign matrix, a5's one-row page bounds).
   private val allowedNestedLoop =
     Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject",
-      "a5_paginate", "lsh_rp_near_dup")
+      "a5_paginate", "lsh_rp_near_dup", "sem_dedup")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -39,8 +39,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // dd_keep_one's semi join prunes a corpus-sized table against a
   // corpus-sized keep set (most clusters are singletons) — broadcasting
   // either side would be wrong at scale.
+  // sem_dedup's in-cell pair join and its survivor anti join are both
+  // corpus-sized × corpus-sized equi joins (on cell / vec_id) — the
+  // Σ|cell|² bound IS SemDeDup's design; broadcasting would be wrong.
   private val allowedSortMerge =
-    Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one")
+    Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one",
+      "sem_dedup")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {

@@ -114,4 +114,17 @@ class TrainingPipelineSpec extends AnyFunSuite {
         s"vec $id: rmse $rmse exceeds bound ${amax / 254}")
     }
   }
+
+  test("pp_corpus_stats: doc counts partition the corpus, shares sum to 1") {
+    val stats = run("pp_corpus_stats").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val shareSum = stats.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"token shares sum to $shareSum")
+    // dup count is bounded by the doc count and non-negative
+    stats.foreach { r =>
+      val dups = r.getAs[Long]("n_exact_dups")
+      assert(dups >= 0 && dups < r.getAs[Long]("n_docs"))
+    }
+  }
 }
