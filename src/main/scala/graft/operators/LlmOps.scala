@@ -470,6 +470,36 @@ object LlmOps {
           size(array_distinct(col("toks"))).as("uniq_bpe"))
         .orderBy("doc_id")),
 
+    // Text analysis: CCNet-style unigram-LM quality score — each document's
+    // mean log-probability under the corpus's own unigram distribution (the
+    // cheap stand-in for the LM-perplexity filter real pipelines run; docs
+    // of common well-formed words score high, gibberish scores low).
+    // Shape: one grouped (doc, token, multiplicity) frame feeds BOTH the
+    // vocabulary aggregate and the scoring join (materialized — Spark
+    // re-evaluates shared subtrees), mirroring ta_tfidf. Determinism: the
+    // per-token ln is snapped to a 1e-7 integer grid and summed as longs
+    // (associative — identical under any partitioning/engine; avg(double)
+    // would be order-dependent in the low bits). At 100 TB the vocabulary
+    // join splits hot head-tokens (broadcast) from the long tail (shuffle,
+    // AQE skew-join) — here Catalyst auto-broadcasts the whole vocabulary.
+    "ta_unigram_logprob" -> ((s, d) => {
+      val occ = graft.CacheRegistry.materialize(documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
+      val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).cast("double").as("tot"))
+      occ.join(uni, "tok")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("m"),
+          (col("m") * round(log(col("cnt").cast("double") / col("tot")) * 1e7)
+            .cast("long")).as("slp"))
+        .groupBy("doc_id")
+        .agg(sum(col("m")).as("n_tokens"),
+          round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
+        .withColumn("pass", (col("avg_logprob") >= -9.0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
     // Text analysis: Gopher-style repetition signals — the duplicate-bigram
     // fraction and the most-frequent-bigram share of each document, the two
     // cheapest detectors of boilerplate/looping text (a failure mode exact
@@ -735,6 +765,25 @@ object LlmOps {
           FROM (SELECT doc_id, text,
                   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
                 FROM documents)
+          ORDER BY doc_id""",
+
+    "ta_unigram_logprob" ->
+      s"""WITH occ AS (
+            SELECT doc_id, tok, count(*) AS m
+            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          uni AS (SELECT tok, CAST(sum(m) AS BIGINT) AS cnt FROM occ GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM uni),
+          slps AS (
+            SELECT doc_id, m,
+                   m * CAST(round(ln(CAST(cnt AS DOUBLE)/tot)*1e7) AS BIGINT) AS slp
+            FROM occ JOIN uni USING (tok) CROSS JOIN tot)
+          SELECT doc_id, n_tokens, avg_logprob,
+                 CAST(avg_logprob >= -9.0 AS INT) AS pass
+          FROM (
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
+            FROM slps GROUP BY doc_id)
           ORDER BY doc_id""",
 
     "ta_repetition" ->

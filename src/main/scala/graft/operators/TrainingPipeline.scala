@@ -67,6 +67,29 @@ object TrainingPipeline {
         .orderBy("source")
     }),
 
+    // tp_length_buckets: the length-bucketed batching planner — group docs
+    // into 64-token-wide length buckets, fit floor(8192/upper) sequences of
+    // the bucket's padded length per batch, and report batch counts + the
+    // padding waste each bucket pays. (Length bucketing is how trainers cut
+    // pad-token waste vs naive fixed batches; the report quantifies it.)
+    // Pure integer arithmetic end-to-end — `div`, greatest, ceil-by-
+    // (n+k-1) div k — so both engines agree bit-for-bit; one narrow scan,
+    // one partial+final aggregate over ≤ max_len/64 groups.
+    "tp_length_buckets" -> ((s, d) =>
+      documents(s, d)
+        .select(size(split(col("text"), " ")).as("n_toks"))
+        .withColumn("bucket", expr("n_toks div 64").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+        .withColumn("upper", ((col("bucket") + 1) * 64).cast("long"))
+        .withColumn("seqs_per_batch", greatest(lit(1L), expr("8192 div upper")))
+        .withColumn("n_batches",
+          expr("(n_docs + seqs_per_batch - 1) div seqs_per_batch"))
+        .withColumn("pad_frac",
+          round4(lit(1.0) - col("sum_toks").cast("double") /
+            (col("n_batches") * col("seqs_per_batch") * col("upper"))))
+        .orderBy("bucket")),
+
     // tp_split: deterministic 80/10/10 train/val/test split keyed on doc_id.
     // Reported as per-(split, lang) doc and char counts so the gate checks
     // both the assignment hash and the aggregation.
@@ -284,6 +307,25 @@ object TrainingPipeline {
                    count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
             FROM documents GROUP BY source)
           ORDER BY source""",
+
+    "tp_length_buckets" ->
+      s"""SELECT bucket, n_docs, sum_toks, upper, seqs_per_batch, n_batches,
+                 ${sqlRound4("1.0 - CAST(sum_toks AS DOUBLE)/(n_batches*seqs_per_batch*upper)")} AS pad_frac
+          FROM (
+            SELECT bucket, n_docs, sum_toks, upper, seqs_per_batch,
+                   (n_docs + seqs_per_batch - 1) // seqs_per_batch AS n_batches
+            FROM (
+              SELECT bucket, n_docs, sum_toks, upper,
+                     CAST(greatest(1, 8192 // upper) AS BIGINT) AS seqs_per_batch
+              FROM (
+                SELECT bucket, count(*) AS n_docs,
+                       CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+                       CAST((bucket + 1) * 64 AS BIGINT) AS upper
+                FROM (SELECT CAST(len(string_split(text, ' ')) // 64 AS INT) AS bucket,
+                             len(string_split(text, ' ')) AS n_toks
+                      FROM documents)
+                GROUP BY bucket)))
+          ORDER BY bucket""",
 
     "tp_split" ->
       s"""SELECT subset, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars

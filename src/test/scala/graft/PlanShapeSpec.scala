@@ -28,7 +28,7 @@ class PlanShapeSpec extends AnyFunSuite {
   // the constant random-projection sign matrix, a5's one-row page bounds).
   private val allowedNestedLoop =
     Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject",
-      "a5_paginate", "lsh_rp_near_dup", "sem_dedup")
+      "a5_paginate", "lsh_rp_near_dup", "sem_dedup", "ta_unigram_logprob")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a

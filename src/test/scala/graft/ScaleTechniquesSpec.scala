@@ -63,4 +63,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).count() == 0 &&
       salted.exceptAll(direct).count() == 0)
   }
+
+  test("hot/tail split join equals the plain vocabulary join (Zipf-skew shape)") {
+    // The ta_unigram_logprob scale path: a corpus-tokens ⋈ vocabulary join
+    // is Zipf-skewed (every "the" row lands on one shuffle key). The fix is
+    // to split the vocabulary at a frequency threshold — the hot head is
+    // tiny (Zipf: few distinct tokens carry most mass) and broadcasts, the
+    // long tail shuffle-joins with no hot keys left. Union of the two legs
+    // must equal the unhinted join exactly.
+    val occ = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m"))
+    val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
+    val plain = occ.join(uni, "tok").select("doc_id", "tok", "m", "cnt")
+    val hot = uni.filter(col("cnt") >= 50)
+    val tail = uni.filter(col("cnt") < 50)
+    val twoLeg = occ.join(broadcast(hot), Seq("tok"))
+      .unionByName(occ.join(tail.hint("shuffle_merge"), Seq("tok")))
+      .select("doc_id", "tok", "m", "cnt")
+    assert(plain.exceptAll(twoLeg).count() == 0 &&
+      twoLeg.exceptAll(plain).count() == 0)
+  }
 }

@@ -115,6 +115,23 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tp_length_buckets: buckets partition the corpus and batch math is tight") {
+    val b = run("tp_length_buckets").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(b.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    b.foreach { r =>
+      val (nDocs, spb, nBatches) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("seqs_per_batch"), r.getAs[Long]("n_batches"))
+      // exact ceiling division — no over- or under-provisioned batches
+      assert(nBatches == (nDocs + spb - 1) / spb)
+      // padding waste is a true fraction: capacity covers the tokens
+      val pad = r.getAs[Double]("pad_frac")
+      assert(pad >= 0.0 && pad < 1.0, s"bucket ${r.get(0)}: pad_frac $pad")
+      // every doc in the bucket fits its padded length
+      assert(r.getAs[Long]("sum_toks") <= nDocs * r.getAs[Long]("upper"))
+    }
+  }
+
   test("pp_corpus_stats: doc counts partition the corpus, shares sum to 1") {
     val stats = run("pp_corpus_stats").collect()
     val docs = graft.sources.Tables.documents(spark, sf)
