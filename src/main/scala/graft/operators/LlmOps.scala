@@ -163,6 +163,25 @@ object LlmOps {
 
   private[graft] def clearComponentsMemo(): Unit = componentsMemo.clear()
 
+  /** Per-document unigram-LM score over any documents-shaped frame — the
+    * unordered core of `ta_unigram_logprob`, reused by the quality funnel. */
+  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val occ = graft.CacheRegistry.materialize(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
+    val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
+    val tot = uni.agg(sum(col("cnt")).cast("double").as("tot"))
+    occ.join(uni, "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("m"),
+        (col("m") * round(log(col("cnt").cast("double") / col("tot")) * 1e7)
+          .cast("long")).as("slp"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"),
+        round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
+      .withColumn("pass", (col("avg_logprob") >= -9.0).cast("int"))
+  }
+
   /** Per-document repetition signals over any documents-shaped frame —
     * `n_bigrams`/`n_unique` token-bigram counts, the duplicate-bigram
     * fraction `1 - unique/total`, the top-bigram share `max(count)/total`,
@@ -189,7 +208,6 @@ object LlmOps {
         round4(col("top_cnt").cast("double") / col("n_bigrams")).as("top_frac"))
       .withColumn("pass",
         (col("dup_frac") <= 0.2 && col("top_frac") <= 0.2).cast("int"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -482,23 +500,8 @@ object LlmOps {
     // would be order-dependent in the low bits). At 100 TB the vocabulary
     // join splits hot head-tokens (broadcast) from the long tail (shuffle,
     // AQE skew-join) — here Catalyst auto-broadcasts the whole vocabulary.
-    "ta_unigram_logprob" -> ((s, d) => {
-      val occ = graft.CacheRegistry.materialize(documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
-      val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
-      val tot = uni.agg(sum(col("cnt")).cast("double").as("tot"))
-      occ.join(uni, "tok")
-        .crossJoin(broadcast(tot))
-        .select(col("doc_id"), col("m"),
-          (col("m") * round(log(col("cnt").cast("double") / col("tot")) * 1e7)
-            .cast("long")).as("slp"))
-        .groupBy("doc_id")
-        .agg(sum(col("m")).as("n_tokens"),
-          round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
-        .withColumn("pass", (col("avg_logprob") >= -9.0).cast("int"))
-        .orderBy("doc_id")
-    }),
+    "ta_unigram_logprob" -> ((s, d) =>
+      unigramLogprobOf(documents(s, d)).orderBy("doc_id")),
 
     // Text analysis: Gopher-style repetition signals — the duplicate-bigram
     // fraction and the most-frequent-bigram share of each document, the two
@@ -507,7 +510,7 @@ object LlmOps {
     // Relational throughout: bigrams via the same one-shuffle lead() window
     // shape as shingleRows, then two partial+final hash aggregates — no
     // HOF lambdas, fully codegen'd, so the op is a linear scan at 100 TB.
-    "ta_repetition" -> ((s, d) => repetitionOf(documents(s, d))),
+    "ta_repetition" -> ((s, d) => repetitionOf(documents(s, d)).orderBy("doc_id")),
 
     // Multimodal decode plumbing — text treated as an opaque binary payload
     // with a deterministic stub "decoder" (byte length, content hash, fake

@@ -67,6 +67,41 @@ object TrainingPipeline {
         .orderBy("source")
     }),
 
+    // pp_quality_funnel: the pipeline-yield report — per source, how many
+    // docs survive each successive gate: length bounds → repetition filter
+    // (L22) → unigram-LM score (L25) → exact-dedup representative. Composes
+    // the graded quality operators as ONE Catalyst tree: the per-doc signal
+    // frames join back on doc_id (corpus-sized × corpus-sized equi joins on
+    // the primary key — co-partitioned at scale, never broadcast), and the
+    // funnel itself is conditional aggregation (sum of cumulative flags), so
+    // the report costs one pass over the joined signals. This is the
+    // yield-accounting run before committing a corpus to training.
+    "pp_quality_funnel" -> ((s, d) => {
+      val docs = documents(s, d)
+      val rep = LlmOps.repetitionOf(docs)
+        .select(col("doc_id"), col("pass").as("rep_pass"))
+      val lm = LlmOps.unigramLogprobOf(docs)
+        .select(col("doc_id"), col("pass").as("lm_pass"))
+      val w = Window.partitionBy("text_hash").orderBy("doc_id")
+      docs
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .withColumn("text_hash", md5(lower(trim(col("text")))))
+        .withColumn("rn", row_number().over(w))
+        .join(rep, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .withColumn("c1", col("n_toks").between(20, 10000))
+        .withColumn("c2", col("c1") && coalesce(col("rep_pass"), lit(0)) === 1)
+        .withColumn("c3", col("c2") && coalesce(col("lm_pass"), lit(0)) === 1)
+        .withColumn("c4", col("c3") && col("rn") === 1)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_total"),
+          sum(col("c1").cast("long")).as("n_len"),
+          sum(col("c2").cast("long")).as("n_rep"),
+          sum(col("c3").cast("long")).as("n_lm"),
+          sum(col("c4").cast("long")).as("n_unique"))
+        .orderBy("source")
+    }),
+
     // tp_length_buckets: the length-bucketed batching planner — group docs
     // into 64-token-wide length buckets, fit floor(8192/upper) sequences of
     // the bucket's padded length per batch, and report batch counts + the
@@ -306,6 +341,52 @@ object TrainingPipeline {
                    count(DISTINCT lang) AS n_langs,
                    count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
             FROM documents GROUP BY source)
+          ORDER BY source""",
+
+    "pp_quality_funnel" ->
+      s"""WITH t AS (
+            SELECT doc_id, source, text, string_split(text, ' ') AS tk
+            FROM documents),
+          bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS bg
+            FROM t),
+          bcnt AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          rep AS (
+            SELECT doc_id,
+                   CAST((${sqlRound4("1.0 - CAST(count(*) AS DOUBLE)/sum(cnt)")} <= 0.2
+                    AND ${sqlRound4("CAST(max(cnt) AS DOUBLE)/sum(cnt)")} <= 0.2) AS INT) AS rep_pass
+            FROM bcnt GROUP BY doc_id),
+          occ AS (
+            SELECT doc_id, tok, count(*) AS m
+            FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+            GROUP BY doc_id, tok),
+          uni AS (SELECT tok, CAST(sum(m) AS BIGINT) AS cnt FROM occ GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM uni),
+          lm AS (
+            SELECT doc_id,
+                   CAST(${sqlRound4("(CAST(sum(m * CAST(round(ln(CAST(cnt AS DOUBLE)/tot)*1e7) AS BIGINT)) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} >= -9.0 AS INT) AS lm_pass
+            FROM occ JOIN uni USING (tok) CROSS JOIN tot GROUP BY doc_id),
+          base AS (
+            SELECT doc_id, source, len(tk) AS n_toks,
+                   row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                      ORDER BY doc_id) AS rn
+            FROM t),
+          staged AS (
+            SELECT source,
+                   (n_toks BETWEEN 20 AND 10000) AS c1,
+                   ((n_toks BETWEEN 20 AND 10000) AND coalesce(rep_pass, 0) = 1) AS c2,
+                   ((n_toks BETWEEN 20 AND 10000) AND coalesce(rep_pass, 0) = 1
+                     AND coalesce(lm_pass, 0) = 1) AS c3,
+                   ((n_toks BETWEEN 20 AND 10000) AND coalesce(rep_pass, 0) = 1
+                     AND coalesce(lm_pass, 0) = 1 AND rn = 1) AS c4
+            FROM base LEFT JOIN rep USING (doc_id) LEFT JOIN lm USING (doc_id))
+          SELECT source, count(*) AS n_total,
+                 CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+                 CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+                 CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lm,
+                 CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+          FROM staged GROUP BY source
           ORDER BY source""",
 
     "tp_length_buckets" ->

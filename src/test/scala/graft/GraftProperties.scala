@@ -156,6 +156,31 @@ object GraftProperties extends Properties("graft") {
       uncapped == n.toLong * (n - 1) / 2 && capped == 0L
     }
 
+  property("length-bucket batching: capacity always covers tokens, never " +
+    "over-provisions a batch") =
+    forAll(Gen.listOfN(40, Gen.choose(1, 4000))) { lens =>
+      import spark.implicits._
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      // drive the same arithmetic the graded query runs, over random lengths
+      val rows = docs
+        .select(size(split(col("text"), " ")).as("n_toks"))
+        .withColumn("bucket", expr("n_toks div 64").cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_toks"))
+        .withColumn("upper", ((col("bucket") + 1) * 64).cast("long"))
+        .withColumn("spb", greatest(lit(1L), expr("8192 div upper")))
+        .withColumn("nb", expr("(n_docs + spb - 1) div spb"))
+        .collect()
+      rows.forall { r =>
+        val (nd, st, up, spb, nb) = (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_toks"),
+          r.getAs[Long]("upper"), r.getAs[Long]("spb"), r.getAs[Long]("nb"))
+        // capacity covers all tokens; dropping one batch would not
+        nb * spb * up >= st && (nb - 1) * spb < nd
+      }
+    }
+
   property("semi and anti joins partition the left side") =
     forAll(Gen.listOfN(15, Gen.choose(0, 10)), Gen.listOfN(15, Gen.choose(0, 10))) {
       (left, right) =>

@@ -28,7 +28,8 @@ class PlanShapeSpec extends AnyFunSuite {
   // the constant random-projection sign matrix, a5's one-row page bounds).
   private val allowedNestedLoop =
     Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject",
-      "a5_paginate", "lsh_rp_near_dup", "sem_dedup", "ta_unigram_logprob")
+      "a5_paginate", "lsh_rp_near_dup", "sem_dedup", "ta_unigram_logprob",
+      "pp_quality_funnel")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -42,9 +43,12 @@ class PlanShapeSpec extends AnyFunSuite {
   // sem_dedup's in-cell pair join and its survivor anti join are both
   // corpus-sized × corpus-sized equi joins (on cell / vec_id) — the
   // Σ|cell|² bound IS SemDeDup's design; broadcasting would be wrong.
+  // pp_quality_funnel joins corpus-sized per-doc signal frames back on the
+  // primary key (doc_id) — co-partitioned equi joins at scale, never
+  // broadcast.
   private val allowedSortMerge =
     Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one",
-      "sem_dedup")
+      "sem_dedup", "pp_quality_funnel")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {

@@ -132,6 +132,21 @@ class TrainingPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pp_quality_funnel: stage counts are monotone and partition the corpus") {
+    val f = run("pp_quality_funnel").collect()
+    val docs = graft.sources.Tables.documents(spark, sf)
+    assert(f.map(_.getAs[Long]("n_total")).sum == docs.count())
+    f.foreach { r =>
+      val (t, l, rp, lm, u) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_len"),
+        r.getAs[Long]("n_rep"), r.getAs[Long]("n_lm"), r.getAs[Long]("n_unique"))
+      assert(t >= l && l >= rp && rp >= lm && lm >= u && u >= 0,
+        s"funnel not monotone for ${r.get(0)}: $t/$l/$rp/$lm/$u")
+    }
+    // the funnel's stage-2 gate must agree with the graded ta_repetition op
+    val repPassed = run("ta_repetition").filter(col("pass") === 1).count()
+    assert(f.map(_.getAs[Long]("n_rep")).sum <= repPassed)
+  }
+
   test("pp_corpus_stats: doc counts partition the corpus, shares sum to 1") {
     val stats = run("pp_corpus_stats").collect()
     val docs = graft.sources.Tables.documents(spark, sf)
