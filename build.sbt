@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: Bench/Verify keep several MEMORY_AND_DISK indexes live
+  // concurrently (shingle, tfidf terms, band/IVF indexes) plus per-round
+  // localCheckpoint blocks from the components fixpoint; at local[32] an 8g
+  // unified pool pressured execution memory and GC under host load. The
+  // machine budget is 128 GiB; the env override stands.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

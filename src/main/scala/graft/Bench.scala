@@ -42,21 +42,30 @@ object Bench {
           System.err.println(s"BENCH FAIL (run) $name: $e"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
-    // min over 3 passes: at local[32] a single concurrent GC inflates a
+    // min over 5 passes: at local[32] a single concurrent GC inflates a
     // 0.1 s query to >1 s, and full-suite totals swing ±30% run-to-run;
-    // the per-query min converges on the steady-state cost.
+    // the per-query min converges on the steady-state cost. 5, not 3: the
+    // round-3 driver run showed plain scan+agg queries (d1, j5) stuck at
+    // 5× their local cost through all 3 passes — sustained host-load
+    // windows outlast a 3-pass suite, and a per-query min is only as
+    // robust as the number of independent samples behind it.
     // drop the shared components index before each pass: one pass = one
     // honest index build (whichever dd_* query runs first pays it; the
     // other reads the shared index, which is the real serving shape)
-    val passes = Seq.fill(3) {
+    val passes = Seq.fill(5) {
       operators.LlmOps.clearComponentsMemo(); System.gc(); timedPass()
     }
     val results = dfs.keys.map { name =>
       val ts = passes.map(_(name))
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
+    // Locale-pinned formatting: the f"" interpolator uses the JVM default
+    // locale, and a comma decimal separator would make the emitted JSON
+    // unparseable by the driver.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def fmt(v: Double): String = {
-      val s = if (v.abs >= 0.095) f"$v%.1f" else f"$v%.2f"
+      val s = if (v.abs >= 0.095) num(v, 1) else num(v, 2)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
@@ -69,7 +78,7 @@ object Bench {
     // with the fast remainder summarized as a count + sum.
     val detailPath = java.nio.file.Paths.get("bench_detail.json")
     val detail = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{\"sf\":\"" + new java.io.File(sfDir).getName + "\",\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(detailPath, detail)
     val slow = results.toSeq.filter(_._2 >= 0.095).sortBy(_._1)

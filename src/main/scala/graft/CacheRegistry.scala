@@ -27,10 +27,15 @@ object CacheRegistry {
     df
   }
 
-  /** Unpersist every tracked index (non-blocking) and clear the registry. */
+  /** Unpersist every tracked index (non-blocking) and clear the registry.
+    * Also drops the components memo (LlmOps) — it holds checkpoint-backed
+    * DataFrames built FROM these caches, so a release that left it in place
+    * would serve a stale clustering if the underlying data changed before
+    * the next build. */
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
+    operators.LlmOps.clearComponentsMemo()
   }
 
   /** Number of currently tracked materializations (for tests). */

@@ -89,25 +89,24 @@ object EncodedQuery {
     * silently filters out every row, which would be inconsistent with the
     * compiler's fail-loudly behavior for unknown fields and operators. */
   private def typed(df: DataFrame, field: String, v: String): Column = {
-    import scala.util.Try
     val dt = fieldType(df.schema, field)
-    val parses = dt match {
-      // ANSI cast (Spark 4 default) rejects fractional strings for integral
-      // targets — validate with the same strictness so failure is at
-      // compile time with the field name, not mid-job from codegen.
-      case ByteType | ShortType | IntegerType | LongType =>
-        Try(v.trim.toLong).isSuccess
-      case _: NumericType => Try(new java.math.BigDecimal(v)).isSuccess
-      case DateType => Try(java.time.LocalDate.parse(v)).isSuccess
-      case TimestampType => Seq(
-        Try(java.sql.Timestamp.valueOf(v)),
-        Try(java.time.LocalDate.parse(v)),
-        Try(java.time.Instant.parse(v))).exists(_.isSuccess)
-      case BooleanType => Try(v.trim.toLowerCase.toBoolean).isSuccess
-      case _ => true
+    // Validate by running the ACTUAL ANSI cast on the literal, not a
+    // re-implementation of its parse rules (a hand parser drifts: it
+    // rejected zone-less ISO 'T' timestamps and 't'/'yes' booleans that the
+    // runtime cast accepts). Evaluating the foldable Cast here is exactly
+    // what the optimizer would do; a failing literal surfaces at compile
+    // time with the field name instead of mid-job from codegen. Timestamp
+    // casts are zone-sensitive — the session zone is UTC everywhere in this
+    // library (SparkSession builders pin spark.sql.session.timeZone).
+    val castable = dt match {
+      case StringType => true
+      case _ =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+        scala.util.Try(
+          Cast(Literal(v), dt, Some("UTC"), EvalMode.ANSI).eval(null)).isSuccess
     }
-    require(parses,
-      s"encoded query literal '$v' does not parse as $dt for field '$field'")
+    require(castable,
+      s"encoded query literal '$v' does not cast to $dt for field '$field'")
     lit(v).cast(dt)
   }
 

@@ -72,11 +72,15 @@ object CoreRelational {
     // last-seen key becomes the cursor (`o_orderkey > lastKey LIMIT page`).
     "a5_paginate" -> ((s, d) => {
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      // try_element_at, not element_at: under ANSI mode (Spark 4 default) an
+      // out-of-bounds index THROWS, so a source with <500 rows would crash
+      // the page query; the try_ form yields null bounds and the page filter
+      // below drops out gracefully — the Table API's short-last-page shape.
       val bounds = o.select("o_orderkey").orderBy("o_orderkey").limit(500)
         .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
         .select(
-          element_at(col("ks"), 201).as("lo2"), element_at(col("ks"), 300).as("hi2"),
-          element_at(col("ks"), 401).as("lo4"), element_at(col("ks"), 500).as("hi4"))
+          try_element_at(col("ks"), lit(201)).as("lo2"), try_element_at(col("ks"), lit(300)).as("hi2"),
+          try_element_at(col("ks"), lit(401)).as("lo4"), try_element_at(col("ks"), lit(500)).as("hi4"))
       val w = Window.partitionBy("page").orderBy("o_orderkey")
       o.crossJoin(broadcast(bounds))
         .withColumn("page",
@@ -428,6 +432,32 @@ object CoreRelational {
       o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
         .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
         .orderBy("o_custkey")
+    }),
+
+    // ---------------------------------------------------------------- K1
+    // The ONE registered scalar UDF in the library — the extensibility
+    // surface for an operation no built-in or higher-order function can
+    // express: Unicode NFC normalization (java.text.Normalizer), needed
+    // before any text hash/dedup when sources mix composed and decomposed
+    // encodings of the same glyph ("é" vs "e"+U+0301 — equal to a reader,
+    // different bytes, different md5). The input column prepends a
+    // DECOMPOSED literal so the op is exercised on every row (norm_len =
+    // raw_len − 1 proves a combining pair collapsed). Everything else in
+    // the library stays UDF-free on principle: a UDF is an optimizer black
+    // box (no codegen, no pushdown through it), so this one is kept off
+    // every hot path and exists to grade the registration surface itself.
+    "k1_normalize" -> ((s, d) => {
+      s.udf.register("nfc_normalize_udf", (t: String) =>
+        if (t == null) null
+        else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      documents(s, d)
+        .withColumn("raw",
+          concat(lit("Cafe\u0301 "), substring(col("text"), 1, 40))) // decomposed e + COMBINING ACUTE
+        .select(col("doc_id"),
+          expr("nfc_normalize_udf(raw)").as("norm_text"),
+          length(col("raw")).as("raw_len"),
+          length(expr("nfc_normalize_udf(raw)")).as("norm_len"))
+        .orderBy("doc_id")
     })
   )
 
@@ -655,6 +685,18 @@ object CoreRelational {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+
+    // K1: DuckDB's nfc_normalize is the same Unicode NFC algorithm
+    // (utf8proc) as java.text.Normalizer — byte-identical outputs. chr(769)
+    // is U+0301 COMBINING ACUTE: the raw column is built DECOMPOSED, so the
+    // norm_len = raw_len - 1 delta proves the UDF actually normalized.
+    "k1_normalize" ->
+      """SELECT doc_id,
+                nfc_normalize('Cafe' || chr(769) || ' ' || substr(text, 1, 40)) AS norm_text,
+                CAST(length('Cafe' || chr(769) || ' ' || substr(text, 1, 40)) AS INT) AS raw_len,
+                CAST(length(nfc_normalize('Cafe' || chr(769) || ' ' || substr(text, 1, 40))) AS INT) AS norm_len
+         FROM documents
+         ORDER BY doc_id"""
   )
 }

@@ -120,13 +120,23 @@ object LlmOps {
   /** Blocked inverted-index pair expansion shared by every set-similarity
     * scorer: one row per candidate pair with the shared-shingle count and
     * both (full) set sizes — Jaccard, containment, and overlap are all just
-    * different arithmetic over these three integers. */
+    * different arithmetic over these three integers.
+    *
+    * `blockOnLength` adds the (length div 10) bucket to the block key.
+    * Jaccard consumers keep it on (j ≥ 0.5 forces sizes within 2× — a
+    * same-bucket miss is impossible above ~20 tokens, and it shrinks the
+    * candidate set); CONTAINMENT consumers must turn it OFF — an excerpt vs
+    * its source, the exact asymmetric pair containment exists to catch,
+    * straddles length buckets by definition. Cost without it is still
+    * Σ df² per (lang, shingle), bounded by the df cap — never all-pairs. */
   private[graft] def sharedShinglePairs(docs: DataFrame,
-      maxDf: Int = MaxShingleDf): DataFrame = {
+      maxDf: Int = MaxShingleDf, blockOnLength: Boolean = true): DataFrame = {
     val inv = shingleIndex(docs, maxDf)
-    inv.alias("x").join(inv.alias("y"),
-        col("x.lang") === col("y.lang") && col("x.blk") === col("y.blk") &&
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+    val sameBlock = col("x.lang") === col("y.lang") &&
+      col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id")
+    val cond = if (blockOnLength) sameBlock && col("x.blk") === col("y.blk")
+               else sameBlock
+    inv.alias("x").join(inv.alias("y"), cond)
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         max(col("x.nsh")).as("na"), max(col("y.nsh")).as("nb"))
@@ -234,13 +244,15 @@ object LlmOps {
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")),
 
-    // J2b: containment similarity — |A∩B| / min(|A|,|B|) over the same
-    // shared-shingle pairs. Catches the asymmetric near-dups Jaccard
-    // misses: a boilerplate-padded copy or an excerpt has low Jaccard
-    // against its source (union is large) but containment ≈ 1. Same
-    // inverted-index cost, different arithmetic.
+    // J2b: containment similarity — |A∩B| / min(|A|,|B|) over the shared-
+    // shingle pairs. Catches the asymmetric near-dups Jaccard misses: a
+    // boilerplate-padded copy or an excerpt has low Jaccard against its
+    // source (union is large) but containment ≈ 1. Blocked on lang ONLY —
+    // the length-bucket key Jaccard uses would exclude exactly these
+    // cross-size pairs (an excerpt and its source sit in different
+    // buckets). Same inverted-index cost shape, different arithmetic.
     "j2b_containment" -> ((s, d) =>
-      sharedShinglePairs(documents(s, d))
+      sharedShinglePairs(documents(s, d), blockOnLength = false)
         .withColumn("cont",
           col("inter").cast("double") / least(col("na"), col("nb")))
         .filter(col("cont") >= 0.8)
@@ -548,8 +560,10 @@ object LlmOps {
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jac)` — the oracle
     * mirror of [[jaccardPairsOf]] at threshold `tau`, including the
     * stop-shingle df cap (`hot`/`capped`): intersections count capped
-    * shingles only, while `nsh` stays the full set size. */
-  private def jacPairsCte(tau: Double): String =
+    * shingles only, while `nsh` stays the full set size. `blockOnLength`
+    * mirrors [[sharedShinglePairs]]' flag (off for containment). */
+  private def jacPairsCte(tau: Double, blockOnLength: Boolean = true): String = {
+    val blkEq = if (blockOnLength) "AND x.blk = y.blk " else ""
     s"""docs AS (
             SELECT doc_id, lang, (len($toksSql)) // 10 AS blk,
                    list_distinct(list_transform(
@@ -564,7 +578,7 @@ object LlmOps {
           shared AS (
             SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
             FROM capped x JOIN capped y
-              ON x.lang = y.lang AND x.blk = y.blk AND x.h = y.h
+              ON x.lang = y.lang ${blkEq}AND x.h = y.h
              AND x.doc_id < y.doc_id
             GROUP BY 1, 2),
           pairs AS (
@@ -574,6 +588,7 @@ object LlmOps {
               FROM shared JOIN sizes a ON shared.doc_a = a.doc_id
                           JOIN sizes b ON shared.doc_b = b.doc_id)
             WHERE jac >= $tau)"""
+  }
 
   private val centroidSql =
     """SELECT label, CAST(i AS INT) AS pos,
@@ -596,9 +611,9 @@ object LlmOps {
 
     // reuses the jacPairsCte chain for its shared/sizes CTEs (the final
     // `pairs` CTE goes unused — containment is different arithmetic over
-    // the same three integers)
+    // the same three integers); lang-only blocking mirrors the Spark side
     "j2b_containment" ->
-      s"""WITH ${jacPairsCte(0.0)}
+      s"""WITH ${jacPairsCte(0.0, blockOnLength = false)}
           SELECT doc_a, doc_b, ${sqlRound4("cont")} AS cont FROM (
             SELECT doc_a, doc_b,
                    CAST(inter AS DOUBLE) / least(a.nsh, b.nsh) AS cont

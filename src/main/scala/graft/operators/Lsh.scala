@@ -21,7 +21,9 @@ import graft.sources.Tables._
   *    vector is assigned to its nearest (rounded) centroid cell, and a
   *    query probes only its own cell — 10× less compute than brute force
   *    here, k/nlist in general.
-  *  - Embedding near-dup: label-blocked cosine pairs above a threshold.
+  *  - Embedding near-dup: IVF-cell-blocked cosine pairs above a threshold
+  *    (Σ|cell|² cost with the nlist knob — never quadratic in a fixed
+  *    block).
   *
   * Hashes are md5-derived on both engines (Spark `conv(substr(md5,…),16,10)`
   * ≡ DuckDB `('0x'||substr(md5,…))::BIGINT`), so every oracle hash-matches
@@ -137,9 +139,10 @@ object Lsh {
         .select(col("vec_id"), col("j"), round4(col("raw")).as("proj"))
         .orderBy("vec_id", "j")),
 
-    // Embedding near-dup via sign-bucket LSH — the sub-quadratic scale path
-    // for `lsh_emb_near_dup` (whose label-blocked form is the oracle-simple
-    // baseline but quadratic per block). Compose L12: a 16-dim signed
+    // Embedding near-dup via sign-bucket LSH — with `lsh_emb_near_dup`'s
+    // IVF-cell blocking, one of the two sub-quadratic shapes for the same
+    // problem (banding composes with cells for huge corpora). Compose L12:
+    // a 16-dim signed
     // projection's sign bits, split into 4 bands of 4 bits; two vectors are
     // candidates iff they share any band's 4-bit bucket (equi-join on
     // (band, band_val) — hash-partitioned, never all-pairs), then exact
@@ -180,22 +183,44 @@ object Lsh {
     // vector that has a lower-id semantic duplicate in its cell.
     "sem_dedup" -> ((s, d) => semDedup(s, d, nlist = 10, tau = 0.4)),
 
-    // Embedding-cosine near-dup pairs, blocked by label. Norms are computed
-    // once per vector before the pair join (1 dot per pair, not 3).
+    // Embedding-cosine near-dup pairs, blocked by IVF cell (the same
+    // hash-seeded coarse quantizer as lsh_ivf_topk — the materialized index
+    // is built once and shared by all its consumers). Blocking on a
+    // data-independent attribute (the old `label` form) is quadratic per
+    // fixed block at scale: Σ|block|² ≈ N²/|labels|. Cell blocking keeps
+    // the same equi-join shape but cell size is a KNOB — nlist grows ~√N,
+    // so Σ|cell|² stays bounded and the plan survives a 100× scale-up.
+    // Norms are computed once per vector before the pair join (1 dot per
+    // pair, not 3).
     "lsh_emb_near_dup" -> ((s, d) => {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
-      val a = emb.select(col("vec_id").as("vec_a"), col("label").as("la"),
+      val assigned = ivfAssignments(s, d, nlist = 10, nprobe = 1)
+      val a = assigned.select(col("vec_id").as("vec_a"), col("cell"),
         col("v").as("va"), col("nrm").as("na"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+      val b = assigned.select(col("vec_id").as("vec_b"), col("cell"),
         col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, col("la") === col("lb") && col("vec_a") < col("vec_b"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_a") < col("vec_b"))
         .withColumn("cos_raw", dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos_raw") >= 0.4)
         .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
         .orderBy("vec_a", "vec_b")
-    })
+    }),
+
+    // IVF with one Lloyd refinement round — grades the `refine` knob
+    // cross-engine: the k-means reassign+recompute round must produce
+    // bit-identical centroids (round4 at each round) and therefore
+    // identical cells in both engines. AnnRecallSpec separately shows the
+    // refined index's recall ≥ the seed index's.
+    "lsh_ivf_refined" -> ((s, d) =>
+      ivfTopK(s, d, nlist = 10, nprobe = 1, k = 5, nq = 5, refine = 1)),
+
+    // ±1-bit multiprobe LSH — grades the `multiprobe` knob: per band, side
+    // A also probes every bucket one sign-bit away, recovering true pairs
+    // that disagree on a single bit in every band, at ×(1+bandBits)
+    // candidate cost instead of more bands. The oracle mirrors the
+    // probe-set union bit-for-bit.
+    "lsh_rp_multiprobe" -> ((s, d) =>
+      rpNearDup(s, d, nBits = 16, bandBits = 4, tau = 0.4, multiprobe = 1))
   )
 
   /** Sign-bucket LSH near-dup over `embeddings` — the parameterized form of
@@ -359,34 +384,47 @@ object Lsh {
       .orderBy("vec_id")
   }
 
-  /** Oracle CTE chain `seeded, cents, assigned, normed` — the DuckDB mirror
-    * of [[ivfAssignments]] at nprobe=1, refine=0, shared by the IVF search
-    * and SemDeDup oracles so the cell assignment is asserted once. */
-  private def ivfAssignSql(nlist: Int): String =
-    s"""seeded AS (
-            SELECT vec_id, embedding,
-                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % $nlist AS INT) AS cell0
-            FROM embeddings),
-          cents AS (
+  /** Oracle CTE chain ending in `assigned, normed` — the DuckDB mirror of
+    * [[ivfAssignments]] at nprobe=1, shared by the IVF search, SemDeDup and
+    * cell-blocked near-dup oracles so the cell assignment is asserted once.
+    * `refine` Lloyd rounds mirror the Spark side: reassign every vector to
+    * its nearest centroid, recompute round4-ed means — identical membership
+    * each round because the distances fold in the same order and the
+    * centroids are exact 4-decimal values in both engines. */
+  private def ivfAssignSql(nlist: Int, refine: Int = 0): String = {
+    def centsOf(src: String, cname: String): String =
+      s"""$cname AS (
             SELECT clabel, list(c ORDER BY pos) AS cent FROM (
               SELECT cell0 AS clabel, i AS pos,
                      CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
-              FROM seeded, range(64) t(i) GROUP BY 1, 2)
-            GROUP BY clabel),
-          assigned AS (
-            SELECT vec_id, embedding, cell FROM (
-              SELECT e.vec_id, e.embedding, c.clabel AS cell,
+              FROM $src, range(64) t(i) GROUP BY 1, 2)
+            GROUP BY clabel)"""
+    def assignOf(cname: String, aname: String, outCol: String): String =
+      s"""$aname AS (
+            SELECT vec_id, embedding, $outCol FROM (
+              SELECT e.vec_id, e.embedding, c.clabel AS $outCol,
                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
                        list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                          i -> (e.embedding[i]::DOUBLE - c.cent[i])
                             * (e.embedding[i]::DOUBLE - c.cent[i]))), (acc,x) -> acc + x) ASC,
                        c.clabel ASC) AS rn
-              FROM embeddings e CROSS JOIN cents c)
-            WHERE rn = 1),
+              FROM embeddings e CROSS JOIN $cname c)
+            WHERE rn = 1)"""
+    val lloyd = (1 to refine).map { r =>
+      assignOf(s"cents${r - 1}", s"re$r", "cell0") + ",\n          " +
+        centsOf(s"re$r", s"cents$r")
+    }.mkString(",\n          ", ",\n          ", "")
+    s"""seeded AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % $nlist AS INT) AS cell0
+            FROM embeddings),
+          ${centsOf("seeded", "cents0")}${if (refine > 0) lloyd else ""},
+          ${assignOf(s"cents$refine", "assigned", "cell")},
           normed AS (
             SELECT vec_id, embedding, cell,
                    sqrt(${dotSql("embedding", "embedding")}) AS nrm
             FROM assigned)"""
+  }
 
   // Oracle-side simhash term list, generated to mirror the Spark bit loop.
   private val simhashTermsSql: String = (0 until 32).map { k =>
@@ -517,15 +555,68 @@ object Lsh {
           ORDER BY vec_id""",
 
     "lsh_emb_near_dup" ->
-      s"""WITH e AS (
-            SELECT vec_id, label, embedding,
-                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
-            FROM embeddings)
+      s"""WITH ${ivfAssignSql(10)}
           SELECT vec_a, vec_b, ${sqlRound4("cos_raw")} AS cos FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_raw
-            FROM e a JOIN e b
-              ON a.label = b.label AND a.vec_id < b.vec_id)
+            FROM normed a JOIN normed b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          WHERE cos_raw >= 0.4
+          ORDER BY vec_a, vec_b""",
+
+    "lsh_ivf_refined" ->
+      s"""WITH ${ivfAssignSql(10, refine = 1)},
+          qs AS (SELECT vec_id AS query_id, embedding AS q, cell, nrm AS qn
+                 FROM normed ORDER BY vec_id LIMIT 5),
+          scored AS (
+            SELECT qs.query_id, a.vec_id,
+                   ${dotSql("qs.q", "a.embedding")} / (qs.qn * a.nrm) AS cos_raw
+            FROM normed a JOIN qs ON a.cell = qs.cell)
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 ${sqlRound4("cos_raw")} AS cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    // lsh_rp_near_dup's chain plus the ±1-bit probe union: side A probes
+    // its own bucket and every bucket one sign-bit away in each band.
+    "lsh_rp_multiprobe" ->
+      s"""WITH mat AS (
+            SELECT j, i,
+                   CASE WHEN ('0x'||substr(md5('rp:'||j||':'||i),1,15))::BIGINT % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS sgn
+            FROM generate_series(0, 15) t(j), generate_series(0, 63) s(i)),
+          proj AS (
+            SELECT vec_id, j,
+                   CAST(sum(CAST(round(x * sgn * 1e7) AS BIGINT)) AS BIGINT) / 1e7 AS raw
+            FROM (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                  FROM embeddings, generate_series(0, 63) g(i))
+            JOIN mat USING (i)
+            GROUP BY vec_id, j),
+          bands AS (
+            SELECT vec_id, j // 4 AS band,
+                   CAST(sum(CAST(raw >= 0 AS INT) * (1 << (j % 4))) AS BIGINT) AS band_val
+            FROM proj GROUP BY vec_id, j // 4),
+          probes AS (
+            SELECT vec_id, band, band_val FROM bands
+            UNION
+            SELECT vec_id, band, xor(band_val, CAST(1 << k AS BIGINT)) AS band_val
+            FROM bands, generate_series(0, 3) t(k)),
+          cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM probes a JOIN bands b
+              ON a.band = b.band AND a.band_val = b.band_val
+             AND a.vec_id < b.vec_id),
+          e AS (
+            SELECT vec_id, embedding,
+                   sqrt(${dotSql("embedding", "embedding")}) AS nrm
+            FROM embeddings)
+          SELECT vec_a, vec_b, ${sqlRound4("cos_raw")} AS cos FROM (
+            SELECT vec_a, vec_b,
+                   ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_raw
+            FROM cand JOIN e a ON cand.vec_a = a.vec_id
+                      JOIN e b ON cand.vec_b = b.vec_id)
           WHERE cos_raw >= 0.4
           ORDER BY vec_a, vec_b"""
   )

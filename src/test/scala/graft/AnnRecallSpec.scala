@@ -65,15 +65,25 @@ class AnnRecallSpec extends AnyFunSuite {
       s"±1-bit probing found nothing new (${exact.size} -> ${probed.size})")
   }
 
-  test("IVF: a Lloyd refinement round keeps the index sound") {
-    val refined = graft.operators.Lsh.ivfTopK(spark, d, nlist = 10, nprobe = 1,
-      k = 5, nq = 5, refine = 1)
-      .select("query_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("IVF: a Lloyd refinement round keeps the index sound and does not lose recall") {
+    def top5(refine: Int): Set[(Long, Long)] =
+      graft.operators.Lsh.ivfTopK(spark, d, nlist = 10, nprobe = 1,
+        k = 5, nq = 5, refine = refine)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seed = top5(0)
+    val refined = top5(refine = 1)
     // 5 queries × full top-5 each, and every query still retrieves itself
     // (cos=1 with itself is always in its own home cell)
     assert(refined.size == 25)
     assert(refined.count { case (q, v) => q == v } == 5)
+    // Lloyd tightens cells around the data, so the refined index must not
+    // retrieve a WORSE neighbor set than the hash-seeded one (deterministic
+    // fixtures + deterministic index → this is a pin, not a flaky bound).
+    def recall(got: Set[(Long, Long)]): Double =
+      (got intersect trueTop5).size.toDouble / trueTop5.size
+    assert(recall(refined) >= recall(seed),
+      s"refinement lost recall: ${recall(seed)} -> ${recall(refined)}")
   }
 
   test("IVF: nprobe=2 strictly dominates nprobe=1, with pinned top-5 recall") {

@@ -29,7 +29,10 @@ class PlanShapeSpec extends AnyFunSuite {
   private val allowedNestedLoop =
     Set("c9_cross", "j3_topk_cosine", "lsh_ivf_topk", "ta_tfidf", "emb_rproject",
       "a5_paginate", "lsh_rp_near_dup", "sem_dedup", "ta_unigram_logprob",
-      "pp_quality_funnel")
+      "pp_quality_funnel",
+      // IVF-index consumers broadcast the nlist-sized centroid grid;
+      // multiprobe broadcasts the constant sign matrix — same tiny sides.
+      "lsh_ivf_refined", "lsh_emb_near_dup", "lsh_rp_multiprobe")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -48,7 +51,9 @@ class PlanShapeSpec extends AnyFunSuite {
   // broadcast.
   private val allowedSortMerge =
     Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one",
-      "sem_dedup", "pp_quality_funnel")
+      "sem_dedup", "pp_quality_funnel",
+      // same corpus×corpus equi-join shapes as sem_dedup / lsh_rp_near_dup
+      "lsh_emb_near_dup", "lsh_rp_multiprobe")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {

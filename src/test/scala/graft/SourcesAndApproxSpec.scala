@@ -112,6 +112,30 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05) // 2% rsd, generous bound
   }
 
+  test("d2b_sketches: graded sketch tracks the graded exact d2 within 3×rsd at sf0.1") {
+    // The quantitative correctness story for the one rows-only graded entry:
+    // per group, |approx − exact| / exact ≤ 3×rsd (rsd = 0.02 in the graded
+    // query — three standard errors of the HLL++ estimator, ≈99.7%
+    // confidence) against the EXACT graded twin d2_distinct_count, at the
+    // bench scale factor. The cardinalities differ per group (~thousands),
+    // so this exercises the estimator where its error bound is meaningful,
+    // not on toy counts.
+    val big = "/root/testdata/sf0.1"
+    val sketch = SparkEntry.queries("d2b_sketches")(spark, big).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.lineitem(spark, big)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.keySet == exact.keySet && sketch.nonEmpty)
+    for ((k, approx) <- sketch) {
+      val e = exact(k).toDouble
+      assert(e > 100, s"group $k too small ($e) for the bound to be meaningful")
+      assert(math.abs(approx - e) / e <= 3 * 0.02,
+        s"$k: approx $approx vs exact $e exceeds 3×rsd")
+    }
+  }
+
   test("D7 approx: percentile_approx brackets the exact median") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(

@@ -72,6 +72,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.filter(col("user_id") === 2 && col("n_events") === 2).count() == 1)
   }
 
+  test("stream session windows over the real feed equal the graded i3_session twin") {
+    // The stream-vs-batch equivalence for the hardest streaming semantic:
+    // session_window() driven through MicroBatchExecution over the REAL
+    // sf0.001 events feed must produce exactly the sessions the graded
+    // lag/gap-sum batch twin (i3_session) computes — same session count per
+    // user, same start instants, same event counts. (The batch twin starts a
+    // new session on gap > 30 min; session_window's end is start+gap
+    // exclusive, so an exactly-30-min gap also splits — identical boundary.)
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev]
+    mem.addData(feed: _*)
+    val q = StreamingOps.sessionCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("sess_real").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_real")
+      .select(col("user_id"), unix_micros(col("sess_start")).as("start_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("i3_session")(spark, sf)
+      .select(col("user_id"), col("start_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful ops run on the RocksDB state store (larger-than-heap state path)") {
     // At 100 TB the streaming state (sessions, dedup keys, join buffers)
     // outgrows executor heap; RocksDB is the provider that spills it to
