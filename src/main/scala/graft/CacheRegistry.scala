@@ -19,6 +19,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheRegistry {
   private val live = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  private val releaseHooks = scala.collection.mutable.ArrayBuffer[() => Unit]()
 
   /** Persist `df` (memory-and-disk) and track it for later release. */
   def materialize(df: DataFrame): DataFrame = synchronized {
@@ -27,15 +28,22 @@ object CacheRegistry {
     df
   }
 
-  /** Unpersist every tracked index (non-blocking) and clear the registry.
-    * Also drops the components memo (LlmOps) — it holds checkpoint-backed
-    * DataFrames built FROM these caches, so a release that left it in place
-    * would serve a stale clustering if the underlying data changed before
-    * the next build. */
+  /** Register a callback to run on every [[releaseAll]] — for operator
+    * modules that keep DERIVED state built from registry caches (e.g. the
+    * components memo): a release that cleared the caches but left such a
+    * memo in place would serve stale results if the underlying data changed
+    * before the next build. Hook registration keeps the registry
+    * operator-agnostic (idempotent hooks; registered once per module). */
+  def onRelease(hook: () => Unit): Unit = synchronized {
+    releaseHooks += hook
+  }
+
+  /** Unpersist every tracked index (non-blocking), clear the registry, and
+    * run the registered release hooks. */
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
-    operators.LlmOps.clearComponentsMemo()
+    releaseHooks.foreach(_.apply())
   }
 
   /** Number of currently tracked materializations (for tests). */

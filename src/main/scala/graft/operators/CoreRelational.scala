@@ -74,13 +74,18 @@ object CoreRelational {
       val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       // try_element_at, not element_at: under ANSI mode (Spark 4 default) an
       // out-of-bounds index THROWS, so a source with <500 rows would crash
-      // the page query; the try_ form yields null bounds and the page filter
-      // below drops out gracefully — the Table API's short-last-page shape.
+      // the page query. A page whose START key is beyond the data does not
+      // exist (null lo → between(null,…) is null → filtered); a page whose
+      // END is beyond the data is SHORT — its hi bound falls back to the
+      // last available key (try_element_at(ks, -1)), the Table API's
+      // short-last-page shape (a null hi would silently EMPTY the page).
       val bounds = o.select("o_orderkey").orderBy("o_orderkey").limit(500)
         .agg(array_sort(collect_list(col("o_orderkey"))).as("ks"))
         .select(
-          try_element_at(col("ks"), lit(201)).as("lo2"), try_element_at(col("ks"), lit(300)).as("hi2"),
-          try_element_at(col("ks"), lit(401)).as("lo4"), try_element_at(col("ks"), lit(500)).as("hi4"))
+          try_element_at(col("ks"), lit(201)).as("lo2"),
+          coalesce(try_element_at(col("ks"), lit(300)), try_element_at(col("ks"), lit(-1))).as("hi2"),
+          try_element_at(col("ks"), lit(401)).as("lo4"),
+          coalesce(try_element_at(col("ks"), lit(500)), try_element_at(col("ks"), lit(-1))).as("hi4"))
       val w = Window.partitionBy("page").orderBy("o_orderkey")
       o.crossJoin(broadcast(bounds))
         .withColumn("page",

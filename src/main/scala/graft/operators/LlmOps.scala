@@ -162,6 +162,8 @@ object LlmOps {
     * pass (serving both queries), never a stale cached read. */
   private val componentsMemo =
     scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  // derived from registry-cached frames → must not outlive a cache release
+  graft.CacheRegistry.onRelease(() => clearComponentsMemo())
 
   private[graft] def componentsOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     componentsMemo.getOrElseUpdate((s, d),

@@ -244,7 +244,7 @@ object Lsh {
       nBits: Int, bandBits: Int, tau: Double, multiprobe: Int = 0)
       : org.apache.spark.sql.DataFrame = {
     require(nBits % bandBits == 0, s"nBits=$nBits not divisible by bandBits=$bandBits")
-    require(multiprobe <= 1, "only ±1-bit multiprobe is implemented")
+    require(multiprobe >= 0 && multiprobe <= 1, "only multiprobe 0 or 1 (±1-bit) is implemented")
     val emb = embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))

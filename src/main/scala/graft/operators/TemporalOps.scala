@@ -129,14 +129,17 @@ object TemporalOps {
     // I3: session windows (30-min gap), batch form: lag → new-session flag →
     // running-sum session id → per-session rollup. (The streaming twin uses
     // session_window(); this is the standard SQL sessionization that any
-    // engine can mirror.)
+    // engine can mirror.) Gap comparison is >= : session_window's interval
+    // is [start, last+gap) — end-EXCLUSIVE, so an exactly-30-min gap starts
+    // a new session there, and the batch twin must split on the same
+    // boundary or stream≡batch equivalence breaks on exact-gap data.
     "i3_session" -> ((s, d) => {
       val byTime = Window.partitionBy("user_id").orderBy("us", "event_id")
       val runSum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       events(s, d)
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
         .withColumn("new_sess",
-          when(col("us") - lag(col("us"), 1).over(byTime) > 30L * 60 * 1000000, 1)
+          when(col("us") - lag(col("us"), 1).over(byTime) >= 30L * 60 * 1000000, 1)
             .otherwise(when(lag(col("us"), 1).over(byTime).isNull, 1).otherwise(0)))
         .withColumn("session_id", sum(col("new_sess")).over(runSum).cast("int"))
         .groupBy("user_id", "session_id")
@@ -315,7 +318,7 @@ object TemporalOps {
              SELECT user_id, event_id, epoch_us(ts) AS us,
                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER
                            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-                           > 30*60*1000000 THEN 1
+                           >= 30*60*1000000 THEN 1
                          WHEN lag(epoch_us(ts), 1) OVER
                            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                            IS NULL THEN 1

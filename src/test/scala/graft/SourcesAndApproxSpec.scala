@@ -116,10 +116,12 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     // The quantitative correctness story for the one rows-only graded entry:
     // per group, |approx − exact| / exact ≤ 3×rsd (rsd = 0.02 in the graded
     // query — three standard errors of the HLL++ estimator, ≈99.7%
-    // confidence) against the EXACT graded twin d2_distinct_count, at the
-    // bench scale factor. The cardinalities differ per group (~thousands),
-    // so this exercises the estimator where its error bound is meaningful,
-    // not on toy counts.
+    // confidence) against an exact countDistinct over the SAME column
+    // (l_orderkey) and grouping the graded sketch uses, computed here at the
+    // bench scale factor. (The graded d2_distinct_count counts partkey /
+    // suppkey, so the exact side is test-local by necessity.) The per-group
+    // cardinalities are in the thousands, so this exercises the estimator
+    // where its error bound is meaningful, not on toy counts.
     val big = "/root/testdata/sf0.1"
     val sketch = SparkEntry.queries("d2b_sketches")(spark, big).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

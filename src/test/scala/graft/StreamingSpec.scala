@@ -78,8 +78,9 @@ class StreamingSpec extends AnyFunSuite {
     // sf0.001 events feed must produce exactly the sessions the graded
     // lag/gap-sum batch twin (i3_session) computes — same session count per
     // user, same start instants, same event counts. (The batch twin starts a
-    // new session on gap > 30 min; session_window's end is start+gap
-    // exclusive, so an exactly-30-min gap also splits — identical boundary.)
+    // new session on gap >= 30 min — matching session_window's end-EXCLUSIVE
+    // [start, last+gap) interval, where an exactly-30-min gap also splits;
+    // a strict > in the batch twin would diverge on exact-gap data.)
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val feed = graft.sources.Tables.events(spark, sf)
