@@ -212,6 +212,21 @@ object CoreRelational {
         "o_totalpriceBETWEEN100000@150000^o_orderstatus=O" +
           "^NQo_orderpriorityISEMPTY^ORo_totalprice>400000^ORDERBYo_orderkey")),
 
+    // B10: the COMPLETE Table-API request emulation at the oracle gate —
+    // sysparm_query + sysparm_fields (projection) + sysparm_offset/
+    // sysparm_limit (pagination) in one call. ORDERBY on the unique key
+    // makes the page deterministic (exactly the real API's requirement);
+    // the trailing orderBy only re-asserts the sort after the limit so the
+    // written page is order-stable. Offset/limit compile to Spark's
+    // Offset/GlobalLimit operators — a page never materializes the table.
+    "b10_table_api" -> ((s, d) =>
+      graft.api.EncodedQuery.tableApi(
+        orders(s, d),
+        "o_orderstatus=O^o_totalprice>50000^ORDERBYo_orderkey",
+        fields = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        offset = 100, limit = 50)
+        .orderBy("o_orderkey")),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -691,6 +706,13 @@ object CoreRelational {
          EXCEPT
          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          ORDER BY o_custkey""",
+
+    "b10_table_api" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+         ORDER BY o_orderkey
+         LIMIT 50 OFFSET 100""",
 
     // K1: DuckDB's nfc_normalize is the same Unicode NFC algorithm
     // (utf8proc) as java.text.Normalizer — byte-identical outputs. chr(769)
