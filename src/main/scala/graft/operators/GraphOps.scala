@@ -44,8 +44,11 @@ object GraphOps {
       val nbr = e.join(labels.select(col("id").as("nid"), col("comp").as("ncomp")),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_comp"))
+      // comp0 (the round's starting label) rides along so convergence is a
+      // per-row comparison INSIDE this round's plan — no extra join against
+      // the previous labels frame at check time.
       val hop = labels.join(nbr, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("comp0"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label — opportunistic chain
       // collapsing (see scaladoc; correctness never depends on it).
@@ -54,20 +57,24 @@ object GraphOps {
       // localCheckpoint truncates lineage to an RDD leaf per round while
       // deferring execution, and each round's result is computed once and
       // reused across bench passes.
-      val next = hop.alias("h")
+      val stepped = hop.alias("h")
         .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")).alias("j"),
           col("h.comp") === col("j.jid"), "left")
         .select(col("h.id").as("id"),
-          least(col("h.comp"), coalesce(col("j.jcomp"), col("h.comp"))).as("comp"))
+          least(col("h.comp"), coalesce(col("j.jcomp"), col("h.comp"))).as("comp"),
+          (least(col("h.comp"), coalesce(col("j.jcomp"), col("h.comp")))
+            < col("h.comp0")).as("changed"))
         .localCheckpoint(eager = false)
       round += 1
       done = rounds match {
         case Some(n) => round >= n
-        case None => // verified fixpoint: no label changed this round
-          next.alias("n").join(labels.alias("o"), "id")
-            .filter(col("n.comp") =!= col("o.comp")).isEmpty
+        case None =>
+          // verified fixpoint: labels only ever DECREASE, so "no row's comp
+          // dropped below its round-start comp0" IS "nothing changed" — one
+          // filter scan of the (checkpointed) round result, no join.
+          stepped.filter(col("changed")).isEmpty
       }
-      labels = next
+      labels = stepped.select(col("id"), col("comp"))
     }
     labels
   }
