@@ -21,6 +21,7 @@ class CoreRelationalSpec extends AnyFunSuite {
   import TestSpark._
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+  private def run_dir(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
 
   test("every registered query has either an oracle or a documented omission") {
     // ✘-oracle operators are allowed but must be intentional: sketch
@@ -31,6 +32,21 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without query: $orphans")
+  }
+
+  test("a5 short last page: a <500-row source yields a short page 2 and no page 4") {
+    // The Table API's short-last-page shape: a source with 250 rows has a
+    // page 2 of rows 201-250 (short — its hi bound falls back to the last
+    // available key) and no page 4 at all (its lo bound is beyond the data).
+    // Before the try_element_at/coalesce bounds this crashed under ANSI.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("short_orders").toString
+    graft.sources.Tables.orders(spark, sf).orderBy("o_orderkey").limit(250)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = run_dir("a5_paginate", dir).collect()
+    assert(out.length == 50, s"expected the 50 short-page rows, got ${out.length}")
+    val rns = out.map(_.getAs[Int]("rn")).sorted
+    assert(rns.head == 201 && rns.last == 250) // page 2 only, rows 201-250
   }
 
   test("d2b sketch aggregates track exact cardinality/median within tolerance") {
