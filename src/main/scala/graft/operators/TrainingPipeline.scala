@@ -288,6 +288,31 @@ object TrainingPipeline {
           max(abs(col("q"))).as("qmax"),
           (round(max(abs(col("xd"))) * 10000).cast("long") / 10000.0).as("amax"))
         .orderBy("vec_id")
+    }),
+
+    // tp_upsample: repeat-factor source mixing — the "epochs per source"
+    // data-mix step (high-quality sources repeat 2-3×, the long tail runs
+    // once; the multi-epoch generalization of tp_interleave's weights).
+    // explode(sequence(1, factor)) is a narrow generate-per-row op — no
+    // shuffle, row count multiplies by the factor exactly where the plan
+    // says so — and each copy gets a salted-hash mix position (same
+    // portable-hash idiom as tp_shuffle: reproducible, repartition-stable,
+    // no rand()), so downstream batch assembly interleaves epochs instead
+    // of replaying the corpus factor-times back to back.
+    "tp_upsample" -> ((s, d) => {
+      val factor = when(col("source") === "src0", 3)
+        .when(col("source") === "src1", 2)
+        .otherwise(1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), factor)).as("epoch"))
+        .withColumn("pos",
+          conv(substring(md5(concat(lit("ups:"), col("doc_id").cast("string"),
+            lit(":"), col("epoch").cast("string"))), 1, 15), 16, 10)
+            .cast("long"))
+        .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
+          col("source"), col("pos"))
+        .orderBy("doc_id", "epoch")
     }))
 
   /** pp_end_to_end: the whole corpus-prep pipeline composed as ONE lazy
@@ -517,5 +542,15 @@ object TrainingPipeline {
              SELECT vec_id, CAST(x AS DOUBLE) AS xd,
                     max(abs(CAST(x AS DOUBLE))) OVER (PARTITION BY vec_id) / 127.0 AS scale
              FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)))
-         GROUP BY vec_id ORDER BY vec_id""")
+         GROUP BY vec_id ORDER BY vec_id""",
+
+    "tp_upsample" ->
+      """SELECT doc_id, CAST(epoch AS INT) AS epoch, source,
+                ('0x'||substr(md5('ups:'||doc_id||':'||epoch),1,15))::BIGINT AS pos
+         FROM (SELECT doc_id, source,
+                 unnest(range(1, CASE WHEN source = 'src0' THEN 3
+                                      WHEN source = 'src1' THEN 2
+                                      ELSE 1 END + 1)) AS epoch
+               FROM documents)
+         ORDER BY doc_id, epoch""")
 }

@@ -112,6 +112,59 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(clean.getInt(5) == 1)
   }
 
+  test("lsh_simhash_pairs: chunk index is EXACT at the graded radius — " +
+    "equals brute-force all-pairs hamming <= 2 (pigeonhole over 4 chunks)") {
+    val sigs = graft.operators.Lsh.simhashBigramSigs(
+      graft.sources.Tables.documents(spark, sf))
+    val brute = sigs.alias("x").join(sigs.alias("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("int"))
+      .filter(col("hamming") <= 2)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("hamming"))
+    val indexed = run("lsh_simhash_pairs")
+    // a pair within hamming 2 of 32 bits must agree on one of the 4 8-bit
+    // chunks, so the banded index can neither miss nor invent a pair
+    assert(indexed.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(indexed).count() == 0)
+    // exact text duplicates exist in the fixtures → pairs at hamming 0
+    assert(indexed.filter(col("hamming") === 0).count() > 0)
+  }
+
+  test("ta_boilerplate: hand-built hot-shingle corpus") {
+    import spark.implicits._
+    // shingle "a b c" appears in docs 1-5 (df=5 >= minDf); doc 6 shares no
+    // shingle with anyone. Suffixes make every other shingle unique.
+    val docs = (1L to 5L).map(i => (i, s"a b c d$i e$i", "en")) :+ ((6L, "p q r s", "en"))
+    val r = graft.operators.LlmOps.boilerplateOf(docs.toDF("doc_id", "text", "lang"), 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // docs 1-5: shingles {a b c, b c dI, c dI eI} → nsh 3, one boilerplate
+    (1L to 5L).foreach { i =>
+      assert(r(i).getLong(1) == 3 && r(i).getLong(2) == 1)
+      assert(math.abs(r(i).getDouble(3) - 0.3333) < 1e-9)
+    }
+    // doc 6: shingles {p q r, q r s} → nothing hot
+    assert(r(6L).getLong(1) == 2 && r(6L).getLong(2) == 0 && r(6L).getDouble(3) == 0.0)
+  }
+
+  test("ta_redact: word-boundary semantics — whole words only") {
+    import spark.implicits._
+    // "indexes"/"monkey" must NOT match \b(key|merge|index)\b; the three
+    // whole-word occurrences must.
+    val docs = Seq((1L, "key of the merge and indexes monkey key"),
+                   (2L, "nothing to see")).toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.redactOf(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 3)
+    assert(r(2L).getLong(1) == 0)
+    // hash equals the md5 of the expected redacted string
+    val expected = spark.sql(
+      "SELECT md5('[X] of the [X] and indexes monkey [X]') AS h")
+      .collect()(0).getString(0)
+    assert(r(1L).getString(2) == expected)
+  }
+
   test("sem_dedup: survivors are in-cell pairwise below the threshold, " +
     "and every cell's minimum vec_id survives") {
     val survivors = run("sem_dedup")

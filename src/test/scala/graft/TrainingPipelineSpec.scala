@@ -159,4 +159,24 @@ class TrainingPipelineSpec extends AnyFunSuite {
       assert(dups >= 0 && dups < r.getAs[Long]("n_docs"))
     }
   }
+
+  test("tp_upsample: every doc appears exactly its source's factor times, " +
+    "epochs are 1..factor, and mix positions are distinct per copy") {
+    import org.apache.spark.sql.functions._
+    val up = run("tp_upsample")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val factor = when(col("source") === "src0", 3)
+      .when(col("source") === "src1", 2).otherwise(1)
+    // per-doc copy count equals the source factor; epochs are exactly 1..f
+    val perDoc = up.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("epoch").as("lo"), max("epoch").as("hi"),
+        countDistinct("epoch").as("ne"))
+    val expected = docs.select(col("doc_id"), factor.as("f"))
+    assert(perDoc.join(expected, "doc_id")
+      .filter(col("n") =!= col("f") || col("lo") =!= 1 ||
+        col("hi") =!= col("f") || col("ne") =!= col("f")).count() == 0)
+    assert(up.count() == docs.select(sum(factor)).collect()(0).getLong(0))
+    // the salted mix position separates epoch copies of the same doc
+    assert(up.select("pos").distinct().count() == up.count())
+  }
 }
