@@ -53,7 +53,11 @@ class PlanShapeSpec extends AnyFunSuite {
     Set("c4_join_full", "i8_snapshot_diff", "lsh_rp_near_dup", "dd_keep_one",
       "sem_dedup", "pp_quality_funnel",
       // same corpus×corpus equi-join shapes as sem_dedup / lsh_rp_near_dup
-      "lsh_emb_near_dup", "lsh_rp_multiprobe")
+      "lsh_emb_near_dup", "lsh_rp_multiprobe",
+      // simhash chunk-bucket candidate join: data-sized × data-sized equi
+      // join on (chunk, chunk_val) — the banded-index shape; at test SF the
+      // cached signature frame broadcasts, at scale a shuffle join is right
+      "lsh_simhash_pairs")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
