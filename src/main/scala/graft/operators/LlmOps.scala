@@ -41,6 +41,20 @@ object LlmOps {
   /** Modulus shared by the shingle hashes and the MinHash family. */
   private[graft] val P = 2147483647L // 2^31 - 1
 
+  /** One row per (doc, token-bigram) OCCURRENCE — the posexplode + lead()
+    * window stream (one shuffle, on doc_id) shared by [[repetitionOf]],
+    * `ta_bigrams` and the simhash signature builder (Lsh.simhashBigramSigs)
+    * so the tokenization/bigram semantics cannot diverge between graded
+    * operators. Docs with < 2 tokens produce no rows. */
+  private[graft] def bigramRows(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t2", lead(col("tok"), 1).over(byPos))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
+  }
+
   /** One row per distinct (doc, hashed word-3-gram shingle), plus the
     * (lang, length-bucket) block key. Built relationally — posexplode +
     * lead() window + row-level md5 — because Spark's higher-order-function
@@ -204,12 +218,7 @@ object LlmOps {
     * oracle's empty unnest). Separated from the registry entry so tests can
     * drive it with synthetic looping text. */
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(byPos))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
+    bigramRows(docs)
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(
         sum(col("cnt")).as("n_bigrams"),
@@ -390,12 +399,8 @@ object LlmOps {
     // J5c: corpus bigram frequencies — the n-gram counting surface, built
     // with the same lead-window pattern as the shingle pipeline.
     "ta_bigrams" -> ((s, d) => {
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      documents(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("nxt", lead(col("tok"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      bigramRows(documents(s, d))
+        .select(col("bg").as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         // >= 20 keeps the gate non-vacuous at every graded scale (max bigram
@@ -561,12 +566,10 @@ object LlmOps {
     // ≥ BoilerplateDf distinct docs is boilerplate (headers, licence
     // blocks, navigation chrome); each doc reports how much of it is made
     // of such shingles. Reuses the raw (uncapped — boilerplate IS the hot
-    // tail the similarity cap drops) materialized shingle index, then one
-    // window count over the shingle hash + one hash aggregate on doc_id —
-    // two shuffles, both partial/window-standard. At 100 TB the df
-    // threshold is set relative to corpus size (like MaxShingleDf) and the
-    // hot-shingle window key inherits the same skew bound the cap analysis
-    // gives: fixture df max is 25, and a production cap precedes this op.
+    // tail the similarity cap drops) materialized shingle index; df comes
+    // from a partial-aggregable groupBy (the hot key combines map-side,
+    // same as the shingleIndex cap computation — never a window over the
+    // skewed shingle hash), and the boilerplate set broadcasts back.
     "ta_boilerplate" -> ((s, d) =>
       boilerplateOf(documents(s, d), BoilerplateDf).orderBy("doc_id")),
 
@@ -593,17 +596,27 @@ object LlmOps {
 
   /** Per-doc cross-corpus boilerplate coverage: distinct-shingle count,
     * how many of those shingles appear in ≥ `minDf` docs, and the covered
-    * fraction. One window count over the shingle hash + one hash aggregate
-    * on doc_id. Docs with < 3 tokens have no shingles and drop out. */
-  private[graft] def boilerplateOf(docs: DataFrame, minDf: Int): DataFrame =
-    graft.CacheRegistry.materialize(shingleRows(docs))
-      .withColumn("df_", count(lit(1)).over(Window.partitionBy("h")))
+    * fraction. Document frequency is a partial+final hash aggregate (the
+    * hot boilerplate shingle is combined map-side — a window over the
+    * skewed hash would send every occurrence of the hottest key to one
+    * task), and the ≥ minDf set joins back as a broadcast: with the
+    * threshold set relative to corpus size (minDf = εN, as here — 1% of
+    * the graded corpus), the set is PROVABLY bounded at any scale:
+    * |{h : df(h) ≥ εN}| ≤ Σ df / (εN) = avgShinglesPerDoc / ε rows.
+    * Docs with < 3 tokens have no shingles and drop out. */
+  private[graft] def boilerplateOf(docs: DataFrame, minDf: Int): DataFrame = {
+    val inv = graft.CacheRegistry.materialize(shingleRows(docs))
+    val boiler = inv.groupBy("h").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") >= minDf)
+      .select(col("h"), lit(1).as("is_b"))
+    inv.join(broadcast(boiler), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("nsh"),
-        sum(when(col("df_") >= minDf, 1L).otherwise(0L)).as("nboiler"))
+        sum(when(col("is_b") === 1, 1L).otherwise(0L)).as("nboiler"))
       .withColumn("coverage",
         round4(col("nboiler").cast("double") / col("nsh")))
       .select("doc_id", "nsh", "nboiler", "coverage")
+  }
 
   /** Word-boundary denylist redaction + per-doc match count; the redacted
     * text is reported as its md5 (narrow graded row). */

@@ -290,24 +290,19 @@ object Lsh {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Per-doc 32-bit simhash over distinct BIGRAMS, fully relational: one
-    * posexplode + lead() window builds the bigram stream (the shingleRows
-    * shape), dedup is on the bigram STRING (so an improbable 32-bit hash
-    * collision cannot make the engines disagree on the vote count), and the
-    * 32 per-bit ±1 vote sums fold in ONE partial+final hash aggregate on
-    * doc_id — no higher-order-function lambdas, everything codegen'd, one
-    * shuffle. Docs with < 2 tokens have no bigrams and drop out (mirrored
-    * in the oracle). */
+  /** Per-doc 32-bit simhash over distinct BIGRAMS, fully relational: the
+    * shared LlmOps.bigramRows stream (posexplode + lead() window — the same
+    * bigrams every other graded bigram operator sees), dedup on the bigram
+    * STRING (so an improbable 32-bit hash collision cannot make the engines
+    * disagree on the vote count), and the 32 per-bit ±1 vote sums fold in
+    * ONE partial+final hash aggregate on doc_id — no higher-order-function
+    * lambdas, everything codegen'd. Docs with < 2 tokens have no bigrams
+    * and drop out (mirrored in the oracle). */
   private[graft] def simhashBigramSigs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val grams = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t2", lead(col("tok"), 1).over(byPos))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), concat(col("tok"), lit(" "), col("t2")).as("g"))
+    val grams = LlmOps.bigramRows(docs)
       .distinct()
-      .select(col("doc_id"), mdHash32(col("g")).as("h"))
+      .select(col("doc_id"), mdHash32(col("bg")).as("h"))
     val votes = grams.groupBy("doc_id").agg(
       sum((shiftright(col("h"), 0).bitwiseAND(lit(1L))) * 2 - 1).as("b0"),
       (1 until 32).map(k =>
