@@ -319,8 +319,14 @@ object Lsh {
     * is materialized once via the registry — at cluster scale this is the
     * stored fingerprint table simhash dedup systems keep. */
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      maxHamming: Int): org.apache.spark.sql.DataFrame =
+    simhashPairsOf(documents(s, d), maxHamming)
+
+  /** Core of [[simhashPairs]] over any documents-shaped frame — separated
+    * so property tests can drive it with arbitrary synthetic corpora. */
+  private[graft] def simhashPairsOf(docs: org.apache.spark.sql.DataFrame,
       maxHamming: Int): org.apache.spark.sql.DataFrame = {
-    val sigs = graft.CacheRegistry.materialize(simhashBigramSigs(documents(s, d)))
+    val sigs = graft.CacheRegistry.materialize(simhashBigramSigs(docs))
     val chunks = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), 8 * c).bitwiseAND(lit(255L))): _*))

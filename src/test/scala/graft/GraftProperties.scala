@@ -195,4 +195,46 @@ object GraftProperties extends Properties("graft") {
             semi == left.count(right.toSet.contains)
         }
     }
+
+  // Random docs over a 4-word alphabet: short texts and heavy bigram overlap
+  // force signature collisions, near-misses, and empty-signature dropouts.
+  private val docsGen: Gen[List[String]] =
+    Gen.listOfN(12, Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))))
+
+  property("simhash chunk index equals brute-force hamming pairs (pigeonhole)") =
+    forAll(docsGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sigs = graft.operators.Lsh.simhashBigramSigs(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // model: all pairs of signature-bearing docs within hamming <= 2
+      val model = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 2
+      } yield (a, b, h)).toSet
+      val got = graft.operators.Lsh.simhashPairsOf(docs, maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      got == model
+    }
+
+  property("boilerplate coverage matches a direct shingle-df model") =
+    forAll(docsGen) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+        .toDF("doc_id", "text", "lang")
+      // model: distinct 3-gram strings per doc, df across docs, count >= 2
+      val shingles: Map[Long, Set[String]] = texts.zipWithIndex.map { case (t, i) =>
+        val w = t.split(" ")
+        i.toLong -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }.toMap
+      val df = shingles.values.flatten.groupBy(identity).map { case (s, g) => s -> g.size }
+      val model = shingles.collect { case (id, sh) if sh.nonEmpty =>
+        id -> ((sh.size.toLong, sh.count(df(_) >= 2).toLong))
+      }
+      val got = graft.operators.LlmOps.boilerplateOf(docs, minDf = 2)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      got == model
+    }
 }
