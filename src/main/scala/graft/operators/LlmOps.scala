@@ -189,12 +189,19 @@ object LlmOps {
 
   private[graft] def clearComponentsMemo(): Unit = componentsMemo.clear()
 
+  /** Per-doc token occurrence counts (doc_id, tok, m) — ONE hash aggregate
+    * over the exploded token stream, materialized once and shared by the
+    * unigram-LM scorer and the entropy signal (CacheManager keys on the
+    * canonical plan, so both consumers read a single copy). */
+  private[graft] def tokenCounts(docs: DataFrame): DataFrame =
+    graft.CacheRegistry.materialize(docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
+
   /** Per-document unigram-LM score over any documents-shaped frame — the
     * unordered core of `ta_unigram_logprob`, reused by the quality funnel. */
   private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
-    val occ = graft.CacheRegistry.materialize(docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("m")))
+    val occ = tokenCounts(docs)
     val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
     val tot = uni.agg(sum(col("cnt")).cast("double").as("tot"))
     occ.join(uni, "tok")
@@ -581,7 +588,17 @@ object LlmOps {
     // count for the redaction report, and the redacted text itself (graded
     // as its md5 to keep the row narrow). Pure per-row projection — no
     // shuffle, codegen'd, trivially linear at 100 TB.
-    "ta_redact" -> ((s, d) => redactOf(documents(s, d)).orderBy("doc_id"))
+    "ta_redact" -> ((s, d) => redactOf(documents(s, d)).orderBy("doc_id")),
+
+    // Token-distribution entropy per doc — the classic gibberish/low-
+    // diversity gate (a looping doc has entropy → 0, natural text sits
+    // near ln(distinct)): H = ln(n) − Σ m·ln(m)/n over the shared
+    // tokenCounts frame. Every ln is snapped to a 1e-7 integer grid before
+    // the (long) sum — the same order-invariance discipline as
+    // ta_unigram_logprob, so any partitioning and both engines produce the
+    // identical rounded value. One shared hash aggregate + one more on
+    // doc_id: a linear scan at any scale.
+    "ta_entropy" -> ((s, d) => entropyOf(documents(s, d)).orderBy("doc_id"))
   )
 
   /** Shingle document-frequency at or above which a 3-gram counts as
@@ -617,6 +634,23 @@ object LlmOps {
         round4(col("nboiler").cast("double") / col("nsh")))
       .select("doc_id", "nsh", "nboiler", "coverage")
   }
+
+  /** Per-document token-distribution entropy in nats: H = ln(n) −
+    * Σ m·ln(m)/n (the m=n degenerate case gives 0; uniform tokens give
+    * ln(distinct)). ln values are grid-snapped longs so the sums are
+    * associative — bit-identical across partitionings and engines. */
+  private[graft] def entropyOf(docs: DataFrame): DataFrame =
+    tokenCounts(docs)
+      .select(col("doc_id"), col("m"),
+        (col("m") * round(log(col("m").cast("double")) * 1e7).cast("long")).as("sml"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("sml")) / 1e7).as("smlnm"))
+      .withColumn("entropy",
+        round4((round(log(col("n_tokens").cast("double")) * 1e7).cast("long") / 1e7)
+          - col("smlnm") / col("n_tokens")))
+      .select("doc_id", "n_tokens", "n_distinct", "entropy")
 
   /** Word-boundary denylist redaction + per-doc match count; the redacted
     * text is reported as its md5 (narrow graded row). */
@@ -922,6 +956,24 @@ object LlmOps {
       s"""SELECT doc_id,
                  CAST(len(regexp_extract_all(text, '$RedactPattern')) AS BIGINT) AS n_hits,
                  md5(regexp_replace(text, '$RedactPattern', '[X]', 'g')) AS red_md5
-          FROM documents ORDER BY doc_id"""
+          FROM documents ORDER BY doc_id""",
+
+    // Same grid-snapped-ln arithmetic as the Spark side: every ln folds as
+    // a scaled BIGINT before any sum, and the final double ops replay in
+    // the identical order.
+    "ta_entropy" ->
+      s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_distinct AS BIGINT) AS n_distinct,
+                 ${sqlRound4(
+                   "CAST(round(ln(n_tokens)*1e7) AS BIGINT)/1e7 - (CAST(sml AS BIGINT)/1e7)/n_tokens")}
+                   AS entropy
+          FROM (
+            SELECT doc_id, sum(m) AS n_tokens, count(*) AS n_distinct,
+                   sum(m * CAST(round(ln(m)*1e7) AS BIGINT)) AS sml
+            FROM (SELECT doc_id, tok, count(*) AS m
+                  FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+                  GROUP BY doc_id, tok)
+            GROUP BY doc_id)
+          ORDER BY doc_id"""
   )
 }

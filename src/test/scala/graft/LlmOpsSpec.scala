@@ -165,6 +165,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(1L).getString(2) == expected)
   }
 
+  test("ta_entropy: hand-computed values — skewed, uniform, degenerate") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a a"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.entropyOf(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // H("a a b") = ln3 - 2ln2/3 = 0.6365; uniform = ln3; constant = 0
+    assert(r(1L).getLong(1) == 3 && r(1L).getLong(2) == 2)
+    assert(r(1L).getDouble(3) == 0.6365)
+    assert(r(2L).getDouble(3) == 1.0986)
+    assert(r(3L).getDouble(3) == 0.0)
+    // entropy is maximal for the uniform doc of the same length
+    assert(r(2L).getDouble(3) > r(1L).getDouble(3))
+  }
+
   test("sem_dedup: survivors are in-cell pairwise below the threshold, " +
     "and every cell's minimum vec_id survives") {
     val survivors = run("sem_dedup")

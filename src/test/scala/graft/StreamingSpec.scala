@@ -11,6 +11,8 @@ import graft.streaming.StreamingOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+case class Doc(doc_id: Long, text: String, ts: Timestamp)
+
 /** Streaming forms vs their batch twins (SURVEY.md §5 layer 4): the same
   * logical transforms driven through MicroBatchExecution via MemoryStream
   * must agree with direct batch execution on the same rows.
@@ -102,6 +104,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed.nonEmpty)
     assert(streamed == batch)
+  }
+
+  test("per-row simhash equals the batch signatures; stream dedup keeps " +
+    "exactly one doc per fingerprint") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    // 1) the HOF column form must be bit-identical to the relational batch
+    // builder on the real corpus (same bigrams, hash, votes, tie rule)
+    val hof = docs.withColumn("sh", StreamingOps.simhashCol(col("text")))
+      .select("doc_id", "sh")
+    val rel = graft.operators.Lsh.simhashBigramSigs(docs)
+    assert(rel.count() == docs.count()) // no <2-token dropouts in fixtures
+    assert(hof.join(rel, "doc_id")
+      .filter(col("sh") =!= col("simhash")).count() == 0)
+    // 2) streaming dedup on the fingerprint: one survivor per distinct sig
+    val feed = docs.collect().map(r =>
+      Doc(r.getLong(0), r.getString(1), t("2024-01-01 10:00:00"))).toSeq
+    val mem = MemoryStream[Doc]
+    mem.addData(feed: _*)
+    val q = StreamingOps.dedupBySimhash(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("simdedup").start()
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("simdedup")
+    assert(kept.count() == hof.select("sh").distinct().count())
+    assert(kept.select("simhash").distinct().count() == kept.count())
+    // exact text duplicates exist in the fixture → dedup really drops rows
+    assert(kept.count() < docs.count())
   }
 
   test("stateful ops run on the RocksDB state store (larger-than-heap state path)") {
