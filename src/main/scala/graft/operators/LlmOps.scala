@@ -590,6 +590,17 @@ object LlmOps {
     // shuffle, codegen'd, trivially linear at 100 TB.
     "ta_redact" -> ((s, d) => redactOf(documents(s, d)).orderBy("doc_id")),
 
+    // Exact-substring span detection (the ExactSubstr dedup family —
+    // Lee et al. 2022, arXiv:2107.06499 — the dedup signal Jaccard/MinHash
+    // can't localize): report every ≥ 20-token verbatim overlap between two
+    // docs as (pair, start offsets, length). k-gram inverted index (same
+    // df-capped Σ df² bound as the similarity family) → matches on the same
+    // DIAGONAL (pos_a − pos_b) merged into maximal spans with the classic
+    // pos − row_number() island trick — all integer arithmetic, one window
+    // + one aggregate over the match frame, never all-pairs.
+    "dd_substr_spans" -> ((s, d) =>
+      substrSpansOf(documents(s, d)).orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
     // Token-distribution entropy per doc — the classic gibberish/low-
     // diversity gate (a looping doc has entropy → 0, natural text sits
     // near ln(distinct)): H = ln(n) − Σ m·ln(m)/n over the shared
@@ -633,6 +644,46 @@ object LlmOps {
       .withColumn("coverage",
         round4(col("nboiler").cast("double") / col("nsh")))
       .select("doc_id", "nsh", "nboiler", "coverage")
+  }
+
+  /** Maximal verbatim token spans (length ≥ `minSpan`) shared by doc pairs:
+    * k-gram hashes with positions → df-capped inverted-index match join →
+    * per (pair, diagonal) consecutive positions collapse via
+    * pos − row_number() → span = run length + k − 1. A shared span of L
+    * tokens produces exactly L−k+1 consecutive k-gram matches on one
+    * diagonal, so the reported length is exact. Separated for synthetic
+    * span tests. */
+  private[graft] def substrSpansOf(docs: DataFrame, k: Int = 10,
+      minSpan: Int = 20, maxDf: Int = 50): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val withLeads = (1 until k).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(byPos)))
+    val grams = withLeads.filter(col(s"t${k - 1}").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(concat_ws(" ",
+          col("tok") +: (1 until k).map(i => col(s"t$i")): _*)), 1, 15), 16, 10)
+          .cast("long") % P).as("h"))
+    // df cap: a k-gram shared corpus-wide (boilerplate) would make its h a
+    // quadratic join key; the hot set is tiny and broadcast (same shape and
+    // reasoning as shingleIndex's cap)
+    val hot = grams.groupBy("h").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDf).select("h")
+    val g = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    val m = g.alias("a").join(g.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min(col("pa")).cast("int").as("start_a"),
+        min(col("pb")).cast("int").as("start_b"),
+        (count(lit(1)) + (k - 1)).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
   }
 
   /** Per-document token-distribution entropy in nats: H = ln(n) −
@@ -957,6 +1008,37 @@ object LlmOps {
                  CAST(len(regexp_extract_all(text, '$RedactPattern')) AS BIGINT) AS n_hits,
                  md5(regexp_replace(text, '$RedactPattern', '[X]', 'g')) AS red_md5
           FROM documents ORDER BY doc_id""",
+
+    // k-grams via list_slice at each start position (equivalent to the
+    // Spark lead-chain), same md5 hash, df cap, diagonal island merge.
+    "dd_substr_spans" ->
+      s"""WITH base AS (
+            SELECT doc_id, $toksSql AS toks, len($toksSql) AS n FROM documents),
+          expanded AS (
+            SELECT doc_id, toks, unnest(generate_series(0, n - 10)) AS pos
+            FROM base WHERE n >= 10),
+          g0 AS (
+            SELECT doc_id, pos,
+                   ('0x'||substr(md5(array_to_string(
+                     list_slice(toks, pos+1, pos+10),' ')),1,15))::BIGINT % $P AS h
+            FROM expanded),
+          hot AS (SELECT h FROM g0 GROUP BY h HAVING count(*) > 50),
+          g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (h)),
+          m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+                   a.pos - b.pos AS diag
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+          isl AS (
+            SELECT doc_a, doc_b, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                     ORDER BY pa) AS grp
+            FROM m)
+          SELECT doc_a, doc_b, CAST(min(pa) AS INT) AS start_a,
+                 CAST(min(pb) AS INT) AS start_b,
+                 CAST(count(*) + 9 AS BIGINT) AS span_len
+          FROM isl GROUP BY doc_a, doc_b, diag, grp
+          HAVING count(*) + 9 >= 20
+          ORDER BY doc_a, doc_b, start_a, start_b""",
 
     // Same grid-snapped-ln arithmetic as the Spark side: every ln folds as
     // a scaled BIGINT before any sum, and the final double ops replay in

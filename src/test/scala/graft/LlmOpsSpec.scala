@@ -165,6 +165,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(1L).getString(2) == expected)
   }
 
+  test("dd_substr_spans: planted verbatim span localized exactly; " +
+    "sub-threshold overlap suppressed") {
+    import spark.implicits._
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val short = (1 to 15).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $shared q1 q2"), // span at pos 3
+      (2L, s"z1 $shared"),             // same span at pos 1
+      (3L, s"a1 a2 $short b1 b2"),     // 15-token overlap — below minSpan
+      (4L, s"c1 $short d1")).toDF("doc_id", "text")
+    val spans = graft.operators.LlmOps.substrSpansOf(docs).collect()
+    assert(spans.length == 1)
+    val r = spans(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // 16 consecutive 10-gram matches on one diagonal → span of exactly 25
+    assert(r.getInt(2) == 3 && r.getInt(3) == 1 && r.getLong(4) == 25L)
+  }
+
   test("ta_entropy: hand-computed values — skewed, uniform, degenerate") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a a"))
