@@ -646,31 +646,56 @@ object LlmOps {
       .select("doc_id", "nsh", "nboiler", "coverage")
   }
 
+  /** Polynomial-combine base for the k-gram rolling hash (any constant
+    * < P works; products stay < P·B < 2^62, so the Horner fold is
+    * overflow-safe even under ANSI arithmetic). */
+  private val HornerB = 1000003L
+
   /** Maximal verbatim token spans (length ≥ `minSpan`) shared by doc pairs:
     * k-gram hashes with positions → df-capped inverted-index match join →
     * per (pair, diagonal) consecutive positions collapse via
     * pos − row_number() → span = run length + k − 1. A shared span of L
     * tokens produces exactly L−k+1 consecutive k-gram matches on one
-    * diagonal, so the reported length is exact. Separated for synthetic
+    * diagonal, so the reported length is exact.
+    *
+    * Each token is hashed to a long ONCE (md5 prefix mod P) before the
+    * per-doc window, and the k-gram key is a Horner polynomial fold of the
+    * k token hashes mod P — so the lead-chain shuffles/sorts narrow
+    * (doc, pos, long) rows instead of carrying k string columns, and the
+    * post-window projection is 9 multiply-adds instead of a 10-token
+    * concat + md5 + base-16 conv per row. An isolated 31-bit collision
+    * produces a lone diagonal match → run 1 → span k < minSpan, filtered;
+    * only ≥ minSpan−k+1 CONSECUTIVE colliding grams could fabricate a
+    * span, which is vanishing at any corpus size. Separated for synthetic
     * span tests. */
   private[graft] def substrSpansOf(docs: DataFrame, k: Int = 10,
       minSpan: Int = 20, maxDf: Int = 50): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val toks = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val withLeads = (1 until k).foldLeft(toks)((df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(byPos)))
-    val grams = withLeads.filter(col(s"t${k - 1}").isNotNull)
       .select(col("doc_id"), col("pos"),
-        (conv(substring(md5(concat_ws(" ",
-          col("tok") +: (1 until k).map(i => col(s"t$i")): _*)), 1, 15), 16, 10)
-          .cast("long") % P).as("h"))
+        (conv(substring(md5(col("tok")), 1, 15), 16, 10)
+          .cast("long") % P).as("th"))
+    val withLeads = (1 until k).foldLeft(toks)((df, i) =>
+      df.withColumn(s"t$i", lead(col("th"), i).over(byPos)))
+    // materialized once: feeds the hot-gram aggregate AND (via the
+    // anti-join) both self-join sides — same two-level pattern as
+    // shingleIndex
+    val grams = graft.CacheRegistry.materialize(
+      withLeads.filter(col(s"t${k - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          (1 until k).foldLeft(col("th"))((acc, i) =>
+            (acc * HornerB + col(s"t$i")) % P).as("h")))
     // df cap: a k-gram shared corpus-wide (boilerplate) would make its h a
     // quadratic join key; the hot set is tiny and broadcast (same shape and
     // reasoning as shingleIndex's cap)
     val hot = grams.groupBy("h").agg(count(lit(1)).as("df_"))
       .filter(col("df_") > maxDf).select("h")
-    val g = grams.join(broadcast(hot), Seq("h"), "left_anti")
+    // the gram frame feeds three consumers (both self-join sides + the hot
+    // aggregate's own subtree) — materialize it once or the explode +
+    // lead-window chain re-evaluates per consumer
+    val g = graft.CacheRegistry.materialize(
+      grams.join(broadcast(hot), Seq("h"), "left_anti"))
     val m = g.alias("a").join(g.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -1013,14 +1038,18 @@ object LlmOps {
     // Spark lead-chain), same md5 hash, df cap, diagonal island merge.
     "dd_substr_spans" ->
       s"""WITH base AS (
-            SELECT doc_id, $toksSql AS toks, len($toksSql) AS n FROM documents),
+            SELECT doc_id,
+                   list_transform($toksSql,
+                     t -> ('0x'||substr(md5(t),1,15))::BIGINT % $P) AS hs,
+                   len($toksSql) AS n
+            FROM documents),
           expanded AS (
-            SELECT doc_id, toks, unnest(generate_series(0, n - 10)) AS pos
+            SELECT doc_id, hs, unnest(generate_series(0, n - 10)) AS pos
             FROM base WHERE n >= 10),
           g0 AS (
             SELECT doc_id, pos,
-                   ('0x'||substr(md5(array_to_string(
-                     list_slice(toks, pos+1, pos+10),' ')),1,15))::BIGINT % $P AS h
+                   list_reduce(list_slice(hs, pos+1, pos+10),
+                     (a, b) -> (a * $HornerB + b) % $P) AS h
             FROM expanded),
           hot AS (SELECT h FROM g0 GROUP BY h HAVING count(*) > 50),
           g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (h)),
