@@ -601,6 +601,17 @@ object LlmOps {
     "dd_substr_spans" -> ((s, d) =>
       substrSpansOf(documents(s, d)).orderBy("doc_a", "doc_b", "start_a", "start_b")),
 
+    // The CUT step the spans feed (ExactSubstr's second half): remove the
+    // higher-id copy of every reported span, so of N verbatim occurrences
+    // exactly the lowest-id one survives (pairwise lowest-keeps composes:
+    // docs {1,2,3} sharing a span cut it from 2 and 3, keep it in 1).
+    // Coverage is the union of per-span token ranges — linear in the
+    // duplicated volume, never doc²; the rebuild is one anti-join + one
+    // per-doc aggregate. Reports the surviving-text hash, not the text —
+    // corpus-sized output stays in the sink, not the driver.
+    "dd_substr_cut" -> ((s, d) =>
+      substrCutOf(documents(s, d)).orderBy("doc_id")),
+
     // Token-distribution entropy per doc — the classic gibberish/low-
     // diversity gate (a looping doc has entropy → 0, natural text sits
     // near ln(distinct)): H = ln(n) − Σ m·ln(m)/n over the shared
@@ -709,6 +720,37 @@ object LlmOps {
         (count(lit(1)) + (k - 1)).as("span_len"))
       .filter(col("span_len") >= minSpan)
       .select("doc_a", "doc_b", "start_a", "start_b", "span_len")
+  }
+
+  /** Applies [[substrSpansOf]]'s spans as cuts: every token of `doc_b`
+    * covered by a reported span is dropped (the `doc_a` copy survives;
+    * `doc_a < doc_b` makes "keep lowest id" transitive across a clique).
+    * Overlapping spans union via a distinct (doc, pos) coverage frame, the
+    * survivors rebuild per doc with an order-pinned sort inside the
+    * aggregate, and fully-cut or span-free docs are restored by a right
+    * join back to the corpus. Output is (doc_id, n_kept, n_cut,
+    * cut_md5). */
+  private[graft] def substrCutOf(docs: DataFrame, k: Int = 10,
+      minSpan: Int = 20, maxDf: Int = 50): DataFrame = {
+    val spans = substrSpansOf(docs, k, minSpan, maxDf)
+    val covered = spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("span_len") - 1)).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ")).as("cut_md5"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("cut_md5"), md5(lit(""))).as("cut_md5"))
   }
 
   /** Per-document token-distribution entropy in nats: H = ln(n) −
@@ -1068,6 +1110,59 @@ object LlmOps {
           FROM isl GROUP BY doc_a, doc_b, diag, grp
           HAVING count(*) + 9 >= 20
           ORDER BY doc_a, doc_b, start_a, start_b""",
+
+    // Same span CTEs, then: union span coverage on the doc_b side, anti-join
+    // the positional tokens, rebuild with an ORDER BY pos string_agg
+    // (mirrors Spark's array_sort(struct(pos, tok)) rebuild), restore
+    // span-free docs via right join.
+    "dd_substr_cut" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   list_transform($toksSql,
+                     t -> ('0x'||substr(md5(t),1,15))::BIGINT % $P) AS hs,
+                   $toksSql AS toks, len($toksSql) AS n
+            FROM documents),
+          expanded AS (
+            SELECT doc_id, hs, unnest(generate_series(0, n - 10)) AS pos
+            FROM base WHERE n >= 10),
+          g0 AS (
+            SELECT doc_id, pos,
+                   list_reduce(list_slice(hs, pos+1, pos+10),
+                     (a, b) -> (a * $HornerB + b) % $P) AS h
+            FROM expanded),
+          hot AS (SELECT h FROM g0 GROUP BY h HAVING count(*) > 50),
+          g AS (SELECT g0.* FROM g0 ANTI JOIN hot USING (h)),
+          m AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+                   a.pos - b.pos AS diag
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id),
+          isl AS (
+            SELECT doc_a, doc_b, diag, pa, pb,
+                   pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                     ORDER BY pa) AS grp
+            FROM m),
+          spans AS (
+            SELECT doc_b, min(pb) AS sb, count(*) + 9 AS L
+            FROM isl GROUP BY doc_a, doc_b, diag, grp
+            HAVING count(*) + 9 >= 20),
+          covered AS (
+            SELECT DISTINCT doc_id, pos FROM (
+              SELECT doc_b AS doc_id, unnest(generate_series(sb, sb + L - 1)) AS pos
+              FROM spans)),
+          toks AS (
+            SELECT doc_id, toks[pos + 1] AS tok, pos FROM (
+              SELECT doc_id, toks, unnest(generate_series(0, n - 1)) AS pos
+              FROM base)),
+          kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS cut_md5
+            FROM toks ANTI JOIN covered USING (doc_id, pos)
+            GROUP BY doc_id)
+          SELECT b.doc_id, coalesce(k.n_kept, 0) AS n_kept,
+                 b.n - coalesce(k.n_kept, 0) AS n_cut,
+                 coalesce(k.cut_md5, md5('')) AS cut_md5
+          FROM base b LEFT JOIN kept k USING (doc_id)
+          ORDER BY doc_id""",
 
     // Same grid-snapped-ln arithmetic as the Spark side: every ln folds as
     // a scaled BIGINT before any sum, and the final double ops replay in

@@ -183,6 +183,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 3 && r.getInt(3) == 1 && r.getLong(4) == 25L)
   }
 
+  test("dd_substr_cut: higher-id copy removed, lowest-id survives, " +
+    "fully-duplicated docs cut to empty and restored by the right join") {
+    import spark.implicits._
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"p1 p2 p3 $shared q1 q2"), // keeps everything (lowest id)
+      (2L, s"z1 $shared"),             // loses the 25 shared tokens
+      (5L, shared),                    // verbatim dup of the span — fully cut
+      (6L, shared)).toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.substrCutOf(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 30 && r(1L).getLong(2) == 0)
+    assert(r(2L).getLong(1) == 1 && r(2L).getLong(2) == 25)
+    assert(r(5L).getLong(1) == 0 && r(5L).getLong(2) == 25)
+    assert(r(6L).getLong(1) == 0 && r(6L).getLong(2) == 25)
+    val expect = spark.sql("SELECT md5('z1') AS a, md5('') AS b").collect()(0)
+    assert(r(2L).getString(3) == expect.getString(0))
+    assert(r(5L).getString(3) == expect.getString(1))
+  }
+
   test("ta_entropy: hand-computed values — skewed, uniform, degenerate") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a a"))
