@@ -215,6 +215,41 @@ object LlmOps {
       .withColumn("pass", (col("avg_logprob") >= -9.0).cast("int"))
   }
 
+  /** Per-document bigram-LM score — the context-aware step up from
+    * [[unigramLogprobOf]]'s CCNet stand-in: mean ln p(w2 | w1) under the
+    * corpus's own Laplace-smoothed bigram distribution,
+    * ln((c(w1,w2) + 1) / (c(w1 ·) + V)). Repetitive but diverse-unigram
+    * text (which the unigram score misses) scores HIGH here only when its
+    * transitions are corpus-typical — the pair separates template junk
+    * from fluent text. All counts come off the shared [[bigramRows]]
+    * stream (one shuffle); the model frames (`cb` per distinct bigram,
+    * `ca` per context, both vocabulary-sized, broadcast-or-AQE at the
+    * corpus's discretion) join back on their keys; every ln snaps to the
+    * 1e-7 integer grid before the (long) sum — order-invariant and
+    * engine-identical. Docs with < 2 tokens have no transitions and drop
+    * out (mirrored by the oracle's empty unnest). The −3.45 pass bar is
+    * fixture-tuned like [[BoilerplateDf]]; a production run recalibrates
+    * it per corpus. */
+  private[graft] def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    val occ = bigramRows(docs).groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    val cb = occ.groupBy("bg").agg(sum(col("m")).as("cb"))
+    val ca = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cb")).as("ca"))
+    val voc = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    occ.join(cb, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ca, "w1")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("m"),
+        (col("m") * round(log((col("cb").cast("double") + 1) /
+          (col("ca") + col("v"))) * 1e7).cast("long")).as("slp"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
+      .withColumn("pass", (col("avg_logprob") >= -3.45).cast("int"))
+  }
+
   /** Per-document repetition signals over any documents-shaped frame —
     * `n_bigrams`/`n_unique` token-bigram counts, the duplicate-bigram
     * fraction `1 - unique/total`, the top-bigram share `max(count)/total`,
@@ -528,6 +563,14 @@ object LlmOps {
     // AQE skew-join) — here Catalyst auto-broadcasts the whole vocabulary.
     "ta_unigram_logprob" -> ((s, d) =>
       unigramLogprobOf(documents(s, d)).orderBy("doc_id")),
+
+    // Bigram-LM quality score — mean ln p(w2|w1) under the corpus's own
+    // Laplace-smoothed bigram model, off the shared bigramRows stream.
+    // Catches corpus-atypical TRANSITIONS (template junk with diverse
+    // unigrams) that ta_unigram_logprob scores as fluent; see
+    // bigramLogprobOf for the model frames and grid-snap determinism.
+    "ta_bigram_logprob" -> ((s, d) =>
+      bigramLogprobOf(documents(s, d)).orderBy("doc_id")),
 
     // Text analysis: Gopher-style repetition signals — the duplicate-bigram
     // fraction and the most-frequent-bigram share of each document, the two
@@ -1023,6 +1066,32 @@ object LlmOps {
                  CAST(avg_logprob >= -9.0 AS INT) AS pass
           FROM (
             SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
+            FROM slps GROUP BY doc_id)
+          ORDER BY doc_id""",
+
+    // Same Laplace-smoothed model arithmetic as the Spark side: identical
+    // bigram stream, identical grid-snapped ln folded as BIGINTs.
+    "ta_bigram_logprob" ->
+      s"""WITH bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+          occ AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+          cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb FROM occ GROUP BY bg),
+          ca AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(cb) AS BIGINT) AS ca
+                 FROM cb GROUP BY 1),
+          voc AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+                  FROM (SELECT unnest($toksSql) AS tok FROM documents)),
+          slps AS (
+            SELECT doc_id, m,
+                   m * CAST(round(ln((CAST(cb AS DOUBLE) + 1)/(ca + v))*1e7) AS BIGINT) AS slp
+            FROM occ JOIN cb USING (bg)
+            JOIN ca ON split_part(occ.bg, ' ', 1) = ca.w1 CROSS JOIN voc)
+          SELECT doc_id, n_bigrams, avg_logprob,
+                 CAST(avg_logprob >= -3.45 AS INT) AS pass
+          FROM (
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                    ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
             FROM slps GROUP BY doc_id)
           ORDER BY doc_id""",

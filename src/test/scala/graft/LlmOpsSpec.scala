@@ -203,6 +203,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(5L).getString(3) == expect.getString(1))
   }
 
+  test("ta_bigram_logprob: hand-computed Laplace-smoothed transition " +
+    "scores; sub-2-token docs drop out") {
+    import spark.implicits._
+    // cb: "a b"→3, "b a"→1, "b c"→1; ca: a→3, b→2; V=4 (incl. "solo")
+    // doc1: (2·ln(4/7) + ln(2/6))/3 = −0.7393; doc2: (ln(4/7)+ln(2/6))/2
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.bigramLogprobOf(docs)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(3L))
+    assert(r(1L).getLong(1) == 3 && r(1L).getDouble(2) == -0.7393)
+    assert(r(2L).getLong(1) == 2 && r(2L).getDouble(2) == -0.8291)
+    assert(r(1L).getInt(3) == 1 && r(2L).getInt(3) == 1)
+  }
+
   test("ta_entropy: hand-computed values — skewed, uniform, degenerate") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "a a a a"))
