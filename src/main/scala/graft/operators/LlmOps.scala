@@ -346,6 +346,29 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Cross-source duplication matrix — the dataset-card view of WHERE the
+    // near-dups live (a pair of crawls duplicating each other wants a
+    // source-level decision, not per-doc cuts): for every unordered source
+    // pair, the τ=0.5 near-dup pair count (src_a = src_b rows are
+    // within-source duplication) and the mean similarity. Composes the
+    // shared jaccardPairs frame with two primary-key joins to the
+    // doc→source map; output is |sources|² rows at most. Per-pair jac
+    // snaps to the 1e-7 grid before the long sum so the mean is
+    // order-invariant and engine-identical.
+    "dd_source_overlap" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d, 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"),
+          round(col("jac") * 1e7).cast("long").as("jl"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("dup_pairs"),
+          round4((sum(col("jl")) / 1e7) / count(lit(1))).as("avg_jac"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // J3: similarity search — brute-force top-5 cosine neighbors for an
     // explicit bounded query set: the 5 lowest vec_ids via a top-k scan
     // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
@@ -899,6 +922,20 @@ object LlmOps {
             SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
           SELECT src AS doc_id, min(dst) AS comp
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // same pairs CTE as j2, then two pk joins to the source map and a
+    // grid-snapped mean per unordered source pair
+    "dd_source_overlap" ->
+      s"""WITH ${jacPairsCte(0.5)},
+          lab AS (
+            SELECT least(sa.source, sb.source) AS src_a,
+                   greatest(sa.source, sb.source) AS src_b,
+                   CAST(round(jac*1e7) AS BIGINT) AS jl
+            FROM pairs JOIN documents sa ON pairs.doc_a = sa.doc_id
+                       JOIN documents sb ON pairs.doc_b = sb.doc_id)
+          SELECT src_a, src_b, count(*) AS dup_pairs,
+                 ${sqlRound4("(CAST(sum(jl) AS BIGINT)/1e7)/count(*)")} AS avg_jac
+          FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "dd_keep_one" ->
       s"""WITH RECURSIVE ${jacPairsCte(0.3)},

@@ -203,6 +203,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(5L).getString(3) == expect.getString(1))
   }
 
+  test("dd_source_overlap: unordered source pairs, pair counts consistent " +
+    "with the graded jaccard pairs") {
+    val d = "/root/testdata/sf0.001"
+    val m = graft.operators.LlmOps.queries("dd_source_overlap")(spark, d).collect()
+    assert(m.nonEmpty)
+    // normalization invariant: every row's pair is unordered-canonical
+    assert(m.forall(r => r.getString(0) <= r.getString(1)))
+    // total pair mass equals the graded near-dup pair count
+    val pairs = graft.operators.LlmOps.queries("j2_jaccard_pairs")(spark, d).count()
+    assert(m.map(_.getLong(2)).sum == pairs)
+  }
+
   test("ta_bigram_logprob: hand-computed Laplace-smoothed transition " +
     "scores; sub-2-token docs drop out") {
     import spark.implicits._
