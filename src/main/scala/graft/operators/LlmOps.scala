@@ -126,10 +126,14 @@ object LlmOps {
   /** Blocked near-dup candidate pairs with exact Jaccard ≥ tau over the
     * shared shingle index: the (lang, length-bucket) block keys bound the
     * pair blow-up and hash-partition cleanly (see j2 scale notes). Used by
-    * j2 (τ=0.5 report) and dd_components (τ=0.3 cluster edges). */
+    * j2 (τ=0.5 report), dd_source_overlap (same τ=0.5 frame), and
+    * dd_components (τ=0.3 cluster edges). Materialized: the τ=0.5 frame
+    * has two graded consumers and the τ=0.3 frame feeds every fixpoint
+    * round — CacheManager keys on the canonical plan, so same-τ callers
+    * share one copy. */
   private[graft] def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       d: String, tau: Double): DataFrame =
-    jaccardPairsOf(documents(s, d), tau)
+    graft.CacheRegistry.materialize(jaccardPairsOf(documents(s, d), tau))
 
   /** Blocked inverted-index pair expansion shared by every set-similarity
     * scorer: one row per candidate pair with the shared-shingle count and
@@ -231,7 +235,10 @@ object LlmOps {
     * fixture-tuned like [[BoilerplateDf]]; a production run recalibrates
     * it per corpus. */
   private[graft] def bigramLogprobOf(docs: DataFrame): DataFrame = {
-    val occ = bigramRows(docs).groupBy("doc_id", "bg").agg(count(lit(1)).as("m"))
+    // feeds the cb aggregate AND the scoring join — materialize like
+    // tokenCounts, or the bigram window chain re-evaluates per consumer
+    val occ = graft.CacheRegistry.materialize(
+      bigramRows(docs).groupBy("doc_id", "bg").agg(count(lit(1)).as("m")))
     val cb = occ.groupBy("bg").agg(sum(col("m")).as("cb"))
     val ca = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cb")).as("ca"))
