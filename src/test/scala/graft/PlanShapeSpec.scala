@@ -32,7 +32,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "pp_quality_funnel",
       // IVF-index consumers broadcast the nlist-sized centroid grid;
       // multiprobe broadcasts the constant sign matrix — same tiny sides.
-      "lsh_ivf_refined", "lsh_emb_near_dup", "lsh_rp_multiprobe")
+      "lsh_ivf_refined", "lsh_emb_near_dup", "lsh_rp_multiprobe",
+      // broadcasts the single-row vocabulary count, like ta_unigram_logprob
+      "ta_bigram_logprob")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -57,7 +59,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // simhash chunk-bucket candidate join: data-sized × data-sized equi
       // join on (chunk, chunk_val) — the banded-index shape; at test SF the
       // cached signature frame broadcasts, at scale a shuffle join is right
-      "lsh_simhash_pairs")
+      "lsh_simhash_pairs",
+      // the coverage anti join (tokens × covered positions, both
+      // corpus-sized — coverage scales with duplicated volume) and the
+      // span-free-doc restore join (corpus × corpus on the pk) — shuffle
+      // equi joins are the correct 100-TB shapes, like dd_keep_one's
+      "dd_substr_cut")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
