@@ -376,6 +376,33 @@ object LlmOps {
         .orderBy("src_a", "src_b")
     }),
 
+    // Incremental dedup — the admission gate a GROWING corpus runs on every
+    // new batch (daily crawl increment): does a candidate doc near-dup
+    // (τ=0.5) against anything ALREADY IN the corpus? The batch is the
+    // deterministic doc_id % 5 == 0 slice (a production run passes an
+    // actual increment frame); within-batch dups are deliberately out of
+    // scope — that's the batch's own j1/j2 pass. Rides the shared τ=0.5
+    // pair frame filtered to cross-side pairs; the real-scale shape is the
+    // same probe — new-batch shingles against the STORED df-capped index
+    // (Σ df_new·df_old, never batch×corpus). Admitted docs report zero
+    // hits; rejected ones the hit count and best similarity.
+    "dd_incremental" -> ((s, d) => {
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val hits = jaccardPairs(s, d, 0.5)
+        .filter(isNew(col("doc_a")) =!= isNew(col("doc_b")))
+        .select(when(isNew(col("doc_a")), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"), col("jac"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_hits"), max(col("jac")).as("mj"))
+      documents(s, d).filter(isNew(col("doc_id"))).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dup_hits"), lit(0L)).as("n_dup_hits"),
+          round4(coalesce(col("mj"), lit(0.0))).as("max_jac"),
+          (coalesce(col("n_dup_hits"), lit(0L)) === 0).cast("int").as("admit"))
+        .orderBy("doc_id")
+    }),
+
     // J3: similarity search — brute-force top-5 cosine neighbors for an
     // explicit bounded query set: the 5 lowest vec_ids via a top-k scan
     // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
@@ -929,6 +956,21 @@ object LlmOps {
             SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
           SELECT src AS doc_id, min(dst) AS comp
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // same pairs CTE as j2, filtered to cross-side pairs, left-joined back
+    // to the new-batch slice so admitted docs report zero hits
+    "dd_incremental" ->
+      s"""WITH ${jacPairsCte(0.5)},
+          hits AS (
+            SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS doc_id,
+                   count(*) AS n_dup_hits, max(jac) AS mj
+            FROM pairs WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+            GROUP BY 1)
+          SELECT d.doc_id, coalesce(h.n_dup_hits, 0) AS n_dup_hits,
+                 ${sqlRound4("coalesce(h.mj, 0.0)")} AS max_jac,
+                 CAST(coalesce(h.n_dup_hits, 0) = 0 AS INT) AS admit
+          FROM documents d LEFT JOIN hits h USING (doc_id)
+          WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""",
 
     // same pairs CTE as j2, then two pk joins to the source map and a
     // grid-snapped mean per unordered source pair

@@ -215,6 +215,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m.map(_.getLong(2)).sum == pairs)
   }
 
+  test("dd_incremental: every new-batch doc gated exactly once; hits are " +
+    "cross-side only and admit complements them") {
+    val d = "/root/testdata/sf0.001"
+    val g = graft.operators.LlmOps.queries("dd_incremental")(spark, d).collect()
+    // one verdict per new-batch doc
+    val newIds = graft.sources.Tables.documents(spark, d)
+      .filter("doc_id % 5 = 0").count()
+    assert(g.length == newIds && g.map(_.getLong(0)).distinct.length == g.length)
+    // admit == (no hits); rejected docs carry a real similarity
+    assert(g.forall(r => (r.getInt(3) == 1) == (r.getLong(1) == 0L)))
+    assert(g.filter(_.getInt(3) == 0).forall(_.getDouble(2) >= 0.5))
+    // hit mass equals the graded pair frame's cross-side subset
+    val crossPairs = graft.operators.LlmOps.queries("j2_jaccard_pairs")(spark, d)
+      .filter("(doc_a % 5 = 0) != (doc_b % 5 = 0)").count()
+    assert(g.map(_.getLong(1)).sum == crossPairs)
+  }
+
   test("ta_bigram_logprob: hand-computed Laplace-smoothed transition " +
     "scores; sub-2-token docs drop out") {
     import spark.implicits._
