@@ -57,6 +57,28 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("o_orderstatus"))
   }
 
+  test("hive-partitioned layout: partition filters prune the scan, not the rows") {
+    // The 100-TB scan discipline: a corpus laid out source=<v>/part-*.parquet
+    // must answer a source-filtered query by reading ONE directory. Pinned
+    // here because no oracle can see scan metadata.
+    val dir = java.nio.file.Files.createTempDirectory("part").toString + "/docs"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    docs.write.mode("overwrite").partitionBy("source").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("source") === "src3")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    // the source predicate must land in PartitionFilters (directory pruning),
+    // never in PushedFilters (row-group evaluation of every file)
+    assert("PartitionFilters: \\[[^\\]]*src3".r.findFirstIn(plan).isDefined, plan)
+    assert(!"PushedFilters: \\[[^\\]]*src3".r.findFirstIn(plan).isDefined)
+    assert(back.count() == docs.filter(col("source") === "src3").count())
+    // partition-column round-trip: values and per-source counts survive
+    val perSrc = spark.read.parquet(dir).groupBy("source").count()
+    val expected = docs.groupBy("source").count()
+    assert(perSrc.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(perSrc).count() == 0)
+  }
+
   test("schema evolution: mergeSchema unifies extracts written across syncs") {
     // A CMDB class gains a column between two sync runs; the lake read must
     // surface the union schema with nulls for the old batch.
