@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -145,6 +146,18 @@ object WindowedAnalytics {
         .orderBy("c_custkey")
     }),
 
+    // E7: ordered-sequence conversion funnel — per user, how deep into
+    // view → click → purchase did they get, where each stage must occur
+    // STRICTLY AFTER the user's first occurrence of the previous stage
+    // (the order-sensitive funnel a naive per-type count gets wrong). A
+    // min-ts aggregate ladder: stage i's candidates pk-join stage i−1's
+    // first-reach frame and filter ts > prev — three co-partitioned
+    // user_id equi joins, no window over a user's whole history, no
+    // self-join explosion; user-count-sized frames throughout.
+    "e7_funnel" -> ((s, d) =>
+      funnelOf(events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -245,6 +258,38 @@ object WindowedAnalytics {
         .orderBy("l_returnflag"))
   )
 
+  /** Ordered-sequence funnel over an events-shaped frame: for each stage
+    * (in order), the user's FIRST occurrence strictly after their first
+    * reach of the previous stage; output is one row per user with
+    * `reached_<stage>` flags and the total `stage` depth. Built as a fold
+    * of min-ts aggregates chained by pk joins — each stage frame is
+    * user-count-sized, so the ladder stays co-partitioned aggregates and
+    * equi joins at any event volume (never a window over a user's full
+    * history, never a self-join on the raw stream). */
+  private[graft] def funnelOf(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    val firstReach = stages.foldLeft(List.empty[(String, DataFrame)]) {
+      (acc, st) =>
+        val base = ev.filter(col("event_type") === st)
+        val gated = acc.headOption match {
+          case Some((_, prev)) =>
+            base.join(prev.select(col("user_id"), col("ts_min").as("prev_ts")),
+              "user_id").filter(col("ts") > col("prev_ts"))
+          case None => base
+        }
+        (st, gated.groupBy("user_id").agg(min(col("ts")).as("ts_min"))) :: acc
+    }.reverse
+    val flags = firstReach.map { case (st, fr) =>
+      fr.select(col("user_id"), lit(1).as(s"reached_$st"))
+    }
+    val joined = flags.foldLeft(ev.select("user_id").distinct())(
+      (df, fr) => df.join(fr, Seq("user_id"), "left"))
+    val reachedCols = stages.map(st =>
+      coalesce(col(s"reached_$st"), lit(0)).as(s"reached_$st"))
+    val stageSum = stages.map(st => coalesce(col(s"reached_$st"), lit(0)))
+      .reduce(_ + _).as("stage")
+    joined.select(col("user_id") +: reachedCols :+ stageSum: _*)
+  }
+
   val oracle: Map[String, String] = Map(
     "e1_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -266,6 +311,32 @@ object WindowedAnalytics {
                       ORDER BY o_totalprice DESC, o_orderkey DESC)
          QUALIFY rnk <= 3
          ORDER BY o_custkey, rnk""",
+
+    // same min-ts aggregate ladder: each stage's first-reach gated by a pk
+    // join on the previous stage's first-reach and a strict ts inequality
+    "e7_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS ts_min FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.ts_min GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.ts_min GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+                CAST(v.user_id IS NOT NULL AS INT) AS reached_view,
+                CAST(c.user_id IS NOT NULL AS INT) AS reached_click,
+                CAST(p.user_id IS NOT NULL AS INT) AS reached_purchase,
+                CAST(v.user_id IS NOT NULL AS INT)
+                  + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS stage
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
 
     "e2_lag" ->
       """SELECT user_id, event_id,

@@ -27,6 +27,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("e7: funnel is order-sensitive — stages out of sequence don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      (10L, 1L, "view"), (10L, 2L, "click"), (10L, 3L, "purchase"), // full
+      (20L, 1L, "purchase"), (20L, 2L, "view"), (20L, 3L, "click"), // buy-first
+      (30L, 1L, "click"), (30L, 2L, "view"),                        // click-first
+      (40L, 1L, "view"), (40L, 1L, "click")                         // same-instant
+    ).toDF("user_id", "sec", "event_type")
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val r = graft.operators.WindowedAnalytics
+      .funnelOf(ev, Seq("view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(10L).getInt(4) == 3)
+    // u20's purchase precedes its click-after-view, u30's click precedes
+    // its view, u40's click is NOT strictly after its view
+    assert(r(20L).getInt(4) == 2 && r(20L).getInt(3) == 0)
+    assert(r(30L).getInt(4) == 1 && r(30L).getInt(2) == 0)
+    assert(r(40L).getInt(4) == 1 && r(40L).getInt(2) == 0)
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)
