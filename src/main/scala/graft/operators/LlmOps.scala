@@ -219,6 +219,30 @@ object LlmOps {
       .withColumn("pass", (col("avg_logprob") >= -9.0).cast("int"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus's own top-K
+    * token vocabulary — the tokenizer-planning signal (how much of each
+    * doc a K-entry vocab won't cover; docs of rare-token soup get flagged,
+    * and the corpus-level aggregate sizes the vocab). Vocabulary selection
+    * is a distributed top-K (TakeOrderedAndProject — the f2 shape, never a
+    * global sort) on the TOTAL order (count desc, token asc), so the
+    * boundary of a count-tie is engine-identical; the K-row vocab
+    * broadcasts back onto the shared [[tokenCounts]] frame and OOV mass is
+    * the occurrence weight that joins nothing. K=20 is fixture-tuned (31
+    * distinct tokens at sf0.01) like [[BoilerplateDf]]; production runs at
+    * 30k+ with the identical plan. */
+  private[graft] def oovRateOf(docs: DataFrame, vocabK: Int = 20): DataFrame = {
+    val occ = tokenCounts(docs)
+    val vocab = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabK)
+      .select(col("tok"), lit(1).as("in_v"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("m")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round4(col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** Per-document bigram-LM score — the context-aware step up from
     * [[unigramLogprobOf]]'s CCNet stand-in: mean ln p(w2 | w1) under the
     * corpus's own Laplace-smoothed bigram distribution,
@@ -620,6 +644,12 @@ object LlmOps {
     // AQE skew-join) — here Catalyst auto-broadcasts the whole vocabulary.
     "ta_unigram_logprob" -> ((s, d) =>
       unigramLogprobOf(documents(s, d)).orderBy("doc_id")),
+
+    // Out-of-vocabulary rate per doc vs the corpus's own top-K vocab — the
+    // tokenizer-planning signal; see oovRateOf for the distributed top-K
+    // selection and the tie-stable total order.
+    "ta_oov_rate" -> ((s, d) =>
+      oovRateOf(documents(s, d)).orderBy("doc_id")),
 
     // Bigram-LM quality score — mean ln p(w2|w1) under the corpus's own
     // Laplace-smoothed bigram model, off the shared bigramRows stream.
@@ -1155,6 +1185,23 @@ object LlmOps {
                    ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
             FROM slps GROUP BY doc_id)
           ORDER BY doc_id""",
+
+    // same top-20 vocabulary on the same (count desc, token asc) total
+    // order, OOV mass = occurrences outside it
+    "ta_oov_rate" ->
+      s"""WITH occ AS (
+            SELECT doc_id, tok, count(*) AS m
+            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+            GROUP BY doc_id, tok),
+          vocab AS (
+            SELECT tok FROM (
+              SELECT tok, CAST(sum(m) AS BIGINT) AS cnt FROM occ GROUP BY tok)
+            ORDER BY cnt DESC, tok LIMIT 20)
+          SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN v.tok IS NULL THEN m ELSE 0 END) AS BIGINT) AS n_oov,
+                 ${sqlRound4("CAST(sum(CASE WHEN v.tok IS NULL THEN m ELSE 0 END) AS DOUBLE)/sum(m)")} AS oov_rate
+          FROM occ LEFT JOIN vocab v USING (tok)
+          GROUP BY doc_id ORDER BY doc_id""",
 
     // Same Laplace-smoothed model arithmetic as the Spark side: identical
     // bigram stream, identical grid-snapped ln folded as BIGINTs.

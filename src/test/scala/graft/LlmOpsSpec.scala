@@ -232,6 +232,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(g.map(_.getLong(1)).sum == crossPairs)
   }
 
+  test("ta_oov_rate: top-K vocab selection is tie-stable and OOV mass " +
+    "is the occurrence weight outside it") {
+    import spark.implicits._
+    // counts: a=3, b=1, c=1 — K=2 takes a then the b/c tie breaks to b
+    val docs = Seq((1L, "a b c"), (2L, "a a")).toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.oovRateOf(docs, vocabK = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 3 && r(1L).getLong(2) == 1)
+    assert(r(1L).getDouble(3) == 0.3333)
+    assert(r(2L).getLong(2) == 0 && r(2L).getDouble(3) == 0.0)
+  }
+
   test("ta_bigram_logprob: hand-computed Laplace-smoothed transition " +
     "scores; sub-2-token docs drop out") {
     import spark.implicits._

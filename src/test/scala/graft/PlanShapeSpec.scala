@@ -64,7 +64,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // corpus-sized — coverage scales with duplicated volume) and the
       // span-free-doc restore join (corpus × corpus on the pk) — shuffle
       // equi joins are the correct 100-TB shapes, like dd_keep_one's
-      "dd_substr_cut")
+      "dd_substr_cut",
+      // the funnel ladder chains user-population-sized first-reach frames
+      // on the user_id pk — co-partitioned shuffle equi joins at scale
+      // (users are data-sized; broadcasting them would be wrong)
+      "e7_funnel")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
