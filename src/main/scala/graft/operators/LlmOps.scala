@@ -268,13 +268,18 @@ object LlmOps {
       .agg(sum(col("cb")).as("ca"))
     val voc = docs.select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).cast("double").as("v"))
-    occ.join(cb, "bg")
-      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // fold the model arithmetic into a model-sized frame FIRST: lp is one
+    // grid-snapped ln per distinct corpus bigram, so the occurrence frame
+    // shuffles once (join on bg) instead of re-shuffling 1M+ occurrence
+    // rows a second time by context key
+    val lp = cb.withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ca, "w1")
       .crossJoin(broadcast(voc))
-      .select(col("doc_id"), col("m"),
-        (col("m") * round(log((col("cb").cast("double") + 1) /
-          (col("ca") + col("v"))) * 1e7).cast("long")).as("slp"))
+      .select(col("bg"),
+        round(log((col("cb").cast("double") + 1) /
+          (col("ca") + col("v"))) * 1e7).cast("long").as("lp"))
+    occ.join(lp, "bg")
+      .select(col("doc_id"), col("m"), (col("m") * col("lp")).as("slp"))
       .groupBy("doc_id")
       .agg(sum(col("m")).as("n_bigrams"),
         round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
