@@ -208,11 +208,15 @@ object LlmOps {
     val occ = tokenCounts(docs)
     val uni = occ.groupBy("tok").agg(sum(col("m")).as("cnt"))
     val tot = uni.agg(sum(col("cnt")).cast("double").as("tot"))
-    occ.join(uni, "tok")
-      .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("m"),
-        (col("m") * round(log(col("cnt").cast("double") / col("tot")) * 1e7)
-          .cast("long")).as("slp"))
+    // one grid-snapped ln per VOCABULARY entry, not per occurrence row —
+    // the occurrence frame joins a (tok, lp) model frame once (same
+    // model-sized-first shape as bigramLogprobOf)
+    val lp = uni.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("tot")) * 1e7)
+          .cast("long").as("lp"))
+    occ.join(lp, "tok")
+      .select(col("doc_id"), col("m"), (col("m") * col("lp")).as("slp"))
       .groupBy("doc_id")
       .agg(sum(col("m")).as("n_tokens"),
         round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
