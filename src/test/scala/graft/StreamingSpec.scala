@@ -135,6 +135,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.count() < docs.count())
   }
 
+  test("streaming admission gate equals the batch anti join; a file-source " +
+    "static side pins its listing at query start") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpusDir = java.nio.file.Files.createTempDirectory("corpus").toString
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val feed = docs.orderBy("doc_id").collect().map(r =>
+      Doc(r.getLong(0), r.getString(1), t("2024-01-01 10:00:00"))).toSeq
+    val (batch1, batch2) = feed.splitAt(feed.size / 2)
+    val mem = MemoryStream[Doc]
+    mem.addData(batch1: _*)
+    val q = StreamingOps.admitAgainstCorpus(mem.toDF(), corpus)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("admit").start()
+    q.processAllAvailable()
+    // append to the corpus directory mid-stream: a plain file-source static
+    // side pinned its listing at query start, so batch 2 must STILL be
+    // gated by the original corpus — the documented production caveat
+    docs.filter(col("doc_id") % 3 === 0).write.mode("append").parquet(corpusDir)
+    mem.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val admitted = spark.table("admit").select("doc_id")
+    val expected = StreamingOps.admitAgainstCorpus(
+      docs, docs.filter(col("doc_id") % 2 === 0)).select("doc_id")
+    assert(admitted.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(admitted).count() == 0)
+  }
+
   test("stateful ops run on the RocksDB state store (larger-than-heap state path)") {
     // At 100 TB the streaming state (sessions, dedup keys, join buffers)
     // outgrows executor heap; RocksDB is the provider that spills it to
