@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -478,8 +479,71 @@ object CoreRelational {
           length(col("raw")).as("raw_len"),
           length(expr("nfc_normalize_udf(raw)")).as("norm_len"))
         .orderBy("doc_id")
+    }),
+
+    // C11: referential-integrity audit — orphan detection over every FK
+    // edge of the schema in one report (the CMDB's dangling-reference
+    // check: a CI pointing at a deleted CI is the classic sync defect).
+    // Each edge is child-keys LEFT ANTI parent-keys → a 1-row aggregate;
+    // the five 1-row frames cross-combine and union into the report.
+    // Dim-sized parents broadcast; the lineitem→orders and orders→customer
+    // edges stay shuffle anti joins (both sides data-sized) — the correct
+    // 100-TB shape. Null FKs count as orphans in both engines (a null key
+    // matches nothing in an anti join).
+    "c11_ref_integrity" -> ((s, d) =>
+      integrityEdge("customer.c_nationkey->nation", customer(s, d), "c_nationkey",
+          nation(s, d), "n_nationkey")
+        .union(integrityEdge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+          orders(s, d), "o_orderkey"))
+        .union(integrityEdge("nation.n_regionkey->region", nation(s, d), "n_regionkey",
+          region(s, d), "r_regionkey"))
+        .union(integrityEdge("orders.o_custkey->customer", orders(s, d), "o_custkey",
+          customer(s, d), "c_custkey"))
+        .union(integrityEdge("supplier.s_nationkey->nation", supplier(s, d), "s_nationkey",
+          nation(s, d), "n_nationkey"))
+        .orderBy("edge")),
+
+    // D11: column-profile report — the ANALYZE-style data-quality pass
+    // (null count, exact NDV, min/max) per profiled column, one row each.
+    // Built as a union of single-column aggregates: with parquet column
+    // pruning each branch scans ONLY its own column, so total IO equals a
+    // single pass reading all profiled columns, and every branch is a
+    // plain codegen'd partial+final aggregate (no multi-distinct Expand
+    // blow-up). min/max aggregate in the NATIVE type and cast to string
+    // only in the final projection — lexicographic min of a stringified
+    // number would be wrong.
+    "d11_profile" -> ((s, d) => {
+      val li = lineitem(s, d)
+      def prof(c: String): DataFrame =
+        li.agg(count(lit(1)).as("n_rows"),
+            sum(col(c).isNull.cast("long")).as("n_null"),
+            countDistinct(col(c)).as("ndv"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+            col("ndv"), col("min_s"), col("max_s"))
+      prof("l_orderkey")
+        .union(prof("l_quantity"))
+        .union(prof("l_returnflag"))
+        .union(prof("l_shipdate"))
+        .orderBy("col_name")
     })
   )
+
+  /** One FK-edge audit row for `c11_ref_integrity`: child rows whose key
+    * joins no parent (LEFT ANTI — a null key matches nothing and counts as
+    * an orphan) reduced to a 1-row aggregate, cross-combined with the
+    * child count. Separated so tests can inject dangling references. */
+  private[graft] def integrityEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_child"))
+    val orphan = child.select(col(ck).as("k"))
+      .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    total.crossJoin(orphan).select(lit(name).as("edge"),
+      col("n_child"), col("n_orphan"),
+      (col("n_orphan") === 0).cast("int").as("ok"))
+  }
 
   // ------------------------------------------------------------------------
   // DuckDB oracle SQL — mirrors each query name-for-name with the same
@@ -724,6 +788,64 @@ object CoreRelational {
                 CAST(length('Cafe' || chr(769) || ' ' || substr(text, 1, 40)) AS INT) AS raw_len,
                 CAST(length(nfc_normalize('Cafe' || chr(769) || ' ' || substr(text, 1, 40))) AS INT) AS norm_len
          FROM documents
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // same five edges, each an anti-join scalar pair
+    "c11_ref_integrity" ->
+      """SELECT edge, n_child, n_orphan, CAST(n_orphan = 0 AS INT) AS ok FROM (
+           SELECT 'customer.c_nationkey->nation' AS edge,
+                  (SELECT count(*) FROM customer) AS n_child,
+                  (SELECT count(*) FROM customer c ANTI JOIN nation n
+                     ON c.c_nationkey = n.n_nationkey) AS n_orphan
+           UNION ALL
+           SELECT 'lineitem.l_orderkey->orders',
+                  (SELECT count(*) FROM lineitem),
+                  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey)
+           UNION ALL
+           SELECT 'nation.n_regionkey->region',
+                  (SELECT count(*) FROM nation),
+                  (SELECT count(*) FROM nation n ANTI JOIN region r
+                     ON n.n_regionkey = r.r_regionkey)
+           UNION ALL
+           SELECT 'orders.o_custkey->customer',
+                  (SELECT count(*) FROM orders),
+                  (SELECT count(*) FROM orders o ANTI JOIN customer c
+                     ON o.o_custkey = c.c_custkey)
+           UNION ALL
+           SELECT 'supplier.s_nationkey->nation',
+                  (SELECT count(*) FROM supplier),
+                  (SELECT count(*) FROM supplier s ANTI JOIN nation n
+                     ON s.s_nationkey = n.n_nationkey))
+         ORDER BY edge""",
+
+    // min/max aggregate in the native type, cast to text at the end —
+    // mirroring the Spark projection order exactly
+    "d11_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+                  CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_null,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv,
+                  CAST(min(l_orderkey) AS VARCHAR) AS min_s,
+                  CAST(max(l_orderkey) AS VARCHAR) AS max_s FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', count(*),
+                  CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT),
+                  CAST(count(DISTINCT l_quantity) AS BIGINT),
+                  CAST(min(l_quantity) AS VARCHAR),
+                  CAST(max(l_quantity) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_returnflag', count(*),
+                  CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT),
+                  CAST(count(DISTINCT l_returnflag) AS BIGINT),
+                  CAST(min(l_returnflag) AS VARCHAR),
+                  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+           UNION ALL
+           SELECT 'l_shipdate', count(*),
+                  CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT),
+                  CAST(count(DISTINCT l_shipdate) AS BIGINT),
+                  CAST(min(l_shipdate) AS VARCHAR),
+                  CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
+         ORDER BY col_name"""
   )
 }

@@ -136,6 +136,21 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(i + e == y95)
   }
 
+  test("c11: an injected dangling reference (and a null FK) are both orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val r = graft.operators.CoreRelational
+      .integrityEdge("child.fk->parent", child, "fk", parent, "pk")
+      .collect()(0)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2 && r.getInt(3) == 0)
+    // and the all-valid case reports ok
+    val ok = graft.operators.CoreRelational
+      .integrityEdge("ok", child.filter("fk <= 2"), "fk", parent, "pk")
+      .collect()(0)
+    assert(ok.getLong(2) == 0 && ok.getInt(3) == 1)
+  }
+
   test("events reader yields microsecond TimestampType despite nanos parquet") {
     val df = graft.sources.Tables.events(spark, sf)
     assert(df.schema("ts").dataType ==

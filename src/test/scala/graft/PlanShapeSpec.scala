@@ -34,7 +34,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // multiprobe broadcasts the constant sign matrix — same tiny sides.
       "lsh_ivf_refined", "lsh_emb_near_dup", "lsh_rp_multiprobe",
       // broadcasts the single-row vocabulary count, like ta_unigram_logprob
-      "ta_bigram_logprob")
+      "ta_bigram_logprob",
+      // each FK edge cross-combines two single-row aggregates
+      "c11_ref_integrity")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
