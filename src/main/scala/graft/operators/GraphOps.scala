@@ -78,4 +78,27 @@ object GraphOps {
     }
     labels
   }
+
+  /** Bounded-depth BFS with min-depth labels — the blast-radius /
+    * impact-analysis complement to [[minLabelComponents]]' unbounded
+    * fixpoint: from `seeds` (one column `id`), every vertex reachable in
+    * ≤ `rounds` edge hops with the SMALLEST hop count that reaches it.
+    * The rounds unroll into ONE Catalyst tree (frontier ⋈ edges →
+    * distinct → anti-join everything already reached → next depth): no
+    * driver-side loop or action, so a bounded-k traversal plans and
+    * optimizes like any other query. Cost per round is frontier-sized ⋈
+    * edge-partition equi joins; `rounds` is small by design (impact
+    * horizons are 2–4 hops) — for unbounded reach use the fixpoint. */
+  def bfsDepths(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    var reached = seeds.select(col("id").as("doc_id")).withColumn("depth", lit(0))
+    for (i <- 1 to rounds) {
+      val next = reached.filter(col("depth") === i - 1)
+        .join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(reached.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("depth", lit(i))
+      reached = reached.union(next)
+    }
+    reached
+  }
 }

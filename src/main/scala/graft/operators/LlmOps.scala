@@ -436,6 +436,27 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Contamination blast radius — bounded-depth BFS over the τ=0.3
+    // near-dup graph from a seed set: when a doc is found contaminated
+    // (or poisoned, or license-burdened), every doc within k near-dup
+    // hops is suspect, and the DEPTH says how direct the link is. The
+    // bounded-k complement of dd_components' unbounded fixpoint: 3
+    // rounds unrolled as ONE Catalyst tree (frontier ⋈ edges → anti-join
+    // already-reached → next depth), no driver-side loop, min-depth
+    // semantics by construction. Seeds are the 5 lowest doc ids that
+    // APPEAR in the pair graph (bounded top-k, the j3 pattern — seeding
+    // from the graph guarantees the graded rows exercise real traversal,
+    // not just the depth-0 echo); edges ride the cached τ=0.3 pair frame
+    // that dd_components already builds.
+    "dd_blast_radius" -> ((s, d) => {
+      val e = jaccardPairs(s, d, 0.3)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = e.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(5)
+      GraphOps.bfsDepths(seeds, bi, rounds = 3).orderBy("doc_id")
+    }),
+
     // J3: similarity search — brute-force top-5 cosine neighbors for an
     // explicit bounded query set: the 5 lowest vec_ids via a top-k scan
     // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
@@ -995,6 +1016,33 @@ object LlmOps {
             SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
           SELECT src AS doc_id, min(dst) AS comp
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // τ=0.3 pairs CTE, bidirectional edges, 3 BFS rounds unrolled with the
+    // same anti-join min-depth semantics
+    "dd_blast_radius" ->
+      s"""WITH ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS src, doc_a AS dst FROM pairs),
+          d0 AS (SELECT doc_id, 0 AS depth FROM
+                   (SELECT DISTINCT doc_a AS doc_id FROM pairs
+                    ORDER BY doc_id LIMIT 5)),
+          n1 AS (SELECT DISTINCT bi.dst AS doc_id FROM bi
+                 JOIN d0 ON bi.src = d0.doc_id),
+          d1 AS (SELECT n1.doc_id, 1 AS depth FROM n1
+                 ANTI JOIN d0 USING (doc_id)),
+          r1 AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1),
+          n2 AS (SELECT DISTINCT bi.dst AS doc_id FROM bi
+                 JOIN d1 ON bi.src = d1.doc_id),
+          d2 AS (SELECT n2.doc_id, 2 AS depth FROM n2
+                 ANTI JOIN r1 USING (doc_id)),
+          r2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM d2),
+          n3 AS (SELECT DISTINCT bi.dst AS doc_id FROM bi
+                 JOIN d2 ON bi.src = d2.doc_id),
+          d3 AS (SELECT n3.doc_id, 3 AS depth FROM n3
+                 ANTI JOIN r2 USING (doc_id))
+          SELECT * FROM r2 UNION ALL SELECT * FROM d3
+          ORDER BY doc_id""",
 
     // same pairs CTE as j2, filtered to cross-side pairs, left-joined back
     // to the new-batch slice so admitted docs report zero hits

@@ -91,4 +91,26 @@ object GraphOpsSpec extends Properties("graphops") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       fp == (0 until n).map(i => (i.toLong, 0L))
     }
+
+  property("bfsDepths equals a sequential min-depth BFS model") =
+    forAll(graphGen, Gen.choose(1, 4)) { case ((n, edges), k) =>
+      import spark.implicits._
+      val bi = edges.flatMap { case (a, b) =>
+        Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      val es =
+        if (bi.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else bi.toDF("src", "dst")
+      val got = graft.operators.GraphOps
+        .bfsDepths(Seq(0L).toDF("id"), es, rounds = k)
+        .collect().map(r => r.getLong(0).toInt -> r.getInt(1)).toMap
+      val adj = bi.groupBy(_._1.toInt).map { case (v, es_) => v -> es_.map(_._2.toInt) }
+      var depth = Map(0 -> 0)
+      var frontier = Set(0)
+      for (i <- 1 to k) {
+        val nxt = frontier.flatMap(v => adj.getOrElse(v, Nil)).filterNot(depth.contains)
+        nxt.foreach(v => depth += v -> i)
+        frontier = nxt
+      }
+      got == depth
+    }
 }
