@@ -237,4 +237,33 @@ object GraftProperties extends Properties("graft") {
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       got == model
     }
+
+  property("substr spans: a planted span is localized exactly at random " +
+    "offsets and lengths; disjoint-alphabet docs never match") =
+    forAll(for {
+      spanLen <- Gen.choose(20, 40)
+      offA <- Gen.choose(0, 15)
+      offB <- Gen.choose(0, 15)
+      tailA <- Gen.choose(0, 10)
+      tailB <- Gen.choose(0, 10)
+    } yield (spanLen, offA, offB, tailA, tailB)) {
+      case (spanLen, offA, offB, tailA, tailB) =>
+        import spark.implicits._
+        // per-doc alphabets are disjoint except the planted span, so the
+        // ONLY shared 10-grams are the span's — localization must be exact
+        val span = (1 to spanLen).map(i => s"s$i").mkString(" ")
+        val a = ((1 to offA).map(i => s"a$i") ++ Seq(span) ++
+          (1 to tailA).map(i => s"x$i")).mkString(" ")
+        val b = ((1 to offB).map(i => s"b$i") ++ Seq(span) ++
+          (1 to tailB).map(i => s"y$i")).mkString(" ")
+        val docs = Seq((1L, a), (2L, b), (3L, (1 to 30).map(i => s"z$i").mkString(" ")))
+          .toDF("doc_id", "text")
+        val rows = graft.operators.LlmOps.substrSpansOf(docs).collect()
+        rows.length == 1 && {
+          val r = rows(0)
+          r.getLong(0) == 1L && r.getLong(1) == 2L &&
+            r.getInt(2) == offA && r.getInt(3) == offB &&
+            r.getLong(4) == spanLen.toLong
+        }
+    }
 }
