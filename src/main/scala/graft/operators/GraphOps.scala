@@ -97,7 +97,10 @@ object GraphOps {
         .select(col("dst").as("doc_id")).distinct()
         .join(reached.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("depth", lit(i))
-      reached = reached.union(next)
+      // each round references the previous `reached` THREE times (frontier
+      // filter, anti join, union) — materialize per round or the unrolled
+      // tree re-evaluates the whole prefix exponentially in `rounds`
+      reached = graft.CacheRegistry.materialize(reached.union(next))
     }
     reached
   }
