@@ -173,6 +173,43 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Per-user funnel progress for the stream form of `e7_funnel`. */
+  case class FunnelProgress(user_id: Long, stage: Int)
+
+  /** Streaming ordered-sequence funnel — the arrival-time twin of
+    * `WindowedAnalytics.funnelOf`: per-user state is (current stage,
+    * ts of the last advance), a constant-size record regardless of
+    * history length, advanced by a greedy in-order scan. The greedy scan
+    * IS the batch min-ts ladder: the batch takes the earliest stage-i
+    * event strictly after the first reach of stage i−1, and a
+    * time-ordered scan advances at exactly that event (ties can't
+    * advance either semantics — strict inequality both places — so
+    * intra-tie processing order is immaterial; StreamingSpec proves
+    * stream ≡ batch on the real feed). Within a micro-batch rows arrive
+    * unordered, so each batch's rows sort by time BEFORE the scan —
+    * per-key within one micro-batch, a bounded sort. Emits the updated
+    * stage per user per batch (Update-mode semantics: stage is monotonic,
+    * so the latest emission is the answer). */
+  def funnelStages(events: Dataset[UserEvent], stages: Seq[String])
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, rows: Iterator[UserEvent],
+        state: GroupState[(Int, Long)]): Iterator[FunnelProgress] = {
+      var (stage, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+      rows.toSeq.sortBy(_.us).foreach { e =>
+        if (stage < stages.length && e.event_type == stages(stage) &&
+            e.us > lastTs) {
+          stage += 1
+          lastTs = e.us
+        }
+      }
+      state.update((stage, lastTs))
+      Iterator(FunnelProgress(userId, stage))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding 30 minutes. Both sides carry watermarks and the
     * join condition bounds event time on both sides, so Spark can expire

@@ -165,6 +165,37 @@ class StreamingSpec extends AnyFunSuite {
       expected.exceptAll(admitted).count() == 0)
   }
 
+  test("streaming funnel over the real feed equals the graded batch ladder, " +
+    "with state surviving micro-batch boundaries") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import StreamingOps.UserEvent
+    val ev = graft.sources.Tables.events(spark, sf)
+    // time-ordered feed (streams deliver in arrival order; the funnel's
+    // cross-batch contract is per-user time order), split mid-stream so
+    // per-user stage state must survive the boundary
+    val feed = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .orderBy("us").as[UserEvent].collect().toSeq
+    val (b1, b2) = feed.splitAt(feed.size / 2)
+    val mem = MemoryStream[UserEvent]
+    val q = StreamingOps.funnelStages(mem.toDS(), Seq("view", "click", "purchase"))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // stage is monotonic per user → the final answer is the max emission
+    val got = spark.table("funnel").groupBy("user_id")
+      .agg(max("stage").as("stage"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.operators.WindowedAnalytics
+      .funnelOf(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got == batch)
+    // the feed must actually exercise deep stages
+    assert(batch.values.max == 3)
+  }
+
   test("stateful ops run on the RocksDB state store (larger-than-heap state path)") {
     // At 100 TB the streaming state (sessions, dedup keys, join buffers)
     // outgrows executor heap; RocksDB is the provider that spills it to
