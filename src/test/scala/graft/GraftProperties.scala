@@ -238,6 +238,37 @@ object GraftProperties extends Properties("graft") {
       got == model
     }
 
+  property("funnel matches the min-ts ladder model under timestamp ties") =
+    forAll(Gen.listOfN(24, for {
+      u <- Gen.choose(1L, 3L)
+      ty <- Gen.oneOf("view", "click", "purchase", "error")
+      ts <- Gen.choose(0L, 8L) // tiny range → constant ties
+    } yield (u, ty, ts))) { evs =>
+      import spark.implicits._
+      val stages = Seq("view", "click", "purchase")
+      // unambiguous reference: stage i's first reach = min ts of a stage-i
+      // event STRICTLY after stage i−1's first reach
+      val model = evs.groupBy(_._1).map { case (u, es) =>
+        var last = Long.MinValue
+        var stage = 0
+        var halt = false
+        stages.foreach { st =>
+          if (!halt) {
+            val cand = es.collect { case (_, t, ts) if t == st && ts > last => ts }
+            if (cand.isEmpty) halt = true
+            else { last = cand.min; stage += 1 }
+          }
+        }
+        u -> stage
+      }
+      val df = evs.toDF("user_id", "event_type", "sec")
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("sec")).as("ts"))
+      val got = graft.operators.WindowedAnalytics.funnelOf(df, stages)
+        .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+      evs.isEmpty || got == model
+    }
+
   property("substr spans: a planted span is localized exactly at random " +
     "offsets and lengths; disjoint-alphabet docs never match") =
     forAll(for {
