@@ -125,4 +125,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!readSchemas.exists(_.contains("l_partkey")),
       s"d1 scan reads pruned-out columns: $readSchemas")
   }
+
+  test("the span detector's nine lead()s collapse into ONE window pass") {
+    // the k-gram builder chains 9 withColumn(lead(th, i)) over the same
+    // (doc_id, pos) window spec; CollapseWindow must merge them — nine
+    // WindowExecs would mean nine sorts of the token stream. The executed
+    // plan re-prints cached subtrees per consumer, so count DISTINCT
+    // window nodes, not raw occurrences.
+    val winLines = plans("dd_substr_spans").split("\n")
+      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .filter(_.startsWith("Window ")).distinct
+    assert(winLines.length == 2, // gram lead-chain + diagonal islands
+      s"dd_substr_spans has ${winLines.length} distinct window nodes " +
+        s"(expected gram+island = 2):\n${winLines.mkString("\n")}")
+  }
 }
