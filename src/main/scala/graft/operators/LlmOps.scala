@@ -131,9 +131,18 @@ object LlmOps {
     * has two graded consumers and the τ=0.3 frame feeds every fixpoint
     * round — CacheManager keys on the canonical plan, so same-τ callers
     * share one copy. */
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
+  graft.CacheRegistry.onRelease(() => pairsMemo.clear())
+
   private[graft] def jaccardPairs(s: org.apache.spark.sql.SparkSession,
       d: String, tau: Double): DataFrame =
-    graft.CacheRegistry.materialize(jaccardPairsOf(documents(s, d), tau))
+    // memoized per (session, dir, τ) like componentsMemo — CacheManager
+    // would dedupe the storage anyway (canonical-plan key), but registering
+    // the same frame once per caller spams "already cached" warnings and
+    // duplicate registry entries
+    pairsMemo.getOrElseUpdate((s, d, tau),
+      graft.CacheRegistry.materialize(jaccardPairsOf(documents(s, d), tau)))
 
   /** Blocked inverted-index pair expansion shared by every set-similarity
     * scorer: one row per candidate pair with the shared-shingle count and
