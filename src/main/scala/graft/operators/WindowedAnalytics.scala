@@ -158,6 +158,15 @@ object WindowedAnalytics {
       funnelOf(events(s, d), Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // E8: cohort retention — the engagement matrix the funnel doesn't
+    // answer: of the users who FIRST appeared in week W, how many were
+    // active W+k weeks later? Raw events reduce to distinct (user, week)
+    // immediately (map-side partial agg — the only pass over the event
+    // volume), the cohort week is a min() window over the user's own ≤5
+    // week rows (no join), and the output is |weeks|² rows. At 100 TB the
+    // shuffled data is user×week-sized, never event-sized.
+    "e8_retention" -> ((s, d) => retentionOf(events(s, d))),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -290,6 +299,26 @@ object WindowedAnalytics {
     joined.select(col("user_id") +: reachedCols :+ stageSum: _*)
   }
 
+  /** Cohort retention over an events-shaped frame: distinct (user, week)
+    * activity, cohort = the user's first active week (a min() window over
+    * the user's own week rows — no cohort join), then a count per
+    * (cohort_week, week_offset). All frames after the first aggregate are
+    * user×week-sized regardless of event volume. */
+  private[graft] def retentionOf(ev: DataFrame): DataFrame = {
+    val weeks = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    weeks
+      .withColumn("cohort_week",
+        min(col("wk")).over(Window.partitionBy("user_id")))
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val oracle: Map[String, String] = Map(
     "e1_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -337,6 +366,22 @@ object WindowedAnalytics {
          FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    // same shape: distinct user-weeks, per-user min window for the cohort,
+    // count per (cohort, offset); date_trunc('week') is Monday-start in
+    // both engines
+    "e8_retention" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (
+           SELECT user_id, wk,
+                  min(wk) OVER (PARTITION BY user_id) AS cohort_week
+           FROM wk)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+                count(*) AS active_users
+         FROM c GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
 
     "e2_lag" ->
       """SELECT user_id, event_id,

@@ -48,6 +48,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(40L).getInt(4) == 1 && r(40L).getInt(2) == 0)
   }
 
+  test("e8: retention cohorts count distinct weekly-active users, gaps stay gaps") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday, so week boundaries land on Jan 1/8/15.
+    val ev = Seq(
+      (1L, "2024-01-02"), (1L, "2024-01-09"), (1L, "2024-01-16"), // w0,w1,w2
+      (2L, "2024-01-03"), (2L, "2024-01-17"),                     // w0, skips w1, w2
+      (3L, "2024-01-10"), (3L, "2024-01-11"), (3L, "2024-01-15")  // late cohort; two
+    ).toDF("user_id", "day")                                      // same-week events
+      .select(col("user_id"), col("day").cast("timestamp").as("ts"))
+    val r = graft.operators.WindowedAnalytics.retentionOf(ev)
+      .collect()
+      .map(x => (x.getTimestamp(0).toString.take(10), x.getInt(1)) -> x.getLong(2))
+      .toMap
+    assert(r == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L, ("2024-01-01", 2) -> 2L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)
