@@ -316,6 +316,37 @@ object CoreRelational {
         .orderBy("n_nationkey")
     }),
 
+    // GR: triangle cohesion over a kNN co-occurrence graph — the CMDB
+    // relationship-graph audit (CIs that repeatedly change together form
+    // communities; triangle density separates genuinely coupled clusters
+    // from incidental links). The graph is built the way a 100 TB
+    // similarity graph must be: NOT a global threshold (density explodes
+    // or vanishes with scale) but each vertex's top-5 strongest partners —
+    // degree ≤ 5 by construction, so |E| ≤ 5N and the triangle join's
+    // wedge cost stays linear in N at any scale. Stages: per-order
+    // distinct supplier sets (orderkey-partitioned self-join, Σ|order|²
+    // bounded by order width), co-count agg, per-supplier top-5 window,
+    // symmetrize + canonicalize, [[GraphOps.triangleCounts]].
+    "gr_knn_triangles" -> ((s, d) => {
+      val co = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = co.alias("x")
+        .join(co.select(col("ok").as("ok2"), col("sk").as("sk2")).alias("y"),
+          col("ok") === col("ok2") && col("sk") < col("sk2"))
+        .groupBy(col("sk").as("sa"), col("sk2").as("sb"))
+        .agg(count(lit(1)).as("cnt"))
+      val dir = pairs.select(col("sa").as("s"), col("sb").as("p"), col("cnt"))
+        .union(pairs.select(col("sb").as("s"), col("sa").as("p"), col("cnt")))
+      val w = Window.partitionBy("s").orderBy(col("cnt").desc, col("p").asc)
+      val knn = dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      val e = knn.select(least(col("s"), col("p")).as("src"),
+          greatest(col("s"), col("p")).as("dst")).distinct()
+      GraphOps.triangleCounts(e)
+        .select(col("id").as("s_suppkey"), col("n_triangles"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---------------------------------------------------------------- D
     // D1: the flagship pricing summary (TPC-H Q1 shape) — filter, derive,
     // partial+final hash aggregate, exact monetary sums.
@@ -687,6 +718,32 @@ object CoreRelational {
          FROM customer c1 JOIN customer c2
            ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
          GROUP BY 1 ORDER BY n_nationkey""",
+
+    // same construction: per-order supplier pairs → co-count → top-5 per
+    // supplier (total order: cnt desc, partner asc) → symmetrized
+    // canonical edges → oriented a<b<c triangle join
+    "gr_knn_triangles" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                  FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst)
+          SELECT id AS s_suppkey, count(*) AS n_triangles
+          FROM (SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY id ORDER BY s_suppkey""",
 
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -104,4 +104,30 @@ object GraphOps {
     }
     reached
   }
+
+  /** Per-vertex triangle participation over a canonically-oriented edge
+    * list (`src < dst`) — the cohesion audit of a near-dup graph: a
+    * component held together by a CHAIN of pairwise links (few triangles)
+    * is transitive-closure risk (A~B~C with A̸~C), while a triangle-dense
+    * component is a genuine duplicate cluster. Orientation makes each
+    * triangle a<b<c appear exactly once: wedge-join a<b with b<c on the
+    * shared middle vertex, then close against the a<c edge — two
+    * hash-partitioned equi-joins, candidate cost Σ_b out(b)·in(b) (never
+    * |E|² and never a cartesian). At skew, re-orient by (degree, id)
+    * instead of id — the same two joins with wedge cost bounded by the
+    * graph's arboricity (standard compact-forward); id-orientation is the
+    * oracle-mirrorable form and near-dup graphs cap degree by design
+    * (the df cap bounds how many pairs any doc joins).
+    * @return (id, n_triangles), vertices in ≥1 triangle only. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val tri = e.alias("ab")
+      .join(e.select(col("src").as("b2"), col("dst").as("c2")).alias("bc"),
+        col("ab.dst") === col("bc.b2"))
+      .join(e.select(col("src").as("a3"), col("dst").as("c3")).alias("ac"),
+        col("ab.src") === col("ac.a3") && col("bc.c2") === col("ac.c3"))
+      .select(col("ab.src").as("a"), col("ab.dst").as("b"), col("bc.c2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
 }

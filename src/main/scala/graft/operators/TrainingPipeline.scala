@@ -154,6 +154,27 @@ object TrainingPipeline {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // tp_weighted_sample: weighted sampling WITHOUT replacement, made
+    // reproducible — the Efraimidis–Spitsakis exponential-key trick
+    // (A-Res): rank every doc by -ln(u)/w (u a salted portable hash
+    // uniform in (0,1), w the doc's weight — n_chars as the quality-mass
+    // stand-in) and keep the k smallest. Distributionally identical to
+    // sequential weighted draws without replacement, but it is a pure
+    // per-row projection + TakeOrderedAndProject (per-partition top-k
+    // heaps, no global sort, no rand()) — reproducible run-to-run and
+    // stable under repartitioning at any scale. The key snaps to the 1e-9
+    // grid (engine-identical ln) and (kl, doc_id) makes the cut boundary
+    // a total order.
+    "tp_weighted_sample" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("u",
+          (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6),
+            16, 10).cast("double") + 0.5) / 16777216.0)
+        .withColumn("kl", round(-log(col("u")) / col("n_chars") * 1e9).cast("long"))
+        .select(col("doc_id"), col("source"), col("kl"))
+        .orderBy("kl", "doc_id")
+        .limit(100)),
+
     // tp_chunk: fixed context windows of 64 tokens with stride 48 (16-token
     // overlap) — the standard LM-pretraining chunker. Chunk text is reported
     // as its md5 so the gate pins exact chunk boundaries and content without
@@ -449,6 +470,17 @@ object TrainingPipeline {
           WHERE ${sqlPct("smp:", "doc_id")} <
                 CASE WHEN source = 'src0' THEN 20 ELSE 10 END
           ORDER BY doc_id""",
+
+    // same exponential key: u from the 24-bit md5 prefix (+0.5 keeps it
+    // strictly inside (0,1)), key = -ln(u)/w snapped to the 1e-9 grid
+    "tp_weighted_sample" ->
+      """SELECT doc_id, source, kl FROM (
+           SELECT doc_id, source,
+                  CAST(round(1e9 * -ln(
+                    (('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,6))::BIGINT
+                      + 0.5) / 16777216.0) / n_chars) AS BIGINT) AS kl
+           FROM documents)
+         ORDER BY kl, doc_id LIMIT 100""",
 
     "tp_chunk" ->
       """SELECT doc_id, CAST(gs // 48 AS INT) AS chunk_idx,

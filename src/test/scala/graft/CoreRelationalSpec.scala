@@ -151,6 +151,13 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(ok.getLong(2) == 0 && ok.getInt(3) == 1)
   }
 
+  test("gr_knn_triangles: nonempty, every reported vertex closes a triangle") {
+    val r = run("gr_knn_triangles")
+    assert(r.count() > 0)
+    assert(r.filter(org.apache.spark.sql.functions.col("n_triangles") < 1)
+      .count() == 0)
+  }
+
   test("events reader yields microsecond TimestampType despite nanos parquet") {
     val df = graft.sources.Tables.events(spark, sf)
     assert(df.schema("ts").dataType ==

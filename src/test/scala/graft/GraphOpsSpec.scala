@@ -113,4 +113,25 @@ object GraphOpsSpec extends Properties("graphops") {
       }
       got == depth
     }
+
+  property("triangleCounts equals the local enumeration model") =
+    forAll(graphGen) { case (n, edges) =>
+      import spark.implicits._
+      // canonical orientation + distinct, as the operator contract requires
+      val canon = edges.map { case (a, b) =>
+        (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+      val eset = canon.toSet
+      val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        (a, b) <- canon
+        c <- (b + 1) until n.toLong
+        if eset((b, c)) && eset((a, c))
+      } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+      val es =
+        if (canon.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else canon.toDF("src", "dst")
+      val got = graft.operators.GraphOps.triangleCounts(es)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == counts.toMap
+    }
 }

@@ -179,4 +179,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     // the salted mix position separates epoch copies of the same doc
     assert(up.select("pos").distinct().count() == up.count())
   }
+
+  test("tp_weighted_sample: exactly k rows, weight-biased, deterministic") {
+    import org.apache.spark.sql.functions._
+    val r = run("tp_weighted_sample")
+    val rows = r.collect()
+    assert(rows.length == 100)
+    // keys are the sort column: nonnegative and nondecreasing
+    val kls = rows.map(_.getLong(2))
+    assert(kls.forall(_ >= 0))
+    assert(kls.zip(kls.tail).forall { case (a, b) => a <= b })
+    // weighting by n_chars must pull the sample's mean weight above the
+    // corpus mean (exponential keys: heavier docs draw smaller keys)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpusMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleMean = docs.join(r.select("doc_id"), "doc_id")
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // fully deterministic across executions
+    val again = run("tp_weighted_sample").collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
