@@ -593,6 +593,59 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Calibration report: DOES the quality score predict duplication?
+    // Exact-decile lift table — per score decile, the exact-dup rate
+    // (j1's normalized-text fingerprint seen >1×). The scale-critical
+    // choice: deciles do NOT come from ntile() (a single global-order
+    // window — one partition holds the corpus), but from ONE aggregate
+    // row of nine exact percentile boundaries broadcast back for a
+    // per-row bucket comparison: boundary math is aggregate-sized at any
+    // corpus size. Score means fold as 1e4-grid longs (order-invariant).
+    "pp_score_calibration" -> ((s, d) => {
+      val scored = queries("ta_quality_score")(s, d).select(col("doc_id"), col("score"))
+      val h = documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+      val isDup = h.join(h.groupBy("h").agg(count(lit(1)).as("nh")), "h")
+        .select(col("doc_id"), (col("nh") > 1).cast("int").as("is_dup"))
+      val qs = scored.agg(expr(
+        "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("qs"))
+      val decile = (1 to 9).map(i =>
+          (col("score") > round4(element_at(col("qs"), i))).cast("int"))
+        .reduce(_ + _) + lit(1)
+      scored.join(isDup, "doc_id").crossJoin(broadcast(qs))
+        .select(col("score"), col("is_dup"), decile.as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          round4(sum(round(col("score") * 1e4).cast("long")) /
+            (count(lit(1)) * lit(1e4))).as("avg_score"),
+          round4(sum(col("is_dup")) / count(lit(1))).as("dup_rate"))
+        .orderBy("decile")
+    }),
+
+    // Text analysis: robust per-source length-outlier gate — median/MAD
+    // instead of mean/stddev, because corpus length distributions are
+    // heavy-tailed and the outliers being hunted would poison the very
+    // moments a z-score uses (one 100 MB doc shifts a source's mean;
+    // it cannot shift its median). Two grouped exact-percentile
+    // aggregates (median, then median absolute deviation) produce a
+    // |sources|-row stats frame that broadcasts back for a per-row flag —
+    // the corpus is scanned twice, shuffled never (percentile partials
+    // aggregate map-side per source). 2×MAD is the trim knob (the
+    // conventional 3×MAD-outlier rule, tightened to an aggressive trim).
+    "ta_mad_outliers" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val med = docs.groupBy("source")
+        .agg(expr("percentile(n_chars, 0.5)").as("med"))
+      val mad = docs.join(broadcast(med), "source")
+        .groupBy("source")
+        .agg(expr("percentile(abs(n_chars - med), 0.5)").as("mad"))
+      docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+        .filter(abs(col("n_chars") - col("med")) > lit(2) * col("mad"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round4(col("med")).as("med"), round4(col("mad")).as("mad"))
+        .orderBy("doc_id")
+    }),
+
     // Text analysis: composite quality score from token statistics.
     "ta_quality_score" -> ((s, d) =>
       documents(s, d)
@@ -1166,6 +1219,54 @@ object LlmOps {
                  CAST(round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
                    i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))), (a,x) -> a + x))*10000) AS BIGINT)/10000.0 AS emb_norm
           FROM documents JOIN embeddings ON doc_id = vec_id
+          ORDER BY doc_id""",
+
+    // same score subquery as ta_quality_score; deciles from one
+    // quantile_cont list boundary row, dup flags from a count() window
+    // over the normalized-text fingerprint
+    "pp_score_calibration" ->
+      s"""WITH s AS (
+            SELECT doc_id,
+                   ${sqlRound4("0.3*uniq_ratio + 0.4*(1.0 - stop_ratio) + 0.3*least(n_tokens/100.0, 1.0)")} AS score
+            FROM (
+              SELECT doc_id,
+                     CAST(len(t) AS INT) AS n_tokens,
+                     CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)/len(t) AS stop_ratio,
+                     CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS uniq_ratio
+              FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+          dup AS (
+            SELECT doc_id, CAST(cnt > 1 AS INT) AS is_dup FROM (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS cnt
+              FROM documents)),
+          q AS (SELECT quantile_cont(score,
+                  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs FROM s)
+          SELECT decile, count(*) AS n_docs,
+                 ${sqlRound4("sum(CAST(round(score*10000) AS BIGINT)) / (count(*) * 10000.0)")} AS avg_score,
+                 ${sqlRound4("sum(is_dup) / count(*)")} AS dup_rate
+          FROM (
+            SELECT s.score, dup.is_dup,
+                   1 + ${(1 to 9).map(i =>
+                     s"CAST(s.score > ${sqlRound4(s"qs[$i]")} AS INT)")
+                     .mkString(" + ")} AS decile
+            FROM s JOIN dup USING (doc_id) CROSS JOIN q)
+          GROUP BY decile ORDER BY decile""",
+
+    // same two quantile_cont passes; the flag compares against the raw
+    // (un-rounded) med/mad exactly as the Spark side does
+    "ta_mad_outliers" ->
+      s"""WITH med AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+                       FROM documents GROUP BY source),
+           mad AS (SELECT d.source,
+                          quantile_cont(abs(d.n_chars - m.med), 0.5) AS mad
+                   FROM documents d JOIN med m ON d.source = m.source
+                   GROUP BY d.source)
+          SELECT doc_id, d.source, n_chars,
+                 ${sqlRound4("med.med")} AS med,
+                 ${sqlRound4("mad.mad")} AS mad
+          FROM documents d JOIN med ON d.source = med.source
+                           JOIN mad ON d.source = mad.source
+          WHERE abs(n_chars - med.med) > 2 * mad.mad
           ORDER BY doc_id""",
 
     "ta_quality_score" ->

@@ -294,4 +294,36 @@ class LlmOpsSpec extends AnyFunSuite {
     // dedup is a pruning: survivors ⊆ corpus, and nothing else was invented
     assert(survivors.join(all, Seq("vec_id"), "left_anti").count() == 0)
   }
+
+  test("ta_mad_outliers equals a local median/MAD model per source") {
+    // quantile_cont interpolation, computed sequentially per source
+    def q50(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = (s.length - 1) * 0.5
+      val (lo, hi) = (s(pos.toInt), s(math.ceil(pos).toInt))
+      lo + (pos - pos.toInt) * (hi - lo)
+    }
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      val med = q50(rows.map(_._3.toDouble).toSeq)
+      val mad = q50(rows.map(r => math.abs(r._3 - med)).toSeq)
+      rows.filter(r => math.abs(r._3 - med) > 2 * mad).map(_._1).toSeq
+    }.toSet
+    val got = run("ta_mad_outliers").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("pp_score_calibration: deciles partition the corpus, means monotone") {
+    val r = run("pp_score_calibration").collect()
+    val nTotal = graft.sources.Tables.documents(spark, sf).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == nTotal)
+    assert(r.forall(x => x.getAs[Int]("decile") >= 1 && x.getAs[Int]("decile") <= 10))
+    val means = r.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("avg_score"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+    assert(r.forall { x =>
+      val d = x.getAs[Double]("dup_rate"); d >= 0.0 && d <= 1.0 })
+  }
 }

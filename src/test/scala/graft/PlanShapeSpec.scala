@@ -36,7 +36,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // broadcasts the single-row vocabulary count, like ta_unigram_logprob
       "ta_bigram_logprob",
       // each FK edge cross-combines two single-row aggregates
-      "c11_ref_integrity")
+      "c11_ref_integrity",
+      // broadcasts the single-row decile-boundary aggregate
+      "pp_score_calibration")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -70,7 +72,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // the funnel ladder chains user-population-sized first-reach frames
       // on the user_id pk — co-partitioned shuffle equi joins at scale
       // (users are data-sized; broadcasting them would be wrong)
-      "e7_funnel")
+      "e7_funnel",
+      // the triangle wedge/closure joins are edge-set × edge-set equi
+      // joins (|E| ≤ 5N by the kNN degree cap, but still data-sized on
+      // both sides — broadcasting an edge list would be wrong at scale),
+      // and the per-order supplier pairing is a data×data self equi join
+      // on the order pk
+      "gr_knn_triangles")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
