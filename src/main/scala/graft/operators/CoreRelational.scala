@@ -340,8 +340,12 @@ object CoreRelational {
         .union(pairs.select(col("sb").as("s"), col("sa").as("p"), col("cnt")))
       val w = Window.partitionBy("s").orderBy(col("cnt").desc, col("p").asc)
       val knn = dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      val e = knn.select(least(col("s"), col("p")).as("src"),
-          greatest(col("s"), col("p")).as("dst")).distinct()
+      // the triangle join references the edge list THREE times (ab/bc/ac
+      // sides) — materialize it once or the whole co-supply pipeline
+      // (scan → distinct → self-join → agg → window) re-executes per side
+      val e = graft.CacheRegistry.materialize(
+        knn.select(least(col("s"), col("p")).as("src"),
+          greatest(col("s"), col("p")).as("dst")).distinct())
       GraphOps.triangleCounts(e)
         .select(col("id").as("s_suppkey"), col("n_triangles"))
         .orderBy("s_suppkey")

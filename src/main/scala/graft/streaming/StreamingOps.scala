@@ -210,6 +210,69 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class RetentionDelta(cohort_us: Long, week_offset: Int, delta: Int)
+
+  /** Streaming cohort retention as an incrementally-maintained view — the
+    * arrival-time twin of `WindowedAnalytics.retentionOf`, with a stronger
+    * guarantee than the other arrival-time twins: the emitted (+1/−1)
+    * delta log sums to EXACTLY the batch matrix under ANY arrival order,
+    * because a user whose true (earlier) cohort week arrives late triggers
+    * RETRACTIONS — every increment previously attributed to the provisional
+    * cohort is emitted again with delta −1 and re-emitted rebased under the
+    * new cohort (the retraction discipline of incremental view
+    * maintenance). Per-user state is constant-size regardless of history:
+    * (cohort week, one Long bitmask of week offsets seen) = 16 bytes, which
+    * bounds the horizon at 64 weeks past the cohort — activity beyond the
+    * horizon is dropped (retracted without re-emit on a rebase that shifts
+    * it out), the documented trade for constant state; batch equivalence
+    * holds for data within the horizon. Downstream, `sum(delta) GROUP BY
+    * (cohort, offset)` is an ordinary partial-aggregable streaming
+    * aggregate. */
+  def retentionDeltas(events: DataFrame): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    val weekUs = 7L * 24 * 3600 * 1000000L
+    def update(uid: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[(Long, Long)]): Iterator[RetentionDelta] = {
+      var (cohort, mask) = state.getOption.getOrElse((Long.MaxValue, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RetentionDelta]
+      rows.foreach { case (_, wkUs) =>
+        if (cohort == Long.MaxValue) {
+          cohort = wkUs; mask = 1L
+          out += RetentionDelta(cohort, 0, 1)
+        } else if (wkUs < cohort) {
+          val shift = ((cohort - wkUs) / weekUs).toInt
+          var b = 0
+          while (b < 64) {
+            if ((mask & (1L << b)) != 0) {
+              out += RetentionDelta(cohort, b, -1)
+              if (b + shift < 64) out += RetentionDelta(wkUs, b + shift, 1)
+            }
+            b += 1
+          }
+          // Scala's << masks the shift amount to 6 bits on Long — a ≥64
+          // shift must clear explicitly, not rely on the operator
+          mask = if (shift < 64) (mask << shift) | 1L else 1L
+          cohort = wkUs
+          out += RetentionDelta(cohort, 0, 1)
+        } else {
+          val off = ((wkUs - cohort) / weekUs).toInt
+          if (off < 64 && (mask & (1L << off)) == 0) {
+            mask |= 1L << off
+            out += RetentionDelta(cohort, off, 1)
+          }
+        }
+      }
+      state.update((cohort, mask))
+      out.iterator
+    }
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the preceding 30 minutes. Both sides carry watermarks and the
     * join condition bounds event time on both sides, so Spark can expire

@@ -409,4 +409,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(store(1L) == ((3L, "click")))    // user 1 latest = event 3
     assert(store(2L) == ((6L, "purchase"))) // user 2 latest = event 6
   }
+
+  test("retention delta log sums to the batch matrix under time-reversed arrival") {
+    // adversarial arrival: feed the REAL sf0.001 events newest-first across
+    // three micro-batches, so nearly every user's true cohort week arrives
+    // LAST and the retract+rebase path runs constantly; the summed delta
+    // log must still equal the batch matrix exactly.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq
+    val scrambled = feed.sortBy(e => (-e.ts.getTime, e.event_id))
+    val (b1, rest) = scrambled.splitAt(scrambled.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.retentionDeltas(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_delta").start()
+    Seq(b1, b2, b3).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("ret_delta")
+      .groupBy("cohort_us", "week_offset").agg(sum("delta").as("n"))
+      .filter(col("n") =!= 0)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    val batch = graft.operators.WindowedAnalytics.retentionOf(feed.toDF())
+      .select(unix_micros(col("cohort_week")).as("cus"),
+        col("week_offset"), col("active_users"))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("late-arriving earlier cohort week retracts and rebases exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, day: String) =
+      Ev(id, t(day + " 09:00:00"), 7L, "view", 1.0, "{}")
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.retentionDeltas(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ret_rebase").start()
+    // Jan-10 (week Jan-8) first: provisional cohort; then Jan-2 (week
+    // Jan-1) forces the rebase; then Jan-16 (week Jan-15) extends it.
+    mem.addData(ev(1, "2024-01-10")); q.processAllAvailable()
+    mem.addData(ev(2, "2024-01-02")); q.processAllAvailable()
+    mem.addData(ev(3, "2024-01-16")); q.processAllAvailable()
+    q.stop()
+    val deltas = spark.table("ret_rebase").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    // exactly one retraction: the provisional (Jan-8 cohort, offset 0) row
+    assert(deltas.count(_._3 == -1) == 1)
+    val net = deltas.groupBy(d => (d._1, d._2)).view
+      .mapValues(_.map(_._3).sum).filter(_._2 != 0).toMap
+    val jan1Us = t("2024-01-01 00:00:00").getTime * 1000L
+    assert(net == Map((jan1Us, 0) -> 1, (jan1Us, 1) -> 1, (jan1Us, 2) -> 1))
+  }
 }
