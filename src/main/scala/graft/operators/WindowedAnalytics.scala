@@ -167,6 +167,30 @@ object WindowedAnalytics {
     // shuffled data is user×week-sized, never event-sized.
     "e8_retention" -> ((s, d) => retentionOf(events(s, d))),
 
+    // E7b: time-bounded funnel — the production form of E7: each stage
+    // must land STRICTLY after the previous stage's first reach AND within
+    // the attribution window (7 days here). An unbounded funnel credits
+    // conversions forever; real attribution expires. Same min-ts ladder,
+    // one more filter per rung — cost identical to E7.
+    "e7b_funnel_window" -> ((s, d) =>
+      funnelOf(events(s, d), Seq("view", "click", "purchase"),
+        within = Some("7 DAYS")).orderBy("user_id")),
+
+    // E9: weekly value-distribution trend — the ops dashboard query: per
+    // (week, event_type), exact p50/p95 of the event value. Exact
+    // percentile is a partial-aggregable value-count-map aggregate (memory
+    // bounded by distinct values per group, fine for metric domains); for
+    // unbounded-cardinality metrics the sketch form (percentile_approx,
+    // bounded in SourcesAndApproxSpec) is the drop-in. Output is
+    // weeks × types rows at any event volume.
+    "e9_latency_trend" -> ((s, d) =>
+      events(s, d)
+        .groupBy(date_trunc("week", col("ts")).as("wk"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round4(expr("percentile(value, 0.5)")).as("p50"),
+          round4(expr("percentile(value, 0.95)")).as("p95"))
+        .orderBy("wk", "event_type")),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -275,14 +299,18 @@ object WindowedAnalytics {
     * user-count-sized, so the ladder stays co-partitioned aggregates and
     * equi joins at any event volume (never a window over a user's full
     * history, never a self-join on the raw stream). */
-  private[graft] def funnelOf(ev: DataFrame, stages: Seq[String]): DataFrame = {
+  private[graft] def funnelOf(ev: DataFrame, stages: Seq[String],
+      within: Option[String] = None): DataFrame = {
     val firstReach = stages.foldLeft(List.empty[(String, DataFrame)]) {
       (acc, st) =>
         val base = ev.filter(col("event_type") === st)
         val gated = acc.headOption match {
           case Some((_, prev)) =>
-            base.join(prev.select(col("user_id"), col("ts_min").as("prev_ts")),
-              "user_id").filter(col("ts") > col("prev_ts"))
+            val g = base
+              .join(prev.select(col("user_id"), col("ts_min").as("prev_ts")),
+                "user_id").filter(col("ts") > col("prev_ts"))
+            within.fold(g)(iv =>
+              g.filter(col("ts") <= col("prev_ts") + expr(s"INTERVAL $iv")))
           case None => base
         }
         (st, gated.groupBy("user_id").agg(min(col("ts")).as("ts_min"))) :: acc
@@ -366,6 +394,41 @@ object WindowedAnalytics {
          FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    // e7's ladder with the 7-day attribution bound on each rung
+    "e7b_funnel_window" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS ts_min FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.ts_min
+             AND e.ts <= v.ts_min + INTERVAL 7 DAY GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.ts_min
+             AND e.ts <= c.ts_min + INTERVAL 7 DAY GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+                CAST(v.user_id IS NOT NULL AS INT) AS reached_view,
+                CAST(c.user_id IS NOT NULL AS INT) AS reached_click,
+                CAST(p.user_id IS NOT NULL AS INT) AS reached_purchase,
+                CAST(v.user_id IS NOT NULL AS INT)
+                  + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS stage
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
+    // exact quantile_cont per (week, type) group
+    "e9_latency_trend" ->
+      s"""SELECT date_trunc('week', ts) AS wk, event_type, count(*) AS n,
+                 ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.5)")} AS p50,
+                 ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.95)")} AS p95
+          FROM events GROUP BY wk, event_type
+          ORDER BY wk, event_type""",
 
     // same shape: distinct user-weeks, per-user min window for the cohort,
     // count per (cohort, offset); date_trunc('week') is Monday-start in

@@ -66,6 +66,22 @@ class AnalyticsSpec extends AnyFunSuite {
       ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
   }
 
+  test("e7b: the 7-day bound only ever lowers a user's funnel depth") {
+    val unb = run("e7_funnel").select(col("user_id"), col("stage").as("s0"))
+    val bnd = run("e7b_funnel_window").select(col("user_id"), col("stage").as("s1"))
+    val j = unb.join(bnd, "user_id")
+    assert(j.filter(col("s1") > col("s0")).count() == 0)
+    // the bound must bite on the real feed, or the query is vacuous
+    assert(j.filter(col("s1") < col("s0")).count() > 0)
+  }
+
+  test("e9: weekly trend partitions the events, p50 <= p95") {
+    val r = run("e9_latency_trend")
+    val n = graft.sources.Tables.events(spark, sf).count()
+    assert(r.agg(sum("n")).head().getLong(0) == n)
+    assert(r.filter(col("p50") > col("p95")).count() == 0)
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)

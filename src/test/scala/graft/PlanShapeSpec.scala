@@ -72,7 +72,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // the funnel ladder chains user-population-sized first-reach frames
       // on the user_id pk — co-partitioned shuffle equi joins at scale
       // (users are data-sized; broadcasting them would be wrong)
-      "e7_funnel",
+      "e7_funnel", "e7b_funnel_window",
       // the triangle wedge/closure joins are edge-set × edge-set equi
       // joins (|E| ≤ 5N by the kNN degree cap, but still data-sized on
       // both sides — broadcasting an edge list would be wrong at scale),
