@@ -213,6 +213,28 @@ object TemporalOps {
         .orderBy("user_id", "valid_from")
     }),
 
+    // I10: SCD2 as-of lookup — the warehouse query the I9 history exists
+    // FOR: each fact (purchase) joined to the dimension version valid at
+    // the fact's instant. The scale-critical shape: this is NOT an
+    // interval/theta join — validity intervals live on the key's own
+    // timeline, so it is a co-partitioned user_id EQUI join (history is
+    // versions-per-key-sized) with the interval test as a post-join
+    // filter; exactly one version matches per fact by construction
+    // (intervals partition the key's timeline and every fact falls after
+    // the key's first version).
+    "i10_scd2_lookup" -> ((s, d) => {
+      val hist = queries("i9_scd2_history")(s, d)
+      val purch = events(s, d).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("pus"))
+      purch.join(hist, Seq("user_id"))
+        .filter(col("valid_from") <= col("pus") &&
+          (col("valid_to") === -1L || col("pus") <= col("valid_to")))
+        .select(col("purchase_id"), col("user_id"), col("state"),
+          col("valid_from"), col("is_current"))
+        .orderBy("purchase_id")
+    }),
+
     // I8: snapshot diff (CDC derive) — per-user state at t1 vs t2; emits
     // inserted/updated/unchanged rows (the sync delta the reference loads).
     "i8_snapshot_diff" -> ((s, d) => {
@@ -369,6 +391,30 @@ object TemporalOps {
                 CAST(lead(us, 1) OVER w IS NULL AS INT) AS is_current
          FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          ORDER BY user_id, valid_from""",
+
+    // i9's history CTE joined to purchase facts on the key, interval
+    // test as a filter
+    "i10_scd2_lookup" ->
+      """WITH ch AS (
+           SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+                  lag(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS prev_type
+           FROM events),
+         f AS (
+           SELECT user_id, event_type, us, event_id FROM ch
+           WHERE prev_type IS NULL OR event_type <> prev_type),
+         hist AS (
+           SELECT user_id, event_type AS state, us AS valid_from,
+                  coalesce(lead(us, 1) OVER w - 1, -1) AS valid_to,
+                  CAST(lead(us, 1) OVER w IS NULL AS INT) AS is_current
+           FROM f WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         SELECT e.event_id AS purchase_id, e.user_id, h.state,
+                h.valid_from, h.is_current
+         FROM events e JOIN hist h ON e.user_id = h.user_id
+         WHERE e.event_type = 'purchase'
+           AND h.valid_from <= epoch_us(e.ts)
+           AND (h.valid_to = -1 OR epoch_us(e.ts) <= h.valid_to)
+         ORDER BY purchase_id""",
 
     "i8_snapshot_diff" ->
       """WITH old AS (

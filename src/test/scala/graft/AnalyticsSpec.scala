@@ -82,6 +82,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.filter(col("p50") > col("p95")).count() == 0)
   }
 
+  test("i10: every purchase matches exactly one SCD2 version, state agrees " +
+    "with the event log") {
+    val purchases = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val r = run("i10_scd2_lookup")
+    // exactly one version per fact: row count equals purchase count and
+    // purchase_id is unique
+    assert(r.count() == purchases.count())
+    assert(r.select("purchase_id").distinct().count() == r.count())
+    // a purchase event is itself a state change or continuation: at the
+    // purchase instant the valid version's state must be 'purchase'
+    assert(r.filter(col("state") =!= "purchase").count() == 0)
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)
