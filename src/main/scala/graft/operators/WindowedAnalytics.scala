@@ -167,6 +167,29 @@ object WindowedAnalytics {
     // shuffled data is user×week-sized, never event-sized.
     "e8_retention" -> ((s, d) => retentionOf(events(s, d))),
 
+    // E10: metric-drift monitor — IS a weekly metric trending, and is the
+    // trend real? Per event_type, the least-squares slope and R² of the
+    // weekly mean over the week index, via the declarative regression
+    // aggregates (regr_slope/regr_r2 — moment sums, partial-aggregable,
+    // fully distributed). Two-level aggregate: the event-volume pass
+    // reduces to types×weeks rows; the regression runs over that frame.
+    // Weekly means fold as exact integer cents (avg2) so both engines
+    // regress over bit-identical inputs — a float avg() here actually
+    // flipped a round-half boundary (50.19125) between DuckDB runs
+    // depending on parallel summation order.
+    "e10_drift" -> ((s, d) => {
+      val wk = events(s, d)
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
+        .agg(avg2(col("value")).as("v"))
+      wk.groupBy("event_type")
+        .agg(count(lit(1)).as("n_weeks"),
+          round4(expr("regr_slope(v, unix_micros(wk) / 604800000000.0)"))
+            .as("slope"),
+          round4(expr("regr_r2(v, unix_micros(wk) / 604800000000.0)"))
+            .as("r2"))
+        .orderBy("event_type")
+    }),
+
     // E7b: time-bounded funnel — the production form of E7: each stage
     // must land STRICTLY after the previous stage's first reach AND within
     // the attribution window (7 days here). An unbounded funnel credits
@@ -429,6 +452,21 @@ object WindowedAnalytics {
                  ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.95)")} AS p95
           FROM events GROUP BY wk, event_type
           ORDER BY wk, event_type""",
+
+    // weekly means fold as exact integer cents (sqlAvg2) BEFORE the
+    // regression so both engines regress over bit-identical inputs; x is
+    // exact epoch-µs week indexes (integers < 2^53, exact in double)
+    "e10_drift" ->
+      s"""WITH wk AS (
+            SELECT event_type, date_trunc('week', ts) AS wk,
+                   ${graft.functions.ExactNum.sqlAvg2("value")} AS v
+            FROM events GROUP BY event_type, wk)
+          SELECT event_type, count(*) AS n_weeks,
+                 ${graft.functions.ExactNum.sqlRound4(
+                   "regr_slope(v, epoch_us(wk)/604800000000.0)")} AS slope,
+                 ${graft.functions.ExactNum.sqlRound4(
+                   "regr_r2(v, epoch_us(wk)/604800000000.0)")} AS r2
+          FROM wk GROUP BY event_type ORDER BY event_type""",
 
     // same shape: distinct user-weeks, per-user min window for the cohort,
     // count per (cohort, offset); date_trunc('week') is Monday-start in

@@ -96,6 +96,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.filter(col("state") =!= "purchase").count() == 0)
   }
 
+  test("e10: one drift row per event type, r2 in [0,1], slope matches a " +
+    "local least-squares fit") {
+    val r = run("e10_drift").collect()
+    assert(r.length == 5 && r.forall(_.getLong(1) >= 2))
+    assert(r.forall(x => x.getDouble(3) >= 0.0 && x.getDouble(3) <= 1.0))
+    // recompute one type's slope sequentially from the same weekly frame
+    val wk = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(avg(col("value")).as("v"))
+      .collect().map(x => (x.getTimestamp(0).getTime / 1000.0 / 604800.0,
+        math.round(x.getDouble(1) * 1e4) / 1e4))
+    val (mx, my) = (wk.map(_._1).sum / wk.length, wk.map(_._2).sum / wk.length)
+    val slope = wk.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      wk.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val got = r.find(_.getString(0) == "click").get.getDouble(2)
+    assert(math.abs(got - slope) < 1e-3, s"slope $got vs local $slope")
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)
