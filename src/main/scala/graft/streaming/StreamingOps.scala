@@ -33,6 +33,25 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("win_start"), col("n"))
 
+  /** E9 stream form: weekly exact p50/p95 per event type over
+    * Monday-aligned tumbling windows — `window(…, "7 days")` anchors at the
+    * epoch (a Thursday), so the 96-hour startTime offset shifts window
+    * starts onto Mondays, making `w.start` coincide exactly with the batch
+    * twin's `date_trunc('week', ts)`. Exact percentile state is the
+    * window's value-count map — bounded by per-window distinct values, the
+    * same trade the batch form documents; the sketch form is the drop-in
+    * for unbounded metric domains. */
+  def weeklyValueQuantiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "7 days", "7 days", "96 hours").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ExactNum.round4(expr("percentile(value, 0.5)")).as("p50"),
+        graft.functions.ExactNum.round4(expr("percentile(value, 0.95)")).as("p95"))
+      .select(col("w.start").as("wk"), col("event_type"),
+        col("n"), col("p50"), col("p95"))
+
   /** I3 stream form: native session windows (30-minute gap) per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -410,6 +410,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(store(2L) == ((6L, "purchase"))) // user 2 latest = event 6
   }
 
+  test("stream weekly quantiles over the real feed equal the graded e9 twin") {
+    // Monday-aligned tumbling windows must reproduce the batch
+    // date_trunc('week') frame exactly — same week starts, same counts,
+    // same exact percentiles.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq
+    val mem = MemoryStream[Ev]
+    mem.addData(feed: _*)
+    val q = StreamingOps.weeklyValueQuantiles(mem.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("wkq").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+    val streamed = spark.table("wkq")
+      .select("wk", "event_type", "n", "p50", "p95")
+      .collect().map(key).sorted.toSeq
+    val batch = SparkEntry.queries("e9_latency_trend")(spark, sf)
+      .select("wk", "event_type", "n", "p50", "p95")
+      .collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("retention delta log sums to the batch matrix under time-reversed arrival") {
     // adversarial arrival: feed the REAL sf0.001 events newest-first across
     // three micro-batches, so nearly every user's true cohort week arrives
