@@ -173,20 +173,47 @@ object WindowedAnalytics {
     // aggregates (regr_slope/regr_r2 — moment sums, partial-aggregable,
     // fully distributed). Two-level aggregate: the event-volume pass
     // reduces to types×weeks rows; the regression runs over that frame.
-    // Weekly means fold as exact integer cents (avg2) so both engines
-    // regress over bit-identical inputs — a float avg() here actually
-    // flipped a round-half boundary (50.19125) between DuckDB runs
-    // depending on parallel summation order.
+    // The regression runs ENTIRELY in integer arithmetic until one final
+    // division: weekly means quantize to 1e-4 ticks (exact cents sums —
+    // a float avg() flipped a round-half boundary between DuckDB runs
+    // under parallel summation), x is the integer week index, and the
+    // moment sums n·Σxy−ΣxΣy / n·Σx²−(Σx)² stay longs. That matters
+    // because the slope is then an EXACT small-denominator rational
+    // (denx = n²(n²−1)/12 — 50 for five weeks), which lands exactly ON
+    // round-half ties (sf0.1's purchase slope was 163525/5e5 = 0.32705),
+    // where Spark's decimal-string rounding and DuckDB's binary rounding
+    // legitimately disagree by the tie direction. So the slope's rounding
+    // is integer too: half-away-from-zero via positive-operand integer
+    // division, identical in both engines, emitted as exact micro-units.
+    // R² keeps the double round4 — its denominator is a messy data-sized
+    // integer, so a grid tie there is measure-zero rather than structural.
     "e10_drift" -> ((s, d) => {
+      val weekUs = 604800000000L
       val wk = events(s, d)
-        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wk"))
-        .agg(avg2(col("value")).as("v"))
+        .groupBy(col("event_type"), date_trunc("week", col("ts")).as("wkts"))
+        .agg(sum(cents(col("value"))).as("cs"), count(lit(1)).as("cn"))
+        .withColumn("t", round(col("cs") / 100.0 / col("cn") * 1e4).cast("long"))
+        .withColumn("x", ((unix_micros(col("wkts")) -
+          min(unix_micros(col("wkts")))
+            .over(Window.partitionBy("event_type"))) / weekUs).cast("long"))
       wk.groupBy("event_type")
         .agg(count(lit(1)).as("n_weeks"),
-          round4(expr("regr_slope(v, unix_micros(wk) / 604800000000.0)"))
-            .as("slope"),
-          round4(expr("regr_r2(v, unix_micros(wk) / 604800000000.0)"))
-            .as("r2"))
+          sum(col("x")).as("sx"), sum(col("t")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("t")).as("sxy"),
+          sum(col("t") * col("t")).as("syy"))
+        .select(col("event_type"), col("n_weeks"),
+          expr("n_weeks*sxy - sx*sy").as("num"),
+          expr("n_weeks*sxx - sx*sx").as("denx"),
+          expr("n_weeks*syy - sy*sy").as("deny"))
+        .select(col("event_type"), col("n_weeks"),
+          // slope in 1e-6 value-units/week: round(100*num/denx) half-away
+          expr("""CASE WHEN num >= 0
+                       THEN (200*num + denx) div (2*denx)
+                       ELSE -((200*(-num) + denx) div (2*denx)) END""")
+            .as("slope_micro"),
+          round4(col("num") * col("num") /
+            expr("nullif(denx*deny, 0)")).as("r2"))
         .orderBy("event_type")
     }),
 
@@ -453,20 +480,41 @@ object WindowedAnalytics {
           FROM events GROUP BY wk, event_type
           ORDER BY wk, event_type""",
 
-    // weekly means fold as exact integer cents (sqlAvg2) BEFORE the
-    // regression so both engines regress over bit-identical inputs; x is
-    // exact epoch-µs week indexes (integers < 2^53, exact in double)
+    // identical integer pipeline: tick-quantized weekly means, integer
+    // week index, long moment sums, and the slope rounded with
+    // positive-operand integer division (// here, div in Spark — equal
+    // on positive operands); one double division each for t and r2
     "e10_drift" ->
-      s"""WITH wk AS (
-            SELECT event_type, date_trunc('week', ts) AS wk,
-                   ${graft.functions.ExactNum.sqlAvg2("value")} AS v
-            FROM events GROUP BY event_type, wk)
-          SELECT event_type, count(*) AS n_weeks,
+      s"""WITH wk0 AS (
+            SELECT event_type, date_trunc('week', ts) AS wkts,
+                   sum(CAST(round(value*100) AS BIGINT)) AS cs,
+                   count(*) AS cn
+            FROM events GROUP BY event_type, wkts),
+          wk AS (
+            SELECT event_type,
+                   CAST(round((cs/100.0/cn)*10000) AS BIGINT) AS t,
+                   (epoch_us(wkts) - min(epoch_us(wkts))
+                     OVER (PARTITION BY event_type)) // 604800000000 AS x
+            FROM wk0),
+          m AS (
+            SELECT event_type, count(*) AS n_weeks,
+                   sum(x) AS sx, sum(t) AS sy, sum(x*x) AS sxx,
+                   sum(x*t) AS sxy, sum(t*t) AS syy
+            FROM wk GROUP BY event_type),
+          d AS (
+            SELECT event_type, n_weeks,
+                   n_weeks*sxy - sx*sy AS num,
+                   n_weeks*sxx - sx*sx AS denx,
+                   n_weeks*syy - sy*sy AS deny
+            FROM m)
+          SELECT event_type, n_weeks,
+                 CAST(CASE WHEN num >= 0
+                      THEN (200*num + denx) // (2*denx)
+                      ELSE -((200*(-num) + denx) // (2*denx)) END
+                   AS BIGINT) AS slope_micro,
                  ${graft.functions.ExactNum.sqlRound4(
-                   "regr_slope(v, epoch_us(wk)/604800000000.0)")} AS slope,
-                 ${graft.functions.ExactNum.sqlRound4(
-                   "regr_r2(v, epoch_us(wk)/604800000000.0)")} AS r2
-          FROM wk GROUP BY event_type ORDER BY event_type""",
+                   "(num*num) / nullif(denx*deny, 0)")} AS r2
+          FROM d ORDER BY event_type""",
 
     // same shape: distinct user-weeks, per-user min window for the cohort,
     // count per (cohort, offset); date_trunc('week') is Monday-start in

@@ -111,7 +111,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val (mx, my) = (wk.map(_._1).sum / wk.length, wk.map(_._2).sum / wk.length)
     val slope = wk.map(p => (p._1 - mx) * (p._2 - my)).sum /
       wk.map(p => (p._1 - mx) * (p._1 - mx)).sum
-    val got = r.find(_.getString(0) == "click").get.getDouble(2)
+    val got = r.find(_.getString(0) == "click").get.getLong(2) / 1e6
     assert(math.abs(got - slope) < 1e-3, s"slope $got vs local $slope")
   }
 
