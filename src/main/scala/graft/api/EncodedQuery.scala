@@ -220,4 +220,33 @@ object EncodedQuery {
     }
     from.orderBy(col(pageKey)).limit(limit)
   }
+
+  /** The Aggregate API (`GET /api/now/stats/{table}`) emulation — the
+    * reference's OTHER query surface beside the Table API:
+    * `sysparm_query` compiles through the same encoded-query predicate,
+    * and `sysparm_group_by` / `sysparm_count` / `sysparm_sum_fields` /
+    * `sysparm_avg_fields` / `sysparm_min_fields` / `sysparm_max_fields`
+    * map to one grouped Catalyst aggregate (partial+final, map-side
+    * combine — one shuffle of group-count-sized partials at any scale).
+    * Measure fields are 2-decimal in the CMDB money model, so sums/avgs
+    * fold as exact integer cents (`ExactNum`) — associative and therefore
+    * identical under any partitioning or engine; min/max are exact by
+    * nature. Column naming mirrors the API's response structure
+    * (`count`, `sum_<f>`, `avg_<f>`, …) flattened to columns. */
+  def statsApi(df: DataFrame, q: String = "", groupBy: Seq[String] = Nil,
+      countRecords: Boolean = true, sumFields: Seq[String] = Nil,
+      avgFields: Seq[String] = Nil, minFields: Seq[String] = Nil,
+      maxFields: Seq[String] = Nil): DataFrame = {
+    import graft.functions.ExactNum.{sum2, avg2}
+    val filtered = if (q.isEmpty) df else df.filter(toPredicate(df, q))
+    val aggs =
+      (if (countRecords) Seq(count(lit(1)).as("count")) else Nil) ++
+        sumFields.map(f => sum2(col(f)).as(s"sum_$f")) ++
+        avgFields.map(f => avg2(col(f)).as(s"avg_$f")) ++
+        minFields.map(f => min(col(f)).as(s"min_$f")) ++
+        maxFields.map(f => max(col(f)).as(s"max_$f"))
+    require(aggs.nonEmpty, "statsApi needs at least one aggregate")
+    if (groupBy.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+    else filtered.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

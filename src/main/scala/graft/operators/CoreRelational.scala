@@ -228,6 +228,19 @@ object CoreRelational {
         offset = 100, limit = 50)
         .orderBy("o_orderkey")),
 
+    // B11: the Aggregate API (/api/now/stats) — the reference's second
+    // query surface: encoded-query filter + group_by + count/sum/avg/
+    // min/max, compiled to ONE grouped partial+final aggregate.
+    "b11_stats_api" -> ((s, d) =>
+      graft.api.EncodedQuery.statsApi(
+        orders(s, d),
+        q = "o_orderstatus=O",
+        groupBy = Seq("o_orderpriority"),
+        countRecords = true,
+        sumFields = Seq("o_totalprice"), avgFields = Seq("o_totalprice"),
+        minFields = Seq("o_totalprice"), maxFields = Seq("o_totalprice"))
+        .orderBy("o_orderpriority")),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -838,6 +851,17 @@ object CoreRelational {
          WHERE o_orderstatus = 'O' AND o_totalprice > 50000
          ORDER BY o_orderkey
          LIMIT 50 OFFSET 100""",
+
+    // the Aggregate API mirror: one grouped aggregate, money measures
+    // through the exact cents kernels
+    "b11_stats_api" ->
+      s"""SELECT o_orderpriority, count(*) AS "count",
+                 ${sqlSum2("o_totalprice")} AS sum_o_totalprice,
+                 ${sqlAvg2("o_totalprice")} AS avg_o_totalprice,
+                 min(o_totalprice) AS min_o_totalprice,
+                 max(o_totalprice) AS max_o_totalprice
+          FROM orders WHERE o_orderstatus = 'O'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // K1: DuckDB's nfc_normalize is the same Unicode NFC algorithm
     // (utf8proc) as java.text.Normalizer — byte-identical outputs. chr(769)

@@ -171,4 +171,28 @@ class EncodedQuerySpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") &&
       plan.contains("IsNotNull(o_orderstatus)"))
   }
+
+  test("statsApi: encoded filter + group_by + aggregates mirror the " +
+    "Aggregate API; groupless form returns one row") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val grouped = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_orderpriority"),
+      sumFields = Seq("o_totalprice"))
+    val direct = orders.filter(col("o_orderstatus") === "O")
+    // per-group counts sum to the filtered total; sum matches the exact
+    // cents fold computed directly
+    assert(grouped.agg(sum("count")).head().getLong(0) == direct.count())
+    val apiSum = grouped.agg(sum("sum_o_totalprice")).head().getDouble(0)
+    val directSum = direct
+      .agg(sum(graft.functions.ExactNum.cents(col("o_totalprice"))))
+      .head().getLong(0) / 100.0
+    assert(math.abs(apiSum - directSum) < 1e-6)
+    // groupless: a single summary row, like the API without group_by
+    val one = graft.api.EncodedQuery.statsApi(orders,
+      minFields = Seq("o_totalprice"), maxFields = Seq("o_totalprice"))
+    assert(one.count() == 1)
+    assert(one.columns.toSeq ==
+      Seq("count", "min_o_totalprice", "max_o_totalprice"))
+  }
 }
