@@ -340,27 +340,47 @@ object CoreRelational {
     // distinct supplier sets (orderkey-partitioned self-join, Σ|order|²
     // bounded by order width), co-count agg, per-supplier top-5 window,
     // symmetrize + canonicalize, [[GraphOps.triangleCounts]].
-    "gr_knn_triangles" -> ((s, d) => {
-      val co = lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-        .distinct()
-      val pairs = co.alias("x")
-        .join(co.select(col("ok").as("ok2"), col("sk").as("sk2")).alias("y"),
-          col("ok") === col("ok2") && col("sk") < col("sk2"))
-        .groupBy(col("sk").as("sa"), col("sk2").as("sb"))
-        .agg(count(lit(1)).as("cnt"))
-      val dir = pairs.select(col("sa").as("s"), col("sb").as("p"), col("cnt"))
-        .union(pairs.select(col("sb").as("s"), col("sa").as("p"), col("cnt")))
-      val w = Window.partitionBy("s").orderBy(col("cnt").desc, col("p").asc)
-      val knn = dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
-      // the triangle join references the edge list THREE times (ab/bc/ac
-      // sides) — materialize it once or the whole co-supply pipeline
-      // (scan → distinct → self-join → agg → window) re-executes per side
-      val e = graft.CacheRegistry.materialize(
-        knn.select(least(col("s"), col("p")).as("src"),
-          greatest(col("s"), col("p")).as("dst")).distinct())
-      GraphOps.triangleCounts(e)
+    "gr_knn_triangles" -> ((s, d) =>
+      GraphOps.triangleCounts(knnEdges(s, d))
         .select(col("id").as("s_suppkey"), col("n_triangles"))
+        .orderBy("s_suppkey")),
+
+    // GR2: fixed-point PageRank over the same kNN graph — "which suppliers
+    // sit at the CENTER of the co-supply network", the influence measure
+    // triangle counts (local cohesion) can't give. Three damped power-
+    // iteration rounds, entirely in scaled-integer arithmetic: rank is in
+    // 1e-6 units (start 1_000_000), a node's per-neighbor contribution is
+    // `pr div deg` (truncating integer division — identical in Spark and
+    // DuckDB for the all-positive operands here), and damping 0.85 is
+    // `(85*sum) div 100`. Float PageRank could never hash-match across
+    // engines (summation order); the integer fixed-point version is
+    // bit-deterministic under ANY partitioning, which is also what makes
+    // it restartable mid-iteration at scale. Each round is one equi-join
+    // (rank ⋈ edges on the source vertex, both sides hash-partitioned on
+    // the key) + one hash aggregate on the destination — the degree-≤5
+    // construction bounds the join fan-out at 5 rows per vertex, so a
+    // round is O(|V|) shuffled rows no matter the corpus size. Rounds are
+    // materialized so the unrolled 3-round Catalyst tree doesn't
+    // re-execute its prefix per round (the components-fixpoint lineage
+    // discipline).
+    "gr_pagerank" -> ((s, d) => {
+      val e = knnEdges(s, d)
+      // symmetrize: the canonical src<dst edge both ways, so every vertex
+      // both emits and receives; deg = out-degree (≥1, ≤5 by construction)
+      val ed = graft.CacheRegistry.materialize(
+        e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst").as("u"), col("src").as("v"))))
+      val deg = ed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+      var pr = deg.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val next = ed
+          .join(pr.withColumn("c", expr("pr div deg")), col("u") === col("id"))
+          .groupBy(col("v").as("vid"))
+          .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr"))
+        pr = graft.CacheRegistry.materialize(
+          deg.join(next, col("id") === col("vid")).drop("vid"))
+      }
+      pr.select(col("id").as("s_suppkey"), col("pr").as("pr_fixed"))
         .orderBy("s_suppkey")
     }),
 
@@ -575,8 +595,64 @@ object CoreRelational {
         .union(prof("l_returnflag"))
         .union(prof("l_shipdate"))
         .orderBy("col_name")
-    })
+    }),
+
+    // D12: skew-salted two-phase aggregation — the hot-key survival plan
+    // as a GRADED query rather than prose. A 100 TB groupBy on a skewed
+    // key (one supplier carrying a third of all rows) dies on the single
+    // reducer that owns the hot key; the salted form shards every key 16
+    // ways on a hash of the row's own primary key (deterministic — never
+    // rand(), which breaks retry/oracle stability), partially aggregates
+    // per (key, shard) so no reducer ever sees more than ~1/16 of the hot
+    // key, then merges the ≤16 shard rows per key in a second, trivially
+    // small aggregate. Legal because every measure is a sum/count over
+    // exact integer cents: associative + commutative, so shard-then-merge
+    // IS the plain groupBy — which is exactly what the oracle runs.
+    "d12_salted_agg" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_suppkey"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)).as("shard"))
+        .agg(sum(cents(col("l_quantity"))).as("q"),
+          sum(cents(col("l_extendedprice"))).as("p"),
+          count(lit(1)).as("n"))
+        .groupBy("l_suppkey")
+        .agg((sum(col("q")) / 100.0).as("sum_qty"),
+          (sum(col("p")) / 100.0).as("sum_price"),
+          sum(col("n")).as("n_items"))
+        .orderBy("l_suppkey"))
   )
+
+  /** The kNN co-supply edge set shared by `gr_knn_triangles` and
+    * `gr_pagerank`: per-order distinct supplier sets (orderkey-partitioned
+    * self-join, Σ|order|² bounded by order width) → co-count aggregate →
+    * per-supplier top-5 window → symmetrize + canonicalize to src<dst.
+    * Built once per (session, dir), materialized (the triangle join alone
+    * references it three times), and shared across the graded consumers —
+    * recomputing the most expensive graph build per consumer would double
+    * its cost for no reason. Cleared with the cache registry (the memo
+    * must not outlive the cached frames it points at). */
+  private val knnEdgesMemo =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => knnEdgesMemo.clear())
+
+  private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    knnEdgesMemo.getOrElseUpdate((s, d), {
+      val co = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = co.alias("x")
+        .join(co.select(col("ok").as("ok2"), col("sk").as("sk2")).alias("y"),
+          col("ok") === col("ok2") && col("sk") < col("sk2"))
+        .groupBy(col("sk").as("sa"), col("sk2").as("sb"))
+        .agg(count(lit(1)).as("cnt"))
+      val dir = pairs.select(col("sa").as("s"), col("sb").as("p"), col("cnt"))
+        .union(pairs.select(col("sb").as("s"), col("sa").as("p"), col("cnt")))
+      val w = Window.partitionBy("s").orderBy(col("cnt").desc, col("p").asc)
+      val knn = dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      graft.CacheRegistry.materialize(
+        knn.select(least(col("s"), col("p")).as("src"),
+          greatest(col("s"), col("p")).as("dst")).distinct())
+    })
 
   /** One FK-edge audit row for `c11_ref_integrity`: child rows whose key
     * joins no parent (LEFT ANTI — a null key matches nothing and counts as
@@ -762,6 +838,48 @@ object CoreRelational {
                 UNION ALL SELECT c FROM tri)
           GROUP BY id ORDER BY s_suppkey""",
 
+    // same knn edge CTE; then three damped power-iteration rounds in the
+    // identical scaled-integer arithmetic (`//` = Spark's `div` for the
+    // all-positive operands here)
+    "gr_pagerank" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          ed AS (SELECT src AS u, dst AS v FROM e
+                 UNION ALL SELECT dst, src FROM e),
+          deg AS (SELECT u AS id, count(*) AS deg FROM ed GROUP BY 1),
+          pr0 AS (SELECT id, deg, CAST(1000000 AS BIGINT) AS pr FROM deg),
+          pr1 AS (SELECT deg.id, deg.deg,
+                         CAST(150000 + (85 * sum(pr0.pr // pr0.deg)) // 100
+                              AS BIGINT) AS pr
+                  FROM ed JOIN pr0 ON ed.u = pr0.id
+                          JOIN deg ON ed.v = deg.id
+                  GROUP BY 1, 2),
+          pr2 AS (SELECT deg.id, deg.deg,
+                         CAST(150000 + (85 * sum(pr1.pr // pr1.deg)) // 100
+                              AS BIGINT) AS pr
+                  FROM ed JOIN pr1 ON ed.u = pr1.id
+                          JOIN deg ON ed.v = deg.id
+                  GROUP BY 1, 2),
+          pr3 AS (SELECT deg.id, deg.deg,
+                         CAST(150000 + (85 * sum(pr2.pr // pr2.deg)) // 100
+                              AS BIGINT) AS pr
+                  FROM ed JOIN pr2 ON ed.u = pr2.id
+                          JOIN deg ON ed.v = deg.id
+                  GROUP BY 1, 2)
+          SELECT id AS s_suppkey, pr AS pr_fixed
+          FROM pr3 ORDER BY s_suppkey""",
+
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
                  ${sqlSum2("l_quantity")} AS sum_qty,
@@ -931,6 +1049,15 @@ object CoreRelational {
                   CAST(count(DISTINCT l_shipdate) AS BIGINT),
                   CAST(min(l_shipdate) AS VARCHAR),
                   CAST(max(l_shipdate) AS VARCHAR) FROM lineitem)
-         ORDER BY col_name"""
+         ORDER BY col_name""",
+
+    // the PLAIN groupBy — the whole point: shard-then-merge over
+    // associative integer sums is semantically invisible
+    "d12_salted_agg" ->
+      s"""SELECT l_suppkey,
+                 ${sqlSum2("l_quantity")} AS sum_qty,
+                 ${sqlSum2("l_extendedprice")} AS sum_price,
+                 count(*) AS n_items
+          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
   )
 }

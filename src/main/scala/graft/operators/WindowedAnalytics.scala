@@ -217,6 +217,33 @@ object WindowedAnalytics {
         .orderBy("event_type")
     }),
 
+    // E11: gaps-and-islands — collapse each user's event stream into
+    // activity islands separated by >30-minute silences: the batch
+    // sessionization primitive (the streaming twin is session_window —
+    // same 30-min gap rule). The classic two-window shape: one partitioned
+    // pass marks gap-breaks (lag), a running sum over the same window
+    // ordering numbers the islands, then one hash aggregate folds each
+    // island to its span. Everything is partitioned by user_id — both the
+    // windows and the final groupBy shuffle on the same key, so AQE plans
+    // one exchange and no global sort exists anywhere. The gap test runs
+    // on integer microseconds (both engines read the ns parquet column
+    // truncated to µs — Tables.events), so break placement is exact.
+    "e11_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          (col("prev").isNull || col("us") - col("prev") > 1800000000L).cast("int"))
+        .withColumn("island",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg(min(col("ts")).as("island_start"),
+          max(col("ts")).as("island_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "island")
+    }),
+
     // E7b: time-bounded funnel — the production form of E7: each stage
     // must land STRICTLY after the previous stage's first reach AND within
     // the attribution window (7 days here). An unbounded funnel credits
@@ -444,6 +471,30 @@ object WindowedAnalytics {
          FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
                 LEFT JOIN p USING (user_id)
          ORDER BY user_id""",
+
+    // identical lag → running-sum → fold shape on µs integers
+    "e11_islands" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts,
+                  lag(epoch_us(ts)) OVER w AS prev,
+                  epoch_us(ts) AS us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, event_id, ts,
+                  CAST(prev IS NULL OR us - prev > 1800000000 AS INT) AS brk
+           FROM g),
+         i AS (
+           SELECT user_id, ts,
+                  CAST(sum(brk) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           FROM b)
+         SELECT user_id, island,
+                min(ts) AS island_start, max(ts) AS island_end,
+                count(*) AS n_events
+         FROM i GROUP BY 1, 2
+         ORDER BY user_id, island""",
 
     // e7's ladder with the 7-day attribution bound on each rung
     "e7b_funnel_window" ->

@@ -115,6 +115,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got - slope) < 1e-3, s"slope $got vs local $slope")
   }
 
+  test("e11: islands partition the events and respect the 30-min gap rule") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val r = run("e11_islands")
+    // partition: every event lands in exactly one island
+    assert(r.agg(sum("n_events")).head.getLong(0) == ev.count())
+    // islands are numbered 1..k per user with no holes
+    val bad = r.groupBy("user_id")
+      .agg(count(lit(1)).as("k"), min("island").as("lo"), max("island").as("hi"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("k"))
+    assert(bad.count() == 0)
+    // inter-island silence: each island starts >30 min after the previous
+    // island's end (same user); intra-island spans contain no such gap by
+    // construction of the running-sum numbering, checked via the raw lag
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island")
+    val adjacent = r
+      .withColumn("prev_end", lag(col("island_end"), 1).over(w))
+      .filter(col("prev_end").isNotNull)
+      .filter(unix_micros(col("island_start")) - unix_micros(col("prev_end"))
+        <= 1800000000L)
+    assert(adjacent.count() == 0)
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)

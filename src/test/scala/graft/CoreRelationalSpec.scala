@@ -158,6 +158,41 @@ class CoreRelationalSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("gr_pagerank: matches a sequential integer power-iteration model") {
+    import org.apache.spark.sql.functions.col
+    val edges = graft.operators.CoreRelational.knnEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same arithmetic, driver-side: symmetrize, deg, 3 damped rounds of
+    // truncating integer division — the distributed result must be EXACTLY
+    // this (integer ops are partitioning-invariant, that's the design)
+    val ed = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = ed.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    var pr = deg.map { case (k, _) => (k, 1000000L) }
+    for (_ <- 1 to 3) {
+      val contrib = ed.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => pr(u) / deg(u) }.sum
+      }
+      pr = contrib.map { case (v, s) => v -> (150000L + 85L * s / 100L) }
+    }
+    val got = run("gr_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == pr)
+    // sanity: damped mass stays within (0.15, 1.0]×|V| of the start mass
+    val mass = got.values.sum
+    assert(mass > 150000L * got.size && mass <= 1000000L * got.size)
+  }
+
+  test("d12: salted shard-then-merge equals the plain groupBy exactly") {
+    import org.apache.spark.sql.functions._
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey")
+      .agg((sum(graft.functions.ExactNum.cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(graft.functions.ExactNum.cents(col("l_extendedprice"))) / 100.0).as("sum_price"),
+        count(lit(1)).as("n_items"))
+    assert(run("d12_salted_agg").except(plain).count() == 0)
+    assert(plain.except(run("d12_salted_agg")).count() == 0)
+  }
+
   test("events reader yields microsecond TimestampType despite nanos parquet") {
     val df = graft.sources.Tables.events(spark, sf)
     assert(df.schema("ts").dataType ==

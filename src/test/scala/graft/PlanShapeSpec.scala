@@ -78,7 +78,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // both sides — broadcasting an edge list would be wrong at scale),
       // and the per-order supplier pairing is a data×data self equi join
       // on the order pk
-      "gr_knn_triangles")
+      "gr_knn_triangles",
+      // each power-iteration round is rank ⋈ edges — BOTH sides are
+      // vertex/edge-set-sized (and co-keyed on the vertex id), so the
+      // shuffle equi-join IS the scale plan; broadcasting a 100 TB
+      // corpus's edge list would be wrong. Locally the cached frames are
+      // tiny and sometimes broadcast anyway — both shapes are legitimate.
+      "gr_pagerank")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
