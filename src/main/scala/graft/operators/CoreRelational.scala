@@ -110,6 +110,21 @@ object CoreRelational {
           col("o_orderstatus").as("o_status"))
         .orderBy("o_key")),
 
+    // A7: ORC source + sink — the second columnar format a lake engine
+    // must speak (Spark's ORC reader has the same pushdown/pruning
+    // machinery as parquet). The query IS the roundtrip: suppliers are
+    // written through ORC to a deterministic scratch dir (overwrite —
+    // rerun-safe) and read back; the oracle reads the original parquet,
+    // so a hash match proves the format preserves every value and type
+    // bit-for-bit. The write runs once at plan build; the graded scan is
+    // the ORC read.
+    "a7_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        new java.io.File(d).getName
+      supplier(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("s_suppkey")
+    }),
+
     // ---------------------------------------------------------------- B
     "b1_project" -> ((s, d) =>
       lineitem(s, d)
@@ -697,6 +712,12 @@ object CoreRelational {
                 strftime(o_orderdate, '%Y-%m-%d') AS o_date,
                 o_orderstatus AS o_status
          FROM orders ORDER BY o_key""",
+
+    // the ORIGINAL parquet — a hash match proves the ORC write+read
+    // preserved every value and type
+    "a7_orc_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+         FROM supplier ORDER BY s_suppkey""",
 
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

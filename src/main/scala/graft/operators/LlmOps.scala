@@ -1000,7 +1000,7 @@ object LlmOps {
       regexp_count(col("text"), lit(RedactPattern)).cast("long").as("n_hits"),
       md5(regexp_replace(col("text"), RedactPattern, "[X]")).as("red_md5"))
 
-  private val toksSql = "string_split(text, ' ')"
+  private[operators] val toksSql = "string_split(text, ' ')"
 
   /** DuckDB CTE chain ending in `pairs(doc_a, doc_b, jac)` — the oracle
     * mirror of [[jaccardPairsOf]] at threshold `tau`, including the

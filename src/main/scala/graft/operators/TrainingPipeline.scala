@@ -334,6 +334,54 @@ object TrainingPipeline {
         .select(col("doc_id"), col("epoch").cast("int").as("epoch"),
           col("source"), col("pos"))
         .orderBy("doc_id", "epoch")
+    }),
+
+    // Token-budget-constrained selection — "the best docs that fit in N
+    // tokens": rank by quality, keep the greedy prefix whose cumulative
+    // token count stays within the budget (25% of corpus tokens here —
+    // derived from the data, never a constant, so the query scales with
+    // the sf dir). The naive plan is a running sum over the GLOBAL
+    // quality ordering — a single-partition window, dead at scale. This
+    // plan never builds a global ordering: the quality score is already
+    // grid-quantized (1e-4 ticks), so (a) a histogram aggregate per score
+    // tick (≤10⁴ rows at ANY corpus size) gets a running total over score
+    // ticks — a window over an aggregate-sized frame — giving each tick
+    // the tokens consumed by all strictly-better ticks, and (b) one
+    // window PARTITIONED by score tick (doc_id order) ranks docs within
+    // their tick. A doc's global cumulative = its tick's prefix + its
+    // within-tick running sum, reconstructed exactly without ever sorting
+    // the corpus; the budget filter is then row-local. The oracle runs
+    // the naive global running sum — same set by construction.
+    "tp_token_budget" -> ((s, d) => {
+      val t = documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          size(filter(col("tk"), x => x.isin("the", "a"))).cast("double") / col("n_tok"))
+        .withColumn("score_t", tenK(
+          lit(0.3) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
+        .select("doc_id", "score_t", "n_tok")
+      val budget = t.agg(expr("sum(n_tok) div 4").as("budget"))
+      // tokens consumed by strictly better score ticks: aggregate-sized
+      // frame (≤ 10⁴ distinct ticks no matter the corpus), so the
+      // unpartitioned ordered window is over histogram rows, never docs
+      val hist = t.groupBy("score_t").agg(sum(col("n_tok")).as("btok"))
+        .withColumn("prefix", coalesce(
+          sum(col("btok")).over(Window.orderBy(col("score_t").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("score_t", "prefix")
+      val wtick = Window.partitionBy("score_t").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("wcum", sum(col("n_tok")).over(wtick))
+        .join(broadcast(hist), "score_t")
+        .crossJoin(broadcast(budget))
+        .withColumn("cum_tok", col("prefix") + col("wcum"))
+        .filter(col("cum_tok") <= col("budget"))
+        .select("doc_id", "score_t", "n_tok", "cum_tok")
+        .orderBy("doc_id")
     }))
 
   /** pp_end_to_end: the whole corpus-prep pipeline composed as ONE lazy
@@ -584,5 +632,30 @@ object TrainingPipeline {
                                       WHEN source = 'src1' THEN 2
                                       ELSE 1 END + 1)) AS epoch
                FROM documents)
-         ORDER BY doc_id, epoch""")
+         ORDER BY doc_id, epoch""",
+
+    // the naive form: ONE global running sum over the quality ordering —
+    // exactly the plan the Spark side avoids; same selected set proves the
+    // histogram-prefix reconstruction is the identical cumulative
+    "tp_token_budget" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   CAST(round((0.3*uniq_ratio + 0.4*(1.0 - stop_ratio)
+                               + 0.3*least(n_tok/100.0, 1.0))*10000) AS BIGINT)
+                     AS score_t,
+                   n_tok
+            FROM (
+              SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+                     CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS uniq_ratio,
+                     CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)
+                       /len(t) AS stop_ratio
+              FROM (SELECT doc_id, ${LlmOps.toksSql} AS t FROM documents))),
+          b AS (SELECT sum(n_tok) // 4 AS budget FROM t),
+          o AS (SELECT doc_id, score_t, n_tok,
+                       CAST(sum(n_tok) OVER (
+                         ORDER BY score_t DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+                FROM t)
+          SELECT doc_id, score_t, n_tok, cum_tok
+          FROM o, b WHERE cum_tok <= budget ORDER BY doc_id""")
 }

@@ -193,6 +193,14 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(plain.except(run("d12_salted_agg")).count() == 0)
   }
 
+  test("a7: ORC roundtrip preserves schema and every row") {
+    val orig = graft.sources.Tables.supplier(spark, sf)
+    val back = run("a7_orc_roundtrip")
+    assert(back.schema == orig.select(back.columns.map(
+      org.apache.spark.sql.functions.col): _*).schema)
+    assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
+  }
+
   test("events reader yields microsecond TimestampType despite nanos parquet") {
     val df = graft.sources.Tables.events(spark, sf)
     assert(df.schema("ts").dataType ==

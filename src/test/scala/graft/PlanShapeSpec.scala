@@ -38,7 +38,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // each FK edge cross-combines two single-row aggregates
       "c11_ref_integrity",
       // broadcasts the single-row decile-boundary aggregate
-      "pp_score_calibration")
+      "pp_score_calibration",
+      // cross-combines the single-row token-budget aggregate
+      "tp_token_budget")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a

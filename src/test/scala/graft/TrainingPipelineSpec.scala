@@ -180,6 +180,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(up.select("pos").distinct().count() == up.count())
   }
 
+  test("tp_token_budget: selection is the maximal greedy quality prefix " +
+    "within 25% of corpus tokens") {
+    val r = run("tp_token_budget").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    // recompute the naive model: global (score desc, doc_id) running sum
+    val all = SparkEntry.queries("ta_quality_score")(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.ExactNum.tenK(col("score")).as("st"), col("n_tokens"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2).toLong))
+    val budget = all.map(_._3).sum / 4
+    val ordered = all.sortBy { case (id, st, _) => (-st, id) }
+    val prefix = ordered.scanLeft(0L)(_ + _._3).tail.zip(ordered)
+      .takeWhile(_._1 <= budget).map { case (cum, (id, st, n)) => (id, st, n, cum) }
+    assert(r.sortBy(_._4).toSeq == prefix.toSeq)
+    // maximality: the next doc in quality order would blow the budget
+    if (prefix.length < ordered.length)
+      assert(prefix.map(_._3).sum + ordered(prefix.length)._3 > budget)
+  }
+
   test("tp_weighted_sample: exactly k rows, weight-biased, deterministic") {
     import org.apache.spark.sql.functions._
     val r = run("tp_weighted_sample")
