@@ -244,6 +244,40 @@ object WindowedAnalytics {
         .orderBy("user_id", "island")
     }),
 
+    // K5: typed cogroup — the API surface for "I need BOTH full groups at
+    // once": orders and events shuffled to the same key and handed to one
+    // function as two iterators, here counting how many of a customer's
+    // orders land inside the span of their event activity. Everything
+    // aggregable should stay in groupBy().agg() (map-side combine —
+    // cogroup shuffles raw rows); cogroup earns its shuffle only for
+    // per-key sequence logic like this interleave test, and per-key state
+    // stays bounded by the key's own group sizes (orders-per-customer /
+    // events-per-user, never corpus-sized). The oracle reproduces the
+    // same answer relationally (full-outer join of two aggregates) —
+    // proving the imperative per-key pass equals the declarative form.
+    "k5_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val ords = orders(s, d)
+        // o_orderdate is TIMESTAMP_NTZ in the parquet; the session runs
+        // UTC, so the cast pins the same instant DuckDB's epoch_us reads
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+        .as[(Long, Long)].groupByKey(_._1)
+      val evs = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("eus"))
+        .as[(Long, Long)].groupByKey(_._1)
+      ords.cogroup(evs) { (k, oi, ei) =>
+        val os = oi.map(_._2).toArray
+        val es = ei.map(_._2).toArray
+        val inSpan =
+          if (es.isEmpty) 0L
+          else { val lo = es.min; val hi = es.max
+            os.count(t => t >= lo && t <= hi).toLong }
+        Iterator((k, os.length.toLong, es.length.toLong, inSpan))
+      }.toDF("key", "n_orders", "n_events", "n_in_span")
+        .orderBy("key")
+    }),
+
     // E7b: time-bounded funnel — the production form of E7: each stage
     // must land STRICTLY after the previous stage's first reach AND within
     // the attribution window (7 days here). An unbounded funnel credits
@@ -495,6 +529,25 @@ object WindowedAnalytics {
                 count(*) AS n_events
          FROM i GROUP BY 1, 2
          ORDER BY user_id, island""",
+
+    // the declarative twin: full-outer join of two aggregates; the span
+    // count joins orders back against the event-span frame
+    "k5_cogroup" ->
+      """WITH o AS (SELECT o_custkey AS key, count(*) AS n_orders
+                    FROM orders GROUP BY 1),
+          e AS (SELECT user_id AS key, count(*) AS n_events,
+                       min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                FROM events GROUP BY 1),
+          s AS (SELECT e.key, count(*) AS n_in_span
+                FROM orders o2 JOIN e ON o2.o_custkey = e.key
+                WHERE epoch_us(o2.o_orderdate) BETWEEN e.lo AND e.hi
+                GROUP BY 1)
+          SELECT key,
+                 coalesce(o.n_orders, 0) AS n_orders,
+                 coalesce(e.n_events, 0) AS n_events,
+                 coalesce(s.n_in_span, 0) AS n_in_span
+          FROM o FULL JOIN e USING (key) LEFT JOIN s USING (key)
+          ORDER BY key""",
 
     // e7's ladder with the 7-day attribution bound on each rung
     "e7b_funnel_window" ->

@@ -138,6 +138,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(adjacent.count() == 0)
   }
 
+  test("k5: the imperative cogroup pass equals the relational full-outer twin") {
+    val r = run("k5_cogroup")
+    val o = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_orders"))
+    val e = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+    val spans = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_custkey").as("key"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ous"))
+      .join(e, Seq("key"))
+      .filter(col("ous").between(col("lo"), col("hi")))
+      .groupBy("key").agg(count(lit(1)).as("n_in_span"))
+    val twin = o.join(e.select("key", "n_events"), Seq("key"), "full")
+      .join(spans, Seq("key"), "left")
+      .select(col("key"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_in_span"), lit(0L)).as("n_in_span"))
+    assert(r.except(twin).count() == 0 && twin.except(r).count() == 0)
+  }
+
   test("c7: every nearby-count is positive and error ids are errors") {
     val out = run("c7_range_join")
     assert(out.filter(col("n_nearby") <= 0).count() == 0)
