@@ -399,6 +399,37 @@ object CoreRelational {
         .orderBy("s_suppkey")
     }),
 
+    // GR3: bounded-round k-core peel (k=2, 3 rounds) — "which vertices
+    // survive when the periphery is stripped": each round drops vertices
+    // whose degree WITHIN the surviving subgraph falls below k, the
+    // iterative-subgraph-refinement pattern (the bounded-k complement of
+    // the exact k-core fixpoint, same bounded-round discipline as the
+    // blast-radius BFS). A round is two semi joins (keep edges whose both
+    // endpoints survive — vertex-set-sized right sides, hash-partitioned
+    // at scale, never broadcast-mandatory) + one hash aggregate; survivor
+    // frames are materialized per round so the unrolled tree never
+    // re-executes earlier rounds. Output: survivors with their degree in
+    // the final surviving subgraph — all integers, hash-exact.
+    "gr_kcore" -> ((s, d) => {
+      val e = knnEdges(s, d)
+      val ed = graft.CacheRegistry.materialize(
+        e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst").as("u"), col("src").as("v"))))
+      def degreesAmong(alive: DataFrame): DataFrame = {
+        val kept = ed
+          .join(alive.select(col("id").as("au")), col("u") === col("au"), "left_semi")
+          .join(alive.select(col("id").as("av")), col("v") === col("av"), "left_semi")
+        kept.groupBy(col("u").as("id")).agg(count(lit(1)).as("dg"))
+      }
+      var alive = ed.select(col("u").as("id")).distinct()
+      for (_ <- 1 to 3)
+        alive = graft.CacheRegistry.materialize(
+          degreesAmong(alive).filter(col("dg") >= 2).select("id"))
+      degreesAmong(alive)
+        .select(col("id").as("s_suppkey"), col("dg").as("core_deg"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---------------------------------------------------------------- D
     // D1: the flagship pricing summary (TPC-H Q1 shape) — filter, derive,
     // partial+final hash aggregate, exact monetary sums.
@@ -900,6 +931,35 @@ object CoreRelational {
                   GROUP BY 1, 2)
           SELECT id AS s_suppkey, pr AS pr_fixed
           FROM pr3 ORDER BY s_suppkey""",
+
+    // same knn edge CTE; three unrolled peel rounds (k=2), then the final
+    // in-subgraph degree
+    "gr_kcore" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          ed AS (SELECT src AS u, dst AS v FROM e
+                 UNION ALL SELECT dst, src FROM e),
+          a1 AS (SELECT u AS id FROM ed GROUP BY 1 HAVING count(*) >= 2),
+          a2 AS (SELECT u AS id FROM ed
+                 WHERE u IN (SELECT id FROM a1) AND v IN (SELECT id FROM a1)
+                 GROUP BY 1 HAVING count(*) >= 2),
+          a3 AS (SELECT u AS id FROM ed
+                 WHERE u IN (SELECT id FROM a2) AND v IN (SELECT id FROM a2)
+                 GROUP BY 1 HAVING count(*) >= 2)
+          SELECT u AS s_suppkey, count(*) AS core_deg FROM ed
+          WHERE u IN (SELECT id FROM a3) AND v IN (SELECT id FROM a3)
+          GROUP BY 1 ORDER BY s_suppkey""",
 
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

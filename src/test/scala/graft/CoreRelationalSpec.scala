@@ -182,6 +182,25 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(mass > 150000L * got.size && mass <= 1000000L * got.size)
   }
 
+  test("gr_kcore: matches a sequential 3-round peel model") {
+    val edges = graft.operators.CoreRelational.knnEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ed = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    def degAmong(alive: Set[Long]): Map[Long, Long] =
+      ed.filter { case (u, v) => alive(u) && alive(v) }
+        .groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    var alive = ed.map(_._1).toSet
+    for (_ <- 1 to 3) alive = degAmong(alive).filter(_._2 >= 2).keySet
+    val model = degAmong(alive)
+    val got = run("gr_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == model)
+    // bounded rounds, not the fixpoint: survivors held degree >= 2 in the
+    // PREVIOUS round's subgraph; in the final one they can be thinner but
+    // never isolated (an edgeless survivor emits no degree row at all)
+    assert(got.values.forall(_ >= 1))
+  }
+
   test("d12: salted shard-then-merge equals the plain groupBy exactly") {
     import org.apache.spark.sql.functions._
     val plain = graft.sources.Tables.lineitem(spark, sf)
