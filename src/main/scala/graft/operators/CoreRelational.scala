@@ -423,8 +423,15 @@ object CoreRelational {
       }
       var alive = ed.select(col("u").as("id")).distinct()
       for (_ <- 1 to 3)
-        alive = graft.CacheRegistry.materialize(
-          degreesAmong(alive).filter(col("dg") >= 2).select("id"))
+        // lazy localCheckpoint, not persist: each round's survivor frame
+        // is referenced twice by the next round's semi joins, and a
+        // persist leaves the whole nested AQE lineage in the plan — every
+        // level then pays the full stage-orchestration depth of all
+        // levels below it (measured 3× cost per round). Truncating to an
+        // RDD leaf per round keeps the plan flat, exactly the components-
+        // fixpoint lineage discipline.
+        alive = degreesAmong(alive).filter(col("dg") >= 2).select("id")
+          .localCheckpoint(eager = false)
       degreesAmong(alive)
         .select(col("id").as("s_suppkey"), col("dg").as("core_deg"))
         .orderBy("s_suppkey")
