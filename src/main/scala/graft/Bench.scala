@@ -81,10 +81,22 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + num(v, 3) }
       .mkString("{\"sf\":\"" + new java.io.File(sfDir).getName + "\",\"queries\":{", ",", "}}")
     java.nio.file.Files.writeString(detailPath, detail)
-    val slow = results.toSeq.filter(_._2 >= 0.095).sortBy(_._1)
+    // The itemized map is BUDGETED, not threshold-only: at 140 queries the
+    // 0.095 s cutoff alone produced a 2047-char line — past the driver's
+    // 2000-char tail window. Itemize the slowest queries first (those are
+    // the ones worth comparing round-over-round) until ~1400 chars of map,
+    // and fold everything else into the count + sum summary.
+    val slowCandidates = results.toSeq.filter(_._2 >= 0.095).sortBy(-_._2)
+    val itemized = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var mapLen = 2
+    slowCandidates.foreach { case (k, v) =>
+      val entryLen = k.length + fmt(v).length + 4 // quotes + colon + comma
+      if (mapLen + entryLen <= 1400) { itemized += (k -> v); mapLen += entryLen }
+    }
+    val slow = itemized.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val fast = results.values.filter(v => v >= 0 && v < 0.095)
+    val fast = results.collect { case (k, v) if v >= 0 && !itemized.contains(k) => v }
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum + 1e6 * failed
     // "fail" appears only when nonzero — visible on regression, zero cost
