@@ -672,7 +672,39 @@ object CoreRelational {
         .agg((sum(col("q")) / 100.0).as("sum_qty"),
           (sum(col("p")) / 100.0).as("sum_price"),
           sum(col("n")).as("n_items"))
-        .orderBy("l_suppkey"))
+        .orderBy("l_suppkey")),
+
+    // C12: skew-salted shuffle JOIN — d12's hot-key discipline applied to
+    // the join itself, for the case where the dimension is too big to
+    // broadcast (at 100 TB a "dimension" can be billions of rows) and one
+    // fact key is hot enough to kill the reducer that owns it. The fact
+    // side salts each row into one of 16 shards keyed by a hash of the
+    // row's OWN primary key (deterministic — rand() would break retries
+    // and the oracle); the dim side replicates every row 16× (explode of
+    // a literal sequence — dim×16 rows, the standard trade: pay a bounded
+    // dim blow-up to split the hot key's rows across 16 reducers). The
+    // join then runs on (s_suppkey, salt), hinted shuffle_hash so the
+    // demonstration actually shuffles at test SF instead of broadcasting
+    // the 100-supplier side — at scale this is the shape AQE skew-join
+    // builds implicitly, expressed explicitly. Revenue folds as exact
+    // integer cents BEFORE the join (column pruning: the join carries one
+    // long, not two doubles), so shard-then-merge is invisible to the
+    // oracle's plain join+groupBy.
+    "c12_salted_join" -> ((s, d) => {
+      val shards = 16
+      val dim = supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(sequence(lit(0), lit(shards - 1))))
+      val fact = lineitem(s, d)
+        .select(col("l_suppkey").as("s_suppkey"),
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(shards)).as("salt"),
+          cents(expr(discPrice)).as("rev_c"))
+      fact.join(dim.hint("shuffle_hash"), Seq("s_suppkey", "salt"))
+        .groupBy("s_nationkey")
+        .agg((sum(col("rev_c")) / 100.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("s_nationkey")
+    })
   )
 
   /** The kNN co-supply edge set shared by `gr_knn_triangles` and
@@ -1146,6 +1178,14 @@ object CoreRelational {
                  ${sqlSum2("l_quantity")} AS sum_qty,
                  ${sqlSum2("l_extendedprice")} AS sum_price,
                  count(*) AS n_items
-          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
+          FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    // the PLAIN join+groupBy — salt-and-replicate must be invisible
+    "c12_salted_join" ->
+      s"""SELECT s_nationkey,
+                 ${sqlSum2(discPrice)} AS revenue,
+                 count(*) AS n_items
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

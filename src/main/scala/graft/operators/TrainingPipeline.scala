@@ -284,6 +284,40 @@ object TrainingPipeline {
         .select(col("doc_id"), col("lang"), col("rn"), col("vpos"))
     }),
 
+    // tp_temperature_mix: temperature-balanced source selection — the
+    // multilingual rebalancing step (sample ∝ n^α, α=1/2) that keeps a
+    // dominant language from drowning the tail without upsampling the tail
+    // past its data. tp_interleave ORDERS streams by fixed weights; this
+    // op derives the weights FROM the data and cuts the corpus to them.
+    // All quota arithmetic is integer end-to-end (w=⌊√n⌋ — IEEE sqrt is
+    // correctly rounded in both engines, floor makes it exact; quotas via
+    // positive-operand integer division — the e10 lesson), so the admitted
+    // set is bit-stable cross-engine. Shapes: the per-lang count is a
+    // partial+final aggregate; the quota frame is langs-sized (crossJoin
+    // of a langs-sized frame with ONE total row, then broadcast back);
+    // admission ranks docs per lang by a portable salted hash — per-lang
+    // windows at 100 TB would use tp_token_budget's tick-histogram split
+    // (hash ticks → histogram prefix → rank only within the cut tick);
+    // the direct rank keeps this entry's oracle 1:1 with the semantics.
+    "tp_temperature_mix" -> ((s, d) => {
+      val hk = conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val docs = documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("hk", hk)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+        .withColumn("w_l", floor(sqrt(col("n_l"))).cast("long"))
+      val tot = counts.agg(sum(col("w_l")).as("sw"), sum(col("n_l")).as("nd"))
+      val quota = counts.crossJoin(tot)
+        .withColumn("quota", expr("((nd DIV 2) * w_l) DIV sw"))
+        .select(col("lang"), col("quota"))
+      val perLang = Window.partitionBy("lang").orderBy("hk", "doc_id")
+      docs.join(broadcast(quota), Seq("lang"))
+        .withColumn("rk", row_number().over(perLang))
+        .where(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // emb_quantize: symmetric int8 quantization of the embedding column
     // (scale = max|x|/127 per vector) with per-vector reconstruction RMSE —
     // the compression step before an ANN index ships to serving. Relational
@@ -605,6 +639,25 @@ object TrainingPipeline {
                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
              FROM documents))
          ORDER BY vpos, doc_id LIMIT 200""",
+
+    // same integer quota chain: w=floor(sqrt(n)), quota=((nd//2)*w)//sw,
+    // admission by the same salted-hash rank per lang
+    "tp_temperature_mix" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n_l,
+                  CAST(floor(sqrt(count(*))) AS BIGINT) AS w_l
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(sum(w_l) AS BIGINT) AS sw,
+                      CAST(sum(n_l) AS BIGINT) AS nd FROM c),
+         q AS (SELECT lang, ((nd // 2) * w_l) // sw AS quota FROM c, t),
+         h AS (SELECT doc_id, lang,
+                 ('0x'||substr(md5('temp:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS hk
+               FROM documents),
+         r AS (SELECT h.doc_id, h.lang, q.quota,
+                 row_number() OVER (PARTITION BY h.lang ORDER BY hk, doc_id) AS rk
+               FROM h JOIN q USING (lang))
+         SELECT doc_id, lang, CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= quota ORDER BY doc_id""",
 
     "emb_quantize" ->
       """SELECT vec_id,

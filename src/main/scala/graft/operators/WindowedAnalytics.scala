@@ -244,6 +244,25 @@ object WindowedAnalytics {
         .orderBy("user_id", "island")
     }),
 
+    // E12: event-sequence transition matrix — the first-order Markov view
+    // of user behavior ("what follows what"), the sequence-mining primitive
+    // funnels and sessions are special cases of. One lead() window per user
+    // (ordered by ts with the unique event_id as the deterministic
+    // tie-break — same discipline as e11), then a plain partial+final
+    // count aggregate over (from, to). The shuffled data is the event
+    // volume once for the window and transition-pair-sized after — at
+    // 100 TB the |types|² output is constant-sized regardless of input.
+    "e12_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // K5: typed cogroup — the API surface for "I need BOTH full groups at
     // once": orders and events shuffled to the same key and handed to one
     // function as two iterators, here counting how many of a customer's
@@ -276,6 +295,45 @@ object WindowedAnalytics {
         Iterator((k, os.length.toLong, es.length.toLong, inSpan))
       }.toDF("key", "n_orders", "n_events", "n_in_span")
         .orderBy("key")
+    }),
+
+    // K6: secondary sort — the classic big-data pattern for per-key
+    // SEQUENCE reduction at unbounded group size: repartition by key,
+    // sortWithinPartitions by (key, time), then ONE iterator-to-iterator
+    // pass that never holds more than running state per key (here: event
+    // count and max inter-event gap). This is what replaces a window/lag
+    // when a single key's history outgrows window buffering AND replaces
+    // groupByKey.mapGroups when a group outgrows its iterator
+    // materialization — state is O(1) per key, rows stream through in
+    // sorted order. The oracle is the declarative lag-window twin: the
+    // imperative pass must reproduce it exactly (gaps are µs-integer
+    // differences of the sorted-µs sequence, so tie order inside one µs
+    // cannot change the answer — e11's determinism argument).
+    "k6_secondary_sort" -> ((s, d) => {
+      import s.implicits._
+      val sorted = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "us", "event_id")
+        .as[(Long, Long, Long)]
+      sorted.mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Long)] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Long, Long) = {
+            val (u, first, _) = buf.next()
+            var n = 1L; var prev = first; var maxGap = 0L
+            while (buf.hasNext && buf.head._1 == u) {
+              val us2 = buf.next()._2
+              val g = us2 - prev
+              if (g > maxGap) maxGap = g
+              prev = us2; n += 1
+            }
+            (u, n, maxGap)
+          }
+        }
+      }.toDF("user_id", "n_events", "max_gap_us")
+        .orderBy("user_id")
     }),
 
     // E7b: time-bounded funnel — the production form of E7: each stage
@@ -530,6 +588,17 @@ object WindowedAnalytics {
          FROM i GROUP BY 1, 2
          ORDER BY user_id, island""",
 
+    // same lead-per-user window, same (ts, event_id) tie-break
+    "e12_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+
     // the declarative twin: full-outer join of two aggregates; the span
     // count joins orders back against the event-span frame
     "k5_cogroup" ->
@@ -548,6 +617,17 @@ object WindowedAnalytics {
                  coalesce(s.n_in_span, 0) AS n_in_span
           FROM o FULL JOIN e USING (key) LEFT JOIN s USING (key)
           ORDER BY key""",
+
+    // the declarative lag-window twin of the imperative sorted-stream pass
+    "k6_secondary_sort" ->
+      """WITH g AS (
+           SELECT user_id,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+                coalesce(max(gap), 0) AS max_gap_us
+         FROM g GROUP BY 1 ORDER BY user_id""",
 
     // e7's ladder with the 7-day attribution bound on each rung
     "e7b_funnel_window" ->

@@ -40,7 +40,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // broadcasts the single-row decile-boundary aggregate
       "pp_score_calibration",
       // cross-combines the single-row token-budget aggregate
-      "tp_token_budget")
+      "tp_token_budget",
+      // cross-combines the langs-sized weight frame with its one total row
+      "tp_temperature_mix")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -86,7 +88,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // shuffle equi-join IS the scale plan; broadcasting a 100 TB
       // corpus's edge list would be wrong. Locally the cached frames are
       // tiny and sometimes broadcast anyway — both shapes are legitimate.
-      "gr_pagerank")
+      "gr_pagerank",
+      // the POINT of the query: the salted join is hinted shuffle_hash so
+      // the hot-key sharding demonstrably shuffles instead of broadcasting
+      // the test-SF dim (at scale the dim is too big to broadcast)
+      "c12_salted_join")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
