@@ -225,4 +225,24 @@ class AnalyticsSpec extends AnyFunSuite {
     val bad = p.join(direct, "user_id").filter(col("tot") =!= col("count"))
     assert(bad.count() == 0)
   }
+
+  test("e12: every user contributes exactly (n_events - 1) transitions") {
+    val total = run("e12_transitions").agg(sum("n")).head().getLong(0)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(total == expected)
+  }
+
+  test("k6: imperative sorted-stream pass equals the lag-window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val twin = graft.sources.Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max(col("gap")), lit(0L)).as("max_gap_us"))
+    val imp = run("k6_secondary_sort")
+    assert(imp.except(twin).count() == 0 && twin.except(imp).count() == 0)
+  }
 }

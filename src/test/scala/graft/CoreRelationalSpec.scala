@@ -226,4 +226,20 @@ class CoreRelationalSpec extends AnyFunSuite {
       org.apache.spark.sql.types.TimestampType)
     assert(df.count() == 1000)
   }
+
+  test("c12: salted join equals the plain join, and the plan shuffles") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactNum._
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey")
+      .agg(sum2(expr("l_extendedprice*(1.0-l_discount)")).as("revenue"),
+        count(lit(1)).as("n_items"))
+    val salted = run("c12_salted_join")
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "salted join must not silently broadcast — the demonstration is the shuffle")
+  }
 }

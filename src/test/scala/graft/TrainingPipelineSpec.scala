@@ -221,4 +221,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val again = run("tp_weighted_sample").collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("tp_temperature_mix: quotas filled exactly and the mix flattens") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val admitted = run("tp_temperature_mix")
+      .groupBy("lang").agg(count(lit(1)).as("adm"), max("rk").as("max_rk"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getInt(2)))).toMap
+    // recompute the integer quota chain independently
+    val w = corpus.map { case (l, n) => l -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sw = w.values.sum; val nd = corpus.values.sum
+    corpus.keys.foreach { l =>
+      val quota = ((nd / 2) * w(l)) / sw
+      val (adm, maxRk) = admitted(l)
+      assert(adm == math.min(quota, corpus(l)), s"lang $l admitted $adm != quota $quota")
+      assert(maxRk.toLong == adm) // ranks are exactly 1..quota — no gaps
+    }
+    // temperature < 1 must FLATTEN the mix: the dominant language's share
+    // of the admitted set is strictly below its corpus share, the rarest
+    // language's share strictly above
+    val (top, bot) = (corpus.maxBy(_._2)._1, corpus.minBy(_._2)._1)
+    val admTotal = admitted.values.map(_._1).sum.toDouble
+    assert(admitted(top)._1 / admTotal < corpus(top).toDouble / nd)
+    assert(admitted(bot)._1 / admTotal > corpus(bot).toDouble / nd)
+  }
 }
