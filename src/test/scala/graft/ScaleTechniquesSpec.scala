@@ -149,4 +149,73 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       conf.set(key, old); conf.set(enKey, oldEn); conf.set(bcKey, oldBc)
     }
   }
+
+  test("range-partitioned layout: files are range-disjoint (min/max skipping)") {
+    // The sorted-lake layout: repartitionByRange + sortWithinPartitions
+    // writes files whose key ranges don't overlap, so a reader's min/max
+    // (footer) stats prune every file outside a point/range predicate —
+    // the unpartitioned-column complement to directory partitioning.
+    // (Range boundaries come from sampling, so the SPLIT is not
+    // deterministic — fine for layout, which is why this is a spec, not a
+    // graded query; DISJOINTNESS holds for every sample outcome.)
+    val dir = java.nio.file.Files.createTempDirectory("rng").toString + "/ord"
+    graft.sources.Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(stats.length > 1)
+    stats.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ => ()
+    }
+  }
+
+  test("AQE coalesces an over-provisioned shuffle at runtime") {
+    // The runtime re-plan the 100-TB config leans on: shuffle.partitions
+    // is sized for the biggest stage, and AQE shrinks small stages' side
+    // of it from actual map output sizes instead of leaving hundreds of
+    // near-empty reducers.
+    val conf = spark.conf
+    val old = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "64")
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val agg = graft.sources.Tables.orders(spark, sf)
+        .groupBy("o_orderpriority").count()
+      agg.collect()
+      val n = agg.rdd.getNumPartitions
+      assert(n < 64, s"AQE left the shuffle at $n partitions")
+    } finally conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("z-order key: an aligned 2-D tile is one contiguous key range") {
+    // The multi-dimensional clustering layout: sorting by an interleaved
+    // (Morton) key gives BOTH dimensions min/max-skipping power from one
+    // sort order. The provable core: a 2^k-aligned tile is a quadtree
+    // node, so its z-keys form one contiguous block (span == area), while
+    // a lexicographic sort scatters the same tile across a span ~width×
+    // row-length. All bit arithmetic, exactly reproducible anywhere.
+    def bit(c: org.apache.spark.sql.Column, i: Int) =
+      shiftright(c, i).bitwiseAND(lit(1))
+    val zkey = (0 until 8).map(i =>
+      shiftleft(bit(col("x"), i), 2 * i + 1) + shiftleft(bit(col("y"), i), 2 * i))
+      .reduce(_ + _)
+    val grid = spark.range(256L * 256L).select(
+      (col("id") % 256).cast("int").as("x"),
+      (col("id") / 256).cast("int").as("y"))
+    val t = grid.withColumn("z", zkey)
+      .filter(col("x") >= 32 && col("x") < 48 && col("y") >= 64 && col("y") < 80)
+      .agg(min("z").as("lo"), max("z").as("hi"), count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (t.getInt(0), t.getInt(1), t.getLong(2))
+    assert(n == 256L && hi - lo == 255,
+      s"tile not contiguous in z: span ${hi - lo + 1} for $n cells")
+    // versus x-major lexicographic order: same tile spans 15 rows of 256
+    assert((47 * 256 + 79) - (32 * 256 + 64) > 255 * 10)
+  }
 }
