@@ -125,6 +125,22 @@ object CoreRelational {
       s.read.orc(out).orderBy("s_suppkey")
     }),
 
+    // A8: JSON-Lines sink + source roundtrip — the interchange text format
+    // (every log shipper and API export speaks it). JSONL carries no
+    // types, so the read-back supplies the source schema explicitly — the
+    // production discipline for text formats (schema inference is a full
+    // extra pass AND type-unstable: an all-integral batch of a double
+    // column infers long). A hash match against the original parquet
+    // proves write+read preserved every value including full double
+    // precision (Spark serializes doubles round-trip-exact).
+    "a8_jsonl_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        new java.io.File(d).getName
+      val src = customer(s, d)
+      src.write.mode("overwrite").json(out)
+      s.read.schema(src.schema).json(out).orderBy("c_custkey")
+    }),
+
     // ---------------------------------------------------------------- B
     "b1_project" -> ((s, d) =>
       lineitem(s, d)
@@ -788,6 +804,11 @@ object CoreRelational {
     "a7_orc_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
          FROM supplier ORDER BY s_suppkey""",
+
+    // the ORIGINAL parquet again — the JSONL hop must be lossless
+    "a8_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
 
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

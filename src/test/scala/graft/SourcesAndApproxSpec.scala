@@ -181,4 +181,49 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(out.count() == 1500) // 3 per doc
     assert(out.groupBy("doc_id").count().filter(col("count") =!= 3).count() == 0)
   }
+
+  test("compaction: a 50-file directory rewrites to few files, rows intact") {
+    val base = java.nio.file.Files.createTempDirectory("cmp").toString
+    val (srcDir, destDir) = (s"$base/small", s"$base/compact")
+    val orig = graft.sources.Tables.orders(spark, sf)
+    orig.repartition(50).write.mode("overwrite").parquet(srcDir)
+    val (before, after) = graft.sources.Maintenance
+      .compactParquet(spark, srcDir, destDir, targetBytes = 8L * 1024 * 1024)
+    assert(before == 50, s"expected 50 small files, saw $before")
+    assert(after < 5, s"compaction left $after files")
+    val back = spark.read.parquet(destDir)
+    assert(back.count() == orig.count())
+    assert(back.except(orig).count() == 0 && orig.except(back).count() == 0)
+  }
+
+  test("malformed text records surface as nulls/quarantine, never crashes") {
+    import spark.implicits._
+    // the operational reality of text ingestion at 100 TB: some fraction
+    // of lines is always garbage, and a pipeline that throws on line 3
+    // of 10^12 is unusable. PERMISSIVE mode (the default) nulls the
+    // unparseable fields and banks the raw line in the corrupt-record
+    // column for quarantine; counting that column IS the ingest QA gate.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val lines = Seq(
+      """{"k": 1, "v": "ok"}""",
+      """{"k": "not-a-number", "v": "half-bad"}""",
+      """not json at all""",
+      """{"k": 4, "v": "ok2"}""").toDS()
+    val parsed = spark.read.schema(schema)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(lines)
+    assert(parsed.count() == 4) // nothing dropped, nothing thrown
+    assert(parsed.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(parsed.filter(col("k").isNotNull).count() == 2)
+    // and the strict variant for when garbage must not pass silently
+    val strict = spark.read.schema(schema.copy(fields = schema.fields.take(2)))
+      .option("mode", "DROPMALFORMED").json(lines)
+    assert(strict.count() == 2)
+  }
 }
