@@ -196,6 +196,31 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  // c12's legality claim, generalized: the graded query fixes 16 shards,
+  // but shard-then-merge must be invisible for ANY shard count and any
+  // key/value distribution (hot keys, missing dim keys, shards=1).
+  property("salted join equals the plain join for any shard count") =
+    forAll(
+      Gen.listOfN(40, Gen.zip(Gen.choose(0, 6), Gen.choose(0L, 100L))),
+      Gen.choose(1, 32)) { (rows, shards) =>
+      import spark.implicits._
+      if (rows.isEmpty) true
+      else {
+        val fact = rows.zipWithIndex
+          .map { case ((k, v), i) => (i.toLong, k, v) }.toDF("pk", "k", "v")
+        val dim = (0 to 4).map(k => (k, s"dim$k")).toDF("k", "name") // 5,6 dangle
+        val salted = fact
+          .withColumn("salt", pmod(hash(col("pk")), lit(shards)))
+          .join(dim.withColumn("salt",
+            explode(sequence(lit(0), lit(shards - 1)))).hint("shuffle_hash"),
+            Seq("k", "salt"))
+          .groupBy("k", "name").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        val plain = fact.join(dim, Seq("k"))
+          .groupBy("k", "name").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        salted.except(plain).isEmpty && plain.except(salted).isEmpty
+      }
+    }
+
   // Random docs over a 4-word alphabet: short texts and heavy bigram overlap
   // force signature collisions, near-misses, and empty-signature dropouts.
   private val docsGen: Gen[List[String]] =
