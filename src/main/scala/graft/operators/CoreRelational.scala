@@ -141,6 +141,73 @@ object CoreRelational {
       s.read.schema(src.schema).json(out).orderBy("c_custkey")
     }),
 
+    // A9: schema evolution across sync generations — the CMDB reality that
+    // a class gains/loses columns between extracts (a new CI attribute
+    // lands mid-history), so a lake table accumulates parquet files with
+    // DIFFERENT schemas. Two generations are written to scratch (gen 1
+    // carries s_nationkey, gen 2 drops it and adds s_acctbal) and read
+    // back in ONE scan with mergeSchema: Spark unions the file footers'
+    // schemas and null-fills each file's missing columns — no rewrite of
+    // old data, which is the only affordable evolution policy at 100 TB
+    // (rewriting history per schema change is a full-corpus pass).
+    // The oracle reproduces the same union-with-nulls relationally.
+    "a9_schema_evolution" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+        new java.io.File(d).getName
+      val sup = supplier(s, d)
+      sup.select(lit(1).as("gen"), col("s_suppkey"), col("s_name"), col("s_nationkey"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      sup.select(lit(2).as("gen"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+        .select("gen", "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("gen", "s_suppkey")
+    }),
+
+    // A10: raw binary-file ingest — the standard Spark entry point for
+    // media corpora (images/audio land as FILES, not parquet rows; the
+    // binaryFile source turns a directory of them into (path, length,
+    // content) rows, which is where every multimodal pipeline starts —
+    // mm_decode_stub/mm_frame_sample consume exactly this shape). The
+    // fixture corpus is built ONCE per sfDir: each document's text is
+    // written as doc_<id>.bin through the Hadoop FS API inside
+    // foreachPartition — the write is distributed (each task writes its
+    // own partition's files; the identical code runs against HDFS/S3A)
+    // and skipped when a completed build's marker exists. The row-count
+    // suffix in the dir name self-invalidates the fixture if the source
+    // table changes size. The graded scan parses the doc id back out of
+    // the file path and fingerprints the bytes; the oracle computes the
+    // same md5 over the document text (UTF-8 on both sides).
+    "a10_binary_ingest" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bin_" +
+        new java.io.File(d).getName + s"_n$n"
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(dirPath, "_BUILT")
+      if (!fs.exists(marker)) {
+        fs.mkdirs(dirPath)
+        docs.repartition(8).foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+          val pfs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          it.foreach { r =>
+            val out = pfs.create(
+              new org.apache.hadoop.fs.Path(dir, s"doc_${r.getLong(0)}.bin"), true)
+            out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+          }
+        }
+        fs.create(marker, true).close()
+      }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------------- B
     "b1_project" -> ((s, d) =>
       lineitem(s, d)
@@ -809,6 +876,24 @@ object CoreRelational {
     "a8_jsonl_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer ORDER BY c_custkey""",
+
+    // mergeSchema's union-with-nulls, reproduced relationally: each
+    // generation contributes its own columns, NULL elsewhere
+    "a9_schema_evolution" ->
+      """SELECT 1 AS gen, s_suppkey, s_name, s_nationkey,
+                CAST(NULL AS DOUBLE) AS s_acctbal
+         FROM supplier
+         UNION ALL
+         SELECT 2 AS gen, s_suppkey, s_name,
+                CAST(NULL AS INTEGER) AS s_nationkey, s_acctbal
+         FROM supplier
+         ORDER BY gen, s_suppkey""",
+
+    // the file bytes ARE the document text in UTF-8, so byte length and
+    // md5 are computable straight off the source table
+    "a10_binary_ingest" ->
+      """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
 
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -226,4 +226,43 @@ class SourcesAndApproxSpec extends AnyFunSuite {
       .option("mode", "DROPMALFORMED").json(lines)
     assert(strict.count() == 2)
   }
+
+  test("A9 mergeSchema: each generation null-fills exactly its missing columns") {
+    val merged = SparkEntry.queries("a9_schema_evolution")(spark, sf)
+    val nSup = graft.sources.Tables.supplier(spark, sf).count()
+    assert(merged.count() == 2 * nSup)
+    // gen 1 files never carried s_acctbal; gen 2 files never carried
+    // s_nationkey — mergeSchema must null-fill precisely those, and only
+    // those (a value leaking across generations would mean file footers
+    // were merged by position, not by name)
+    assert(merged.filter(col("gen") === 1 && col("s_acctbal").isNotNull).count() == 0)
+    assert(merged.filter(col("gen") === 1 && col("s_nationkey").isNull).count() == 0)
+    assert(merged.filter(col("gen") === 2 && col("s_nationkey").isNotNull).count() == 0)
+    assert(merged.filter(col("gen") === 2 && col("s_acctbal").isNull).count() == 0)
+  }
+
+  test("A10 binaryFile: fingerprints match the source text and the fixture " +
+    "build is skipped once the marker exists") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val n = docs.count()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bin_" +
+      new java.io.File(sf).getName + s"_n$n"
+    val first = SparkEntry.queries("a10_binary_ingest")(spark, sf)
+    // file bytes are the UTF-8 text: md5 and byte length must agree with
+    // a pure in-engine computation over the source table (multi-byte langs
+    // included — the fixture has zh docs)
+    val expected = docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      md5(col("text").cast("binary")).as("content_md5"))
+    assert(first.count() == n)
+    assert(first.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(first).count() == 0)
+    // rebuild skip: the marker's mtime must survive a second invocation
+    // (the corpus write is once-per-fixture, not once-per-query-run)
+    val marker = new java.io.File(dir, "_BUILT")
+    assert(marker.exists())
+    val mtime = marker.lastModified()
+    SparkEntry.queries("a10_binary_ingest")(spark, sf).count()
+    assert(marker.lastModified() == mtime)
+  }
 }
