@@ -208,6 +208,31 @@ object CoreRelational {
         .orderBy("doc_id")
     }),
 
+    // A11: directory-partitioned sink + pruned read — the lake layout that
+    // makes time-sliced scans affordable at 100 TB: orders written
+    // partitioned by order year (one year= subdirectory per value, the
+    // Hive layout every lake engine shares), then read back filtered to a
+    // single year. The filter resolves against the DIRECTORY listing, not
+    // the data: the scan's PartitionFilters prune every other year's files
+    // before a byte is read (pinned in PlanShapeSpec), which is the
+    // difference between a one-partition scan and a full-corpus pass when
+    // the sync holds a decade of history. Hash match vs the original
+    // table under the same predicate proves the partitioned rewrite is
+    // lossless — including the partition column itself, which parquet
+    // stores only in the path and the reader re-materializes.
+    "a11_partitioned_sink" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        new java.io.File(d).getName
+      orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1998)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_year").cast("int").as("o_year"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---------------------------------------------------------------- B
     "b1_project" -> ((s, d) =>
       lineitem(s, d)
@@ -894,6 +919,14 @@ object CoreRelational {
     "a10_binary_ingest" ->
       """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+
+    // the ORIGINAL table under the same year predicate — the partitioned
+    // rewrite (including the path-stored partition column) must be lossless
+    "a11_partitioned_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                CAST(year(o_orderdate) AS INT) AS o_year
+         FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_orderkey""",
 
     "b1_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag

@@ -103,6 +103,28 @@ object TemporalOps {
           get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
         .orderBy("event_id")),
 
+    // H7: VariantType — Spark 4's native semi-structured type, the engine
+    // answer to the reference's dynamic-schema JSON records (a CMDB class
+    // can carry any attribute set; Table-API payloads are schemaless).
+    // parse_json builds the binary variant encoding ONCE; every
+    // variant_get after that is a typed path read on the binary form — no
+    // re-parse per extraction, which is what makes a many-field extract
+    // affordable at scale (from_json with a schema re-parses text per
+    // field set, and plain strings re-tokenize on every get_json_object).
+    // try_variant_get on a missing path yields NULL (never throws) — the
+    // sparse-attribute read discipline. The oracle extracts the same
+    // typed values from the JSON text.
+    "h7_variant" -> ((s, d) =>
+      events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "long").as("k_num"),
+          variant_get(col("v"), "$.k", "string").as("k_str"),
+          try_variant_get(col("v"), "$.missing", "long").as("absent"),
+          try_variant_get(col("v"), "$.k", "long").isNotNull.cast("int").as("has_k"))
+        .orderBy("event_id")),
+
     // ------------------------------------------------------------------- I
     // I1: tumbling window aggregation — Spark's window() generator in batch
     // form (identical plan shape to the streaming twin).
@@ -235,6 +257,44 @@ object TemporalOps {
         .orderBy("purchase_id")
     }),
 
+    // I11: the composed sync batch — the reference's whole inner loop as
+    // ONE Catalyst tree, the I-family flagship (pp_end_to_end's symmetry
+    // for the CMDB side): poll records past the watermark (I6) → collapse
+    // the delta to last-writer-wins per key (I5's dedup discipline) →
+    // classify each affected key against the pre-sync target state (I7's
+    // merge semantics / I8's change taxonomy) → emit the sync report the
+    // load stage would act on: (key, state to write, insert-vs-update,
+    // delta volume). Every stage shuffles on user_id once and the frames
+    // rejoin on that same key (co-partitioned equi joins), so the whole
+    // report costs two window passes + one aggregate over the delta slice
+    // — the target table is touched only for the keys the delta names,
+    // which is what keeps a 100 TB target affordable to sync against.
+    "i11_sync_pipeline" -> ((s, d) => {
+      val wm = lit("2024-01-15 00:00:00").cast("timestamp")
+      val ev = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("ts"))
+      val lww = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val target = ev.filter(col("ts") <= wm)
+        .withColumn("rn", row_number().over(lww)).filter(col("rn") === 1)
+        .select(col("user_id").as("tu"), col("event_type").as("old_type"))
+      val delta = ev.filter(col("ts") > wm)
+      val deltaVol = delta.groupBy("user_id").agg(count(lit(1)).as("n_delta"))
+      val deltaLww = delta
+        .withColumn("rn", row_number().over(lww)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("new_type"))
+      deltaLww.join(deltaVol, Seq("user_id"))
+        .join(target, col("user_id") === col("tu"), "left")
+        .select(
+          col("user_id"),
+          col("new_type"),
+          when(col("tu").isNull, "inserted")
+            .when(col("old_type") =!= col("new_type"), "updated")
+            .otherwise("unchanged").as("change"),
+          col("n_delta"))
+        .orderBy("user_id")
+    }),
+
     // I8: snapshot diff (CDC derive) — per-user state at t1 vs t2; emits
     // inserted/updated/unchanged rows (the sync delta the reference loads).
     "i8_snapshot_diff" -> ((s, d) => {
@@ -313,6 +373,16 @@ object TemporalOps {
       """SELECT event_id,
                 json_extract_string(props, '$.k') AS k_str,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
+         FROM events ORDER BY event_id""",
+
+    // the same typed extracts off the JSON text; the missing path is NULL
+    // in both engines
+    "h7_variant" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+                json_extract_string(props, '$.k') AS k_str,
+                CAST(NULL AS BIGINT) AS absent,
                 CAST(json_extract_string(props, '$.k') IS NOT NULL AS INT) AS has_k
          FROM events ORDER BY event_id""",
 
@@ -415,6 +485,33 @@ object TemporalOps {
            AND h.valid_from <= epoch_us(e.ts)
            AND (h.valid_to = -1 OR epoch_us(e.ts) <= h.valid_to)
          ORDER BY purchase_id""",
+
+    // the composed sync loop: delta slice → LWW collapse → classify vs the
+    // pre-sync state, all as CTEs over the same key
+    "i11_sync_pipeline" ->
+      """WITH target AS (
+           SELECT user_id AS tu, event_type AS old_type
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         delta AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'),
+         vol AS (
+           SELECT user_id, count(*) AS n_delta FROM delta GROUP BY user_id),
+         dlww AS (
+           SELECT user_id, event_type AS new_type FROM delta
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us DESC, event_id DESC) = 1)
+         SELECT d.user_id, d.new_type,
+                CASE WHEN t.tu IS NULL THEN 'inserted'
+                     WHEN t.old_type <> d.new_type THEN 'updated'
+                     ELSE 'unchanged' END AS change,
+                v.n_delta
+         FROM dlww d
+         JOIN vol v ON d.user_id = v.user_id
+         LEFT JOIN target t ON d.user_id = t.tu
+         ORDER BY d.user_id""",
 
     "i8_snapshot_diff" ->
       """WITH old AS (

@@ -1,28 +1,45 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers over the driver-generated parquet tables (TESTDATA.md /
   * FIXTURES.md). One parquet file per table per scale-factor dir; schemas are
   * fixed and documented in FIXTURES.md. Columnar parquet scans give Catalyst
   * filter pushdown + column pruning for free — every graded query goes
   * through here so no path is ever hard-coded.
+  *
+  * Timestamp normalization: the fixture generations have carried timestamps
+  * as TIMESTAMP(NANOS) (Spark 4 rejects it outright — read as raw Long nanos
+  * via the legacy conf, truncate to µs) and as TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). Every variant is folded
+  * to the session-zone TimestampType here, at the one reader every graded
+  * query goes through: the session is pinned UTC, so the NTZ→TZ cast is
+  * wall-clock-preserving and every downstream comparison/extraction behaves
+  * identically across fixture generations — exactly what DuckDB's µs-native
+  * naive timestamp does when it reads the same files.
   */
 object Tables {
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Fold any timestamp encoding variant of `df` to µs TimestampType. */
+  private def normTs(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case LongType if f.name == "ts" =>
+          // legacy nanosAsLong read of a TIMESTAMP(NANOS) column
+          acc.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case _ => acc
+      }
+    }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read it as raw Long nanos via the legacy conf,
-    * then truncate to microseconds — exactly what DuckDB's µs-native
-    * timestamp does when it reads the same file, so oracle comparisons on
-    * derived values (epochs, date_truncs, gaps) agree.
-    */
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    normTs(s.read.parquet(s"$dir/$name.parquet"))
+
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$d/events.parquet")
-    df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-      org.apache.spark.sql.functions.expr("ts div 1000")))
+    normTs(s.read.parquet(s"$d/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")

@@ -245,4 +245,46 @@ class AnalyticsSpec extends AnyFunSuite {
     val imp = run("k6_secondary_sort")
     assert(imp.except(twin).count() == 0 && twin.except(imp).count() == 0)
   }
+
+  test("h7: variant path reads agree with the from_json twin; missing paths " +
+    "are NULL, never errors") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val v = run("h7_variant")
+    // the typed variant extraction must equal the schema-ful from_json read
+    val twin = ev.select(col("event_id"),
+      from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+        .getField("k").as("k_num"))
+    val joined = v.select("event_id", "k_num").join(twin, "event_id")
+    assert(joined.filter(v("k_num") =!= twin("k_num")).count() == 0)
+    // try_variant_get on an absent path is NULL for every row (no throw)
+    assert(v.filter(col("absent").isNotNull).count() == 0)
+    // the binary variant still knows its own shape: every props object in
+    // the fixture carries exactly {k: long}
+    val shapes = ev.select(schema_of_variant(parse_json(col("props"))).as("sh"))
+      .distinct().collect().map(_.getString(0))
+    assert(shapes.toSet == Set("OBJECT<k: BIGINT>"), shapes.mkString(","))
+  }
+
+  test("i11: sync report state agrees with i7 upsert; volumes partition the " +
+    "delta slice") {
+    val rep = run("i11_sync_pipeline")
+    // every user the sync touches must land in the same final state the
+    // graded I7 upsert computes (delta events are strictly later than the
+    // target snapshot, so delta-LWW wins whenever the user is in the delta)
+    val merged = run("i7_upsert").select(col("user_id"), col("last_type"))
+    val disagree = rep.join(merged, "user_id")
+      .filter(col("new_type") =!= col("last_type"))
+    assert(disagree.count() == 0)
+    // n_delta sums to exactly the post-watermark slice: the report neither
+    // drops nor double-counts a delta event
+    val deltaRows = graft.sources.Tables.events(spark, sf)
+      .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp")).count()
+    assert(rep.agg(sum("n_delta")).head().getLong(0) == deltaRows)
+    // classification is exhaustive and keyed to target membership
+    assert(rep.filter(!col("change").isin("inserted", "updated", "unchanged"))
+      .count() == 0)
+  }
 }
