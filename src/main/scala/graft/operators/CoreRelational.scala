@@ -545,6 +545,22 @@ object CoreRelational {
         .orderBy("s_suppkey")
     }),
 
+    // GR4: degree distribution of the kNN graph — the one-line graph
+    // dataset-card (is the co-supply network a hairball or a sparse
+    // lattice?) and the audit that the degree-capped construction actually
+    // held: out-degree is ≤5 by construction but SYMMETRIZED degree can
+    // exceed it (a hub can sit in many vertices' top-5 lists), and this
+    // histogram is where that skew becomes visible before it becomes a
+    // hot reducer. Two hash aggregates over the shared materialized edge
+    // frame; output is ≤ max-degree rows at any scale.
+    "gr_degree_dist" -> ((s, d) => {
+      val e = knnEdges(s, d)
+      val ed = e.select(col("src").as("u")).union(e.select(col("dst").as("u")))
+      ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("deg")
+    }),
+
     // ---------------------------------------------------------------- D
     // D1: the flagship pricing summary (TPC-H Q1 shape) — filter, derive,
     // partial+final hash aggregate, exact monetary sums.
@@ -1067,6 +1083,26 @@ object CoreRelational {
                 UNION ALL SELECT b FROM tri
                 UNION ALL SELECT c FROM tri)
           GROUP BY id ORDER BY s_suppkey""",
+
+    // same knn edge CTE; symmetrized degree histogram
+    "gr_degree_dist" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          ed AS (SELECT src AS u FROM e UNION ALL SELECT dst FROM e),
+          deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u)
+          SELECT deg, count(*) AS n_vertices
+          FROM deg GROUP BY deg ORDER BY deg""",
 
     // same knn edge CTE; then three damped power-iteration rounds in the
     // identical scaled-integer arithmetic (`//` = Spark's `div` for the

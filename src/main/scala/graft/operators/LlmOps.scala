@@ -395,6 +395,24 @@ object LlmOps {
         .orderBy("doc_id")
     }),
 
+    // Dedup cluster-size histogram — the dataset-card view of HOW the
+    // near-dups cluster (dd_source_overlap answers where): per cluster
+    // size, how many clusters and how many docs they cover. The shape of
+    // this histogram is the dedup decision signal — a long tail of pairs
+    // is crawl noise, a few giant clusters are mirrored boilerplate whose
+    // transitive closure deserves a manual look before keep-one deletes
+    // 90% of a source. Rides the memoized components frame (third graded
+    // consumer); two hash aggregates; output is ≤ max-cluster-size rows
+    // at any corpus scale.
+    "dd_cluster_stats" -> ((s, d) => {
+      val sizes = componentsOf(s, d)
+        .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size")).as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     // Cross-source duplication matrix — the dataset-card view of WHERE the
     // near-dups live (a pair of crawls duplicating each other wants a
     // source-level decision, not per-doc cuts): for every unordered source
@@ -1078,6 +1096,25 @@ object LlmOps {
             SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
           SELECT src AS doc_id, min(dst) AS comp
           FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // the components closure again, folded to cluster sizes then to the
+    // size histogram (HUGEINT sums cast back to BIGINT for hashing)
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a),
+          comp AS (SELECT src AS doc_id, min(dst) AS comp
+                   FROM reach GROUP BY src),
+          csz AS (SELECT comp, count(*) AS cluster_size
+                  FROM comp GROUP BY comp)
+          SELECT cluster_size, count(*) AS n_clusters,
+                 CAST(sum(cluster_size) AS BIGINT) AS n_docs
+          FROM csz GROUP BY cluster_size ORDER BY cluster_size""",
 
     // τ=0.3 pairs CTE, bidirectional edges, 3 BFS rounds unrolled with the
     // same anti-join min-depth semantics

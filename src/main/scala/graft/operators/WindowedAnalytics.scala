@@ -360,6 +360,34 @@ object WindowedAnalytics {
           round4(expr("percentile(value, 0.95)")).as("p95"))
         .orderBy("wk", "event_type")),
 
+    // E13: volume-anomaly monitor — the ops alarm on the event feed: per
+    // (type, day), is today's volume a spike (>1.5× the trailing-week
+    // mean) or a slump (<0.5×)? The raw stream reduces to |types|·|days|
+    // daily counts in one map-side-combined aggregate (the only
+    // event-volume pass); the trailing baseline is a 7-row window over
+    // that tiny frame. Both thresholds are INTEGER comparisons —
+    // 14·n > 3·base7 ⇔ n > 1.5·(base7/7) and 14·n < base7 ⇔ n < 0.5·mean
+    // — because a ratio or a signed integer division would hit the
+    // negative-operand div/floor divergence between engines (the e10
+    // lesson); a multiplied-out comparison of nonnegative longs cannot.
+    // Days with fewer than 7 prior days are warm-up, not alarms.
+    "e13_volume_monitor" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("base7", sum(col("n")).over(w))
+        .withColumn("nprior", count(col("n")).over(w))
+        .filter(col("nprior") === 7)
+        .select(col("event_type"), col("day"), col("n"), col("base7"),
+          (col("n") * 14 > col("base7") * 3).cast("int").as("spike"),
+          (col("n") * 14 < col("base7")).cast("int").as("slump"))
+        .orderBy("event_type", "day")
+    }),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -663,6 +691,26 @@ object WindowedAnalytics {
                  ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.95)")} AS p95
           FROM events GROUP BY wk, event_type
           ORDER BY wk, event_type""",
+
+    // same daily reduction + 7-row trailing window; thresholds stay
+    // multiplied-out integer comparisons (HUGEINT window sum cast back)
+    "e13_volume_monitor" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  CAST(sum(n) OVER tw AS BIGINT) AS base7,
+                  count(n) OVER tw AS nprior
+           FROM daily
+           WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n, base7,
+                CAST(n*14 > base7*3 AS INT) AS spike,
+                CAST(n*14 < base7 AS INT) AS slump
+         FROM w WHERE nprior = 7
+         ORDER BY event_type, day""",
 
     // identical integer pipeline: tick-quantized weekly means, integer
     // week index, long moment sums, and the slope rounded with

@@ -246,6 +246,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(imp.except(twin).count() == 0 && twin.except(imp).count() == 0)
   }
 
+  test("e13: spike and slump are mutually exclusive; warm-up days are " +
+    "excluded; flags recompute from the emitted columns") {
+    val m = run("e13_volume_monitor").collect()
+    assert(m.nonEmpty)
+    // a day cannot be both 1.5x above and 0.5x below its own baseline
+    assert(m.forall(r => r.getAs[Int]("spike") + r.getAs[Int]("slump") <= 1))
+    // flags are pure functions of (n, base7) — the emitted row is auditable
+    assert(m.forall { r =>
+      val n = r.getAs[Long]("n"); val b = r.getAs[Long]("base7")
+      r.getAs[Int]("spike") == (if (n * 14 > b * 3) 1 else 0) &&
+        r.getAs[Int]("slump") == (if (n * 14 < b) 1 else 0)
+    })
+    // every emitted day has a full 7-day baseline: per type, rows = days - 7
+    val daysPerType = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowsPerType = m.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.length).toMap
+    assert(rowsPerType.forall { case (t, n) => n == daysPerType(t) - 7 })
+  }
+
+  test("gr_degree_dist: the histogram double-counts each edge exactly once") {
+    val h = run("gr_degree_dist").collect()
+    val nEdges = graft.operators.CoreRelational.knnEdges(spark, sf).count()
+    // sum over buckets of deg * n_vertices = 2|E| (every undirected edge
+    // contributes one degree at each endpoint)
+    val mass = h.map(r => r.getAs[Long]("deg") * r.getAs[Long]("n_vertices")).sum
+    assert(mass == 2 * nEdges, s"mass $mass vs 2|E| ${2 * nEdges}")
+    assert(h.forall(_.getAs[Long]("deg") >= 1))
+  }
+
   test("h7: variant path reads agree with the from_json twin; missing paths " +
     "are NULL, never errors") {
     val ev = graft.sources.Tables.events(spark, sf)

@@ -326,4 +326,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r.forall { x =>
       val d = x.getAs[Double]("dup_rate"); d >= 0.0 && d <= 1.0 })
   }
+
+  test("dd_cluster_stats: histogram accounts for every doc and every " +
+    "cluster exactly once") {
+    import org.apache.spark.sql.functions._
+    val h = run("dd_cluster_stats").collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    // docs covered across size buckets = the whole corpus (components
+    // assign every doc exactly one label, singletons included)
+    assert(h.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // cluster count across buckets = keep-one survivor count (one
+    // representative per cluster, by construction of dd_keep_one)
+    val nKeep = run("dd_keep_one").count()
+    assert(h.map(_.getAs[Long]("n_clusters")).sum == nKeep)
+    // within a bucket, docs = size × clusters
+    assert(h.forall(r => r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")))
+  }
 }
