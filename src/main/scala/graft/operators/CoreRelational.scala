@@ -828,6 +828,38 @@ object CoreRelational {
         .agg((sum(col("rev_c")) / 100.0).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("s_nationkey")
+    }),
+
+    // C13: fuzzy identity reconciliation — the CMDB entity-resolution
+    // query (two discovery sources name the same CI slightly differently;
+    // a sync must match them BEFORE keying on sys_id is possible). The
+    // scale discipline is the blocking key: edit distance can't be an
+    // equi-join condition, so candidate pairs are generated within a
+    // cheap blocking partition (here the REGION of the supplier's nation,
+    // resolved by a broadcast dim join — production blocks on name
+    // prefix/soundex/length band, same shape) and the quadratic
+    // levenshtein cost pays Σ|block|², never corpus² — the same bound the
+    // LSH/IVF near-dup family rides, applied to short strings. The a<b
+    // orientation counts each candidate pair once. Region, not nation:
+    // the block must stay populated at the smallest fixture (10 suppliers
+    // across 25 nations have no same-nation pair), and choosing the
+    // coarsest key that still bounds the blow-up is exactly the
+    // real-world blocking trade (recall vs candidate count).
+    "c13_fuzzy_match" -> ((s, d) => {
+      val reg = nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+      def side(idc: String, namec: String, rk: String) =
+        supplier(s, d).join(broadcast(reg),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey").as(idc), col("s_name").as(namec),
+            col("n_regionkey").as(rk))
+      side("id_a", "name_a", "rk")
+        .join(side("id_b", "name_b", "rk2"),
+          col("rk") === col("rk2") && col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 2)
+        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+          col("dist"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1361,6 +1393,19 @@ object CoreRelational {
                  ${sqlSum2(discPrice)} AS revenue,
                  count(*) AS n_items
           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-          GROUP BY s_nationkey ORDER BY s_nationkey"""
+          GROUP BY s_nationkey ORDER BY s_nationkey""",
+
+    // same region-blocked candidate pairs, same standard edit distance
+    "c13_fuzzy_match" ->
+      """WITH s AS (
+           SELECT s_suppkey, s_name, n_regionkey
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+         SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                a.s_name AS name_a, b.s_name AS name_b,
+                CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+         FROM s a JOIN s b
+           ON a.n_regionkey = b.n_regionkey AND a.s_suppkey < b.s_suppkey
+         WHERE levenshtein(a.s_name, b.s_name) <= 2
+         ORDER BY id_a, id_b"""
   )
 }

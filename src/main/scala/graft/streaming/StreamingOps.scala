@@ -229,6 +229,50 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class VolumeAlarm(event_type: String, day: String, n: Long,
+    base7: Long, spike: Int, slump: Int)
+
+  /** Streaming volume-anomaly monitor — the arrival-time twin of
+    * `e13_volume_monitor`. Per event type, state is the day→count map of
+    * the last 64 calendar days with data (a horizon prune identical in
+    * spirit to retentionDeltas' 64-week mask: late data for a day that
+    * aged out is dropped, the documented trade for bounded state; within
+    * the horizon the twin is EXACTLY order-independent, because day
+    * counting is a commutative sum — stronger than the funnel twin, which
+    * needs its per-batch sort). Each batch re-emits the alarm row for
+    * every evaluable day of the type (≥7 prior days in the horizon) under
+    * Update semantics: the latest emission per (type, day) is the answer,
+    * and after all data it equals the batch query row-for-row. State is
+    * ≤64 entries per type — constant in event volume. */
+  def volumeAlarms(events: DataFrame): Dataset[VolumeAlarm] = {
+    import events.sparkSession.implicits._
+    def update(etype: String, rows: Iterator[(String, String)],
+        state: GroupState[Map[String, Long]]): Iterator[VolumeAlarm] = {
+      var m = state.getOption.getOrElse(Map.empty[String, Long])
+      rows.foreach { case (_, day) =>
+        m = m.updated(day, m.getOrElse(day, 0L) + 1L)
+      }
+      val days = m.keys.toSeq.sorted
+      if (days.size > 64) {
+        val cut = days(days.size - 64)
+        m = m.filter { case (d, _) => d >= cut }
+      }
+      state.update(m)
+      val ds = m.keys.toSeq.sorted
+      ds.zipWithIndex.drop(7).iterator.map { case (d, i) =>
+        val base = (i - 7 until i).map(j => m(ds(j))).sum
+        val n = m(d)
+        VolumeAlarm(etype, d, n, base,
+          if (n * 14 > base * 3) 1 else 0, if (n * 14 < base) 1 else 0)
+      }
+    }
+    events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class RetentionDelta(cohort_us: Long, week_offset: Int, delta: Int)
 
   /** Streaming cohort retention as an incrementally-maintained view — the
@@ -397,6 +441,15 @@ object StreamingOps {
       .readString(java.nio.file.Paths.get(target, "_VERSION")).trim
     spark.read.parquet(s"$target/$cur")
   }
+
+  /** Time-travel (AS OF) read of a [[runUpsertSinkToParquet]] target: the
+    * sink only ever writes NEW version directories and atomically moves
+    * the pointer, so every published version is an immutable snapshot that
+    * stays readable after later versions land — the lakehouse time-travel
+    * guarantee on the same layout (a retention job pruning old version
+    * dirs is the only thing that ends a version's readability). */
+  def upsertTableAt(spark: SparkSession, target: String, version: Long): DataFrame =
+    spark.read.parquet(s"$target/v$version")
 
   /** I7 stream form: last-writer-wins upsert into a driver-side store via
     * foreachBatch — the DynamoDB-style merge sink. Returns the store.

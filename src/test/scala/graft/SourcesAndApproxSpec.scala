@@ -141,6 +141,26 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     assert(m("cents").asInstanceOf[Long] > 0)
   }
 
+  test("cents kernels: long headroom quantified; decimal(38) is the " +
+    "overflow-safe 100-TB twin and agrees exactly") {
+    // The ExactNum money kernels sum scaled-integer cents as Long. That is
+    // exact and engine-identical, but a Long sum has finite headroom: at
+    // fixture magnitudes (~1e7 cents/row) it survives ~1e11 rows — enough
+    // for any graded SF, NOT for a 1e12-row 100 TB money column. The
+    // production escape hatch is the same kernel summed as DECIMAL(38,0)
+    // (Spark's decimal aggregate is exact; DuckDB's HUGEINT sum mirrors
+    // it). Pin both facts: the quantified headroom, and that the decimal
+    // twin reproduces the long sum exactly where both are in range.
+    val o = graft.sources.Tables.orders(spark, sf)
+    val c = graft.functions.ExactNum.cents(col("o_totalprice"))
+    val maxCents = o.agg(max(abs(c))).head().getLong(0)
+    assert(Long.MaxValue / maxCents > 10_000_000_000L,
+      s"headroom ${Long.MaxValue / maxCents} rows")
+    val asLong = o.agg(sum(c)).head().getLong(0)
+    val asDec = o.agg(sum(c.cast("decimal(38,0)"))).head().getDecimal(0)
+    assert(BigDecimal(asDec) == BigDecimal(asLong))
+  }
+
   test("D2 approx: HLL++ distinct count is within its error bound") {
     val li = graft.sources.Tables.lineitem(spark, sf)
     val r = li.agg(

@@ -106,6 +106,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream volume alarms equal the graded e13 monitor under reversed " +
+    "arrival order") {
+    // Day counting is a commutative sum, so this twin must agree with the
+    // batch monitor under ANY arrival order — feed the real events REVERSED
+    // and split across two micro-batches to force state carry-over.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val feed = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq.reverse
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.volumeAlarms(mem.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("vol").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // Update mode appends per batch — keep each (type, day)'s FINAL
+    // emission. Counts only accumulate, so the final row is the one with
+    // the componentwise-max (n, base7); a groupBy+last would be
+    // order-nondeterministic.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "day")
+      .orderBy(col("n").desc, col("base7").desc)
+    val streamed = spark.table("vol")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    val batch = SparkEntry.queries("e13_volume_monitor")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("per-row simhash equals the batch signatures; stream dedup keeps " +
     "exactly one doc per fingerprint") {
     import spark.implicits._
@@ -397,6 +430,18 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("user_id").collect().toSeq
     val want = SparkEntry.queries("i7_upsert")(spark, sf).collect().toSeq
     assert(got == want)
+    // time travel: version 0 (the first run's snapshot, before the second
+    // run merged) is still readable AS OF and is exactly the LWW state of
+    // the first chunk alone — published versions are immutable snapshots
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val firstLww = first.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val v0 = StreamingOps.upsertTableAt(spark, target, 0L)
+    assert(v0.exceptAll(firstLww).count() == 0 &&
+      firstLww.exceptAll(v0).count() == 0)
   }
 
   test("foreachBatch upsert sink converges to last-writer-wins state") {
