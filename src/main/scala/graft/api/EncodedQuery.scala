@@ -221,6 +221,42 @@ object EncodedQuery {
     from.orderBy(col(pageKey)).limit(limit)
   }
 
+  /** A reference-field edge for cross-TABLE dot-walking: following `name`
+    * from a record joins `childKey` to `parentKey` of `dim` and exposes
+    * every dim column under the `name.` prefix — the ServiceNow reference
+    * field (`{"value": sys_id}` → another table) that `sysparm_query`
+    * dot-walks server-side (`location.name=X` joins cmdb_ci to
+    * cmn_location before filtering). `refs` nests further hops
+    * (`nation.region.r_name` = two edges deep). */
+  final case class Ref(name: String, childKey: String, dim: DataFrame,
+      parentKey: String, refs: Seq[Ref] = Nil)
+
+  /** Resolve reference edges by packing each (broadcast-joined) dim as a
+    * nested STRUCT column named after the edge — after which the existing
+    * struct dot-walk in [[fieldType]]/[[condColumn]] resolves any
+    * `ref.ref.field` path with no further compiler changes. The join is a
+    * LEFT join: a dangling reference (CMDB reality) yields a NULL struct,
+    * so `ref.field ISEMPTY` is true for orphans — the same answer the
+    * Table API gives for a broken reference. Dims broadcast (the dot-walk
+    * cost at 100 TB is precisely a dim join per hop; nested hops resolve
+    * dim-side first, so each hop broadcasts one already-walked dim). */
+  def resolveRefs(df: DataFrame, refs: Seq[Ref]): DataFrame =
+    refs.foldLeft(df) { (acc, r) =>
+      val dimR = resolveRefs(r.dim, r.refs)
+      val packed = dimR.select(col(r.parentKey).as("__graft_pk"),
+        struct(dimR.columns.map(col): _*).as(r.name))
+      acc.join(org.apache.spark.sql.functions.broadcast(packed),
+          acc(r.childKey) === packed("__graft_pk"), "left")
+        .drop("__graft_pk")
+    }
+
+  /** [[tableApi]] over a dot-walked view: the full `sysparm_query` +
+    * reference-traversal emulation in one call. */
+  def tableApiWalked(df: DataFrame, refs: Seq[Ref], q: String,
+      fields: Seq[String] = Nil, offset: Int = 0, limit: Int = -1,
+      pageKey: Option[String] = None): DataFrame =
+    tableApi(resolveRefs(df, refs), q, fields, offset, limit, pageKey)
+
   /** The Aggregate API (`GET /api/now/stats/{table}`) emulation — the
     * reference's OTHER query surface beside the Table API:
     * `sysparm_query` compiles through the same encoded-query predicate,

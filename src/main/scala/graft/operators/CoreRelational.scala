@@ -364,6 +364,27 @@ object CoreRelational {
         minFields = Seq("o_totalprice"), maxFields = Seq("o_totalprice"))
         .orderBy("o_orderpriority")),
 
+    // B12: cross-table DOT-WALK in the encoded query — the ServiceNow
+    // reference-field traversal (`location.name=X` joins cmdb_ci to
+    // cmn_location server-side before filtering). Ref edges pack each
+    // broadcast-joined dim as a nested struct named after the edge, after
+    // which the compiler's struct resolution handles any ref.ref.field
+    // path: here customer dot-walks nation.region two hops deep, filters
+    // on the walked region name AND a local column in one predicate tree
+    // (pushdown applies to the local half), and projects walked fields.
+    "b12_dotwalk_query" -> ((s, d) => {
+      import graft.api.EncodedQuery.Ref
+      val refs = Seq(Ref("nation", "c_nationkey", nation(s, d), "n_nationkey",
+        Seq(Ref("region", "n_regionkey", region(s, d), "r_regionkey"))))
+      graft.api.EncodedQuery
+        .tableApiWalked(customer(s, d), refs,
+          "nation.region.r_name=EUROPE^c_acctbal>0^ORDERBYc_custkey")
+        .select(col("c_custkey"), col("c_name"),
+          col("nation.n_name").as("n_name"),
+          col("nation.region.r_name").as("r_name"))
+        .orderBy("c_custkey")
+    }),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -1307,6 +1328,15 @@ object CoreRelational {
                  max(o_totalprice) AS max_o_totalprice
           FROM orders WHERE o_orderstatus = 'O'
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the dot-walk is server-side joins in the real API — plain joins here
+    "b12_dotwalk_query" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND c_acctbal > 0
+         ORDER BY c_custkey""",
 
     // K1: DuckDB's nfc_normalize is the same Unicode NFC algorithm
     // (utf8proc) as java.text.Normalizer — byte-identical outputs. chr(769)

@@ -195,4 +195,34 @@ class EncodedQuerySpec extends AnyFunSuite {
     assert(one.columns.toSeq ==
       Seq("count", "min_o_totalprice", "max_o_totalprice"))
   }
+
+  test("cross-table dot-walk: two-hop walked filter equals the manual " +
+    "join; dangling references answer ISEMPTY") {
+    import graft.api.EncodedQuery.Ref
+    import org.apache.spark.sql.functions.col
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val nat = graft.sources.Tables.nation(spark, sf)
+    val reg = graft.sources.Tables.region(spark, sf)
+    val refs = Seq(Ref("nation", "c_nationkey", nat, "n_nationkey",
+      Seq(Ref("region", "n_regionkey", reg, "r_regionkey"))))
+    val walked = graft.api.EncodedQuery
+      .tableApiWalked(cust, refs, "nation.region.r_name=ASIA^c_acctbal>0")
+      .select("c_custkey")
+    val manual = cust
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && col("c_acctbal") > 0)
+      .select("c_custkey")
+    assert(walked.exceptAll(manual).count() == 0 &&
+      manual.exceptAll(walked).count() == 0 && walked.count() > 0)
+    // a dangling reference (no parent row) leaves a NULL struct, so the
+    // walked field answers ISEMPTY — the Table API's broken-reference
+    // behavior. Inject an orphan by shifting every FK out of range.
+    val orphaned = cust.withColumn("c_nationkey", col("c_nationkey") + 1000)
+    val walkedOrphans = graft.api.EncodedQuery
+      .tableApiWalked(orphaned,
+        Seq(Ref("nation", "c_nationkey", nat, "n_nationkey")),
+        "nation.n_nameISEMPTY")
+    assert(walkedOrphans.count() == cust.count())
+  }
 }
