@@ -64,6 +64,38 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       salted.exceptAll(direct).count() == 0)
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew=true in the " +
+    "final plan)") {
+    // The runtime complement of the manual salting proofs: when one join
+    // key owns most of the fact side, AQE's skew-join rule must split the
+    // oversized shuffle partition into parallel sub-partitions AFTER
+    // seeing the real map output sizes — the mechanism that saves an
+    // unsalted 100 TB join from its hot reducer. Thresholds are lowered so
+    // the test-sized frame trips the same code path a production skew
+    // would; broadcast is disabled so the join actually shuffles.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val fact = s.range(0, 200000)
+      .select(
+        when(col("id") < 180000, 0L).otherwise(col("id")).as("k"),
+        concat(lit("x"), col("id").cast("string"),
+          lit("p".padTo(40, 'p'))).as("pad"))
+    val dim = s.range(0, 1000).select(col("id").as("k"), col("id").as("v"))
+    val joined = fact.join(dim.hint("merge"), "k")
+    // collect() on THIS frame: count() would spawn its own QueryExecution
+    // and leave joined's AQE plan unexecuted (isFinalPlan=false)
+    assert(joined.collect().length == 180000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), plan.take(2000))
+  }
+
   test("hot/tail split join equals the plain vocabulary join (Zipf-skew shape)") {
     // The ta_unigram_logprob scale path: a corpus-tokens ⋈ vocabulary join
     // is Zipf-skewed (every "the" row lands on one shuffle key). The fix is
