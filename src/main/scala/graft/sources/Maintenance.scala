@@ -55,4 +55,27 @@ object Maintenance {
       .write.mode("overwrite").parquet(dest)
     (before.length, parquetFiles(dest).length)
   }
+
+  /** Retention pass for a `_VERSION`-pointer versioned table
+    * (`graft.streaming.StreamingOps.runUpsertSinkToParquet` targets):
+    * delete every published version older than the newest `keep` — the
+    * job that ends a version's time-travel readability (and reclaims the
+    * storage immutable snapshots otherwise accumulate forever). The
+    * CURRENT version is always within the kept window, so readers of the
+    * pointer are never affected; a concurrent time-travel reader of a
+    * pruned version sees a missing directory, the same contract a real
+    * table format's VACUUM has. Returns the pruned version numbers.
+    */
+  def vacuumVersions(spark: SparkSession, target: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val dir = new Path(target)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.stripPrefix("v").toLong)
+      .sorted
+    val prune = versions.dropRight(keep)
+    prune.foreach(v => fs.delete(new Path(dir, s"v$v"), true))
+    prune
+  }
 }

@@ -442,6 +442,15 @@ class StreamingSpec extends AnyFunSuite {
     val v0 = StreamingOps.upsertTableAt(spark, target, 0L)
     assert(v0.exceptAll(firstLww).count() == 0 &&
       firstLww.exceptAll(v0).count() == 0)
+    // retention: vacuum to the newest version only — v0's time travel ends
+    // (directory gone), the pointer's current snapshot is untouched
+    val pruned = graft.sources.Maintenance.vacuumVersions(spark, target, keep = 1)
+    assert(pruned.contains(0L))
+    assert(StreamingOps.currentUpsertTable(spark, target)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"))
+      .orderBy("user_id").collect().toSeq == want)
+    intercept[Exception] { StreamingOps.upsertTableAt(spark, target, 0L).collect() }
   }
 
   test("foreachBatch upsert sink converges to last-writer-wins state") {
