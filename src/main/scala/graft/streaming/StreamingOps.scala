@@ -363,6 +363,40 @@ object StreamingOps {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the attribution query's
+    * production form: every click, with its purchase inside the next 30
+    * minutes IF one exists. The semantic worth pinning is WHEN the
+    * unmatched row appears: an inner match emits as soon as both sides
+    * arrive, but a click with no purchase can only emit its null once the
+    * purchase-side WATERMARK has passed the end of the click's interval —
+    * before that, a matching purchase could still arrive, so the row sits
+    * in join state. A dashboard reading this stream sees matches promptly
+    * and no-purchase rows one watermark-delay late; that lag is the price
+    * of the null being definitive, and the watermark bound is also what
+    * lets the join state evict (two unbounded streams join forever in
+    * bounded memory). Both sides carry watermarks and the condition
+    * bounds event time in both directions — the requirements Spark
+    * imposes before it will run an outer stream-stream join at all. */
+  def clickToPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              purchase_ts BETWEEN click_ts
+                              AND click_ts + INTERVAL 30 MINUTES"""),
+      "leftOuter")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"))
+  }
+
   /** Stream-static enrichment join: each event joined to a static dimension
     * snapshot (the CMDB "reference field" resolution done stream-side). The
     * static side is broadcast per micro-batch — no stream state at all, so

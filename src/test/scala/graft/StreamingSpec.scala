@@ -391,6 +391,43 @@ class StreamingSpec extends AnyFunSuite {
       Seq((2L, 1L), (6L, 4L), (6L, 5L)))
   }
 
+  test("left-outer stream-stream join: matches emit promptly, null rows " +
+    "only after the watermark closes the interval") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val batch1 = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),    // will match
+      Ev(2, t("2024-01-01 10:10:00"), 1, "purchase", 1.0, "{}"), // its match
+      Ev(3, t("2024-01-01 10:00:00"), 2, "click", 1.0, "{}"))    // never matches
+    // far-future events on BOTH sides: the global watermark is the MIN of
+    // the per-stream watermarks, so a side that never sees data pins it at
+    // epoch and the null row never emits — the production gotcha this test
+    // encodes. One late click AND one late (unrelated-user) purchase push
+    // both sides past click 3's interval end (10:30) + the 10-min delay.
+    val batch2 = Seq(
+      Ev(9, t("2024-01-01 13:00:00"), 3, "click", 1.0, "{}"),
+      Ev(10, t("2024-01-01 13:00:00"), 4, "purchase", 1.0, "{}"))
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.clickToPurchaseLeftJoin(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("lsj").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    val afterB1 = spark.table("lsj").collect()
+    // the inner match is out immediately; the no-purchase click is NOT —
+    // a later purchase could still arrive inside its interval
+    assert(afterB1.map(_.getLong(0)).toSet == Set(1L))
+    assert(afterB1.forall(!_.isNullAt(3)))
+    mem.addData(batch2: _*); q.processAllAvailable()
+    // one more empty pull: outer-join null emission happens when a batch
+    // RUNS with the advanced watermark, which the no-data microbatch does
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("lsj").collect()
+    val click3 = rows.filter(_.getLong(0) == 3L)
+    assert(click3.length == 1 && click3.head.isNullAt(3),
+      rows.mkString(";")) // the null is definitive: watermark passed 10:40
+    // and the matched row never re-emits or duplicates
+    assert(rows.count(_.getLong(0) == 1L) == 1)
+  }
+
   test("stream-static enrichment join equals the batch twin, stateless") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
