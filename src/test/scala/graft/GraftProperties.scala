@@ -294,6 +294,80 @@ object GraftProperties extends Properties("graft") {
       evs.isEmpty || got == model
     }
 
+  property("dot-walk compiler equals a manual join on random FK data, " +
+    "including dangling references") = forAll(for {
+      nChild <- Gen.choose(1, 25)
+      nDim <- Gen.choose(1, 8)
+      fks <- Gen.listOfN(25, Gen.choose(0, 11)) // some FKs dangle (>= nDim)
+      pick <- Gen.choose(0, 7)
+    } yield (nChild, nDim, fks, pick)) { case (nChild, nDim, fks, pick) =>
+      import spark.implicits._
+      import graft.api.EncodedQuery.Ref
+      val child = (0 until nChild).map(i => (i.toLong, fks(i).toLong))
+        .toDF("id", "fk")
+      val dim = (0 until nDim).map(i => (i.toLong, s"name$i"))
+        .toDF("pk", "dname")
+      val q = s"parent.dname=name$pick"
+      val walked = graft.api.EncodedQuery
+        .applyTo(graft.api.EncodedQuery.resolveRefs(child,
+          Seq(Ref("parent", "fk", dim, "pk"))), q)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val manual = child.join(dim, col("fk") === col("pk"))
+        .filter(col("dname") === s"name$pick")
+        .select("id").collect().map(_.getLong(0)).toSet
+      // and ISEMPTY finds exactly the dangling references
+      val orphans = graft.api.EncodedQuery
+        .applyTo(graft.api.EncodedQuery.resolveRefs(child,
+          Seq(Ref("parent", "fk", dim, "pk"))), "parent.dnameISEMPTY")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val expectOrphans = (0 until nChild).filter(i => fks(i) >= nDim)
+        .map(_.toLong).toSet
+      walked == manual && orphans == expectOrphans
+    }
+
+  property("volume monitor matches a sequential trailing-window model on " +
+    "random daily counts") = forAll(for {
+      nDays <- Gen.choose(8, 20)
+      counts <- Gen.listOfN(20, Gen.choose(1, 40))
+    } yield (nDays, counts)) { case (nDays, counts) =>
+      import spark.implicits._
+      // one synthetic type, counts(i) events on day i
+      val rows = (0 until nDays).flatMap { day =>
+        (0 until counts(day)).map { j =>
+          (day.toLong * 1000 + j,
+            java.sql.Timestamp.valueOf(f"2024-03-${day + 1}%02d 12:00:00"),
+            1L, "click", 1.0, "{}")
+        }
+      }
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        val w = Window.partitionBy("event_type")
+          .orderBy("day").rowsBetween(-7, -1)
+        val daily = df.groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("base7", sum(col("n")).over(w))
+          .withColumn("nprior", count(col("n")).over(w))
+          .filter(col("nprior") === 7)
+          .select(col("day"), col("n"), col("base7"),
+            (col("n") * 14 > col("base7") * 3).cast("int").as("spike"),
+            (col("n") * 14 < col("base7")).cast("int").as("slump"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getInt(3), r.getInt(4))).sortBy(_._1)
+        // sequential model
+        val model = (7 until nDays).map { i =>
+          val base = (i - 7 until i).map(counts(_).toLong).sum
+          val n = counts(i).toLong
+          (f"2024-03-${i + 1}%02d", n, base,
+            if (n * 14 > base * 3) 1 else 0, if (n * 14 < base) 1 else 0)
+        }
+        daily.toSeq == model
+      }
+    }
+
   property("substr spans: a planted span is localized exactly at random " +
     "offsets and lengths; disjoint-alphabet docs never match") =
     forAll(for {
