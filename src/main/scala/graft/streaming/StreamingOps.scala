@@ -273,6 +273,51 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class SyncChange(user_id: Long, new_type: String, change: String,
+    n_delta: Long)
+
+  /** Streaming form of the composed sync loop (`i11_sync_pipeline`'s
+    * arrival-time twin): delta events stream in, each row stream-static
+    * LEFT-joined to the pre-sync target state (broadcast per micro-batch),
+    * then folded per user into constant-size state — (latest us, latest
+    * event_id, latest type, delta count, old state). Every fold is
+    * commutative (max on (us, event_id), count, and old_type is constant
+    * per user), so like volumeAlarms this twin is EXACTLY
+    * order-independent within the delta: any arrival order converges to
+    * the batch report. Each batch re-emits the user's current report row
+    * under Update semantics; the final emission per user equals the
+    * batch `i11_sync_pipeline` row for that user. */
+  def syncChanges(delta: DataFrame, target: DataFrame): Dataset[SyncChange] = {
+    import delta.sparkSession.implicits._
+    val joined = delta
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      .join(org.apache.spark.sql.functions.broadcast(
+          target.select(col("user_id").as("t_user"), col("old_type"))),
+        col("user_id") === col("t_user"), "left")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("us"),
+        col("old_type"))
+      .as[(Long, Long, String, Long, Option[String])]
+    def update(uid: Long, rows: Iterator[(Long, Long, String, Long, Option[String])],
+        state: GroupState[(Long, Long, String, Long, String)])
+        : Iterator[SyncChange] = {
+      // old_type is "" when the user is absent from the target (inserted)
+      var (us, eid, typ, n, old) =
+        state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L, ""))
+      rows.foreach { case (_, e, t, u, o) =>
+        n += 1
+        if (u > us || (u == us && e > eid)) { us = u; eid = e; typ = t }
+        old = o.getOrElse("")
+      }
+      state.update((us, eid, typ, n, old))
+      val change =
+        if (old.isEmpty) "inserted" else if (old != typ) "updated" else "unchanged"
+      Iterator(SyncChange(uid, typ, change, n))
+    }
+    joined.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   case class RetentionDelta(cohort_us: Long, week_offset: Int, delta: Int)
 
   /** Streaming cohort retention as an incrementally-maintained view — the

@@ -139,6 +139,45 @@ class StreamingSpec extends AnyFunSuite {
       batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream sync changes equal the graded i11 report under reversed " +
+    "arrival order") {
+    // Every per-user fold in syncChanges is commutative (max on (us, eid),
+    // count), so the twin must converge to the batch report under ANY
+    // arrival order — feed the real delta slice REVERSED over two batches.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val wm = "2024-01-15 00:00:00"
+    val ev = graft.sources.Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val target = ev.filter(col("ts") <= lit(wm).cast("timestamp"))
+      .select(col("user_id"), col("event_type").as("old_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "old_type")
+    val feed = ev.filter(col("ts") > lit(wm).cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().toSeq.reverse
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.syncChanges(mem.toDF(), target)
+      .writeStream.outputMode("update").format("memory").queryName("sync").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // final emission per user = the one with the max n_delta (counts only
+    // grow across batches)
+    val wFinal = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("n_delta").desc)
+    val streamed = spark.table("sync")
+      .withColumn("rn", row_number().over(wFinal)).filter(col("rn") === 1)
+      .select("user_id", "new_type", "change", "n_delta")
+    val batch = SparkEntry.queries("i11_sync_pipeline")(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
+
   test("per-row simhash equals the batch signatures; stream dedup keeps " +
     "exactly one doc per fingerprint") {
     import spark.implicits._
