@@ -214,6 +214,22 @@ object Lsh {
     "lsh_ivf_refined" -> ((s, d) =>
       ivfTopK(s, d, nlist = 10, nprobe = 1, k = 5, nq = 5, refine = 1)),
 
+    // Product quantization (Jégou et al., TPAMI 2011) — the embedding
+    // COMPRESSION half of large-scale ANN (IVF is the partition half;
+    // IVF-PQ composes them): the 64-dim vector splits into m=4 16-dim
+    // subvectors, each subspace learns a k=8-codeword codebook (one
+    // k-means assignment step from the same md5-hash-seeded start as the
+    // IVF quantizer — no data-dependent seeding, bit-identical centroids
+    // via round4 on both engines), and every vector is encoded as its
+    // nearest codeword per subspace: 64×8 bytes → 4×3 bits. Output is the
+    // long-format code table (vec_id, sub, code, err2) with the per-
+    // subspace squared reconstruction error. Scale shape: the codebook is
+    // m×k rows — always broadcast; encoding is one broadcast-join +
+    // per-(vec,sub) argmin window; nothing is ever pair-wise. The same
+    // plan at 100 TB just grows k (and Lloyd rounds, same shape as
+    // lsh_ivf_refined's knob).
+    "emb_pq" -> ((s, d) => pqCodes(s, d, m = 4, k = 8)),
+
     // ±1-bit multiprobe LSH — grades the `multiprobe` knob: per band, side
     // A also probes every bucket one sign-bit away, recovering true pairs
     // that disagree on a single bit in every band, at ×(1+bandBits)
@@ -420,6 +436,44 @@ object Lsh {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Product-quantization encoder — see the `emb_pq` entry for semantics.
+    * Codebook: seed code₀ = md5-hash(vec_id) mod k (the vector seeds the
+    * SAME codeword in every subspace — irrelevant for quality, one hash per
+    * vector), codeword = round4'd per-dimension mean of its seed cell's
+    * subvectors. Encoding: broadcast the m·k-row codebook, squared-distance
+    * argmin per (vec, sub) with the codeword id as the deterministic
+    * tie-break. Distances are bit-identical cross-engine: round4-exact
+    * centroids, and both engines fold the 16 dimension terms in index
+    * order. */
+  private[graft] def pqCodes(s: org.apache.spark.sql.SparkSession, d: String,
+      m: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val dims = 64 / m
+    val subs = embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("sv", expr(s"slice(v, sub*$dims + 1, $dims)"))
+      .withColumn("seed",
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % k).cast("int"))
+    val codebook = subs
+      .select(col("sub"), col("seed").as("code"), posexplode(col("sv")).as(Seq("pos", "e")))
+      .groupBy("sub", "code", "pos").agg(round4(avg(col("e"))).as("c"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+    val argminW = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist2").asc, col("code").asc)
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist2",
+        graft.plans.VectorExpressions.squared_distance(col("sv"), col("cent")))
+      .withColumn("rn", row_number().over(argminW))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"),
+        round4(col("dist2")).as("err2"))
+      .orderBy("vec_id", "sub")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
@@ -648,6 +702,40 @@ object Lsh {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    // PQ mirror: same md5 seed, round4'd per-subspace codeword means,
+    // squared-distance argmin with the code id as tie-break. Distances
+    // index into the full embedding (sub*16 + i) where Spark slices first
+    // — same values, same fold order, bit-identical doubles.
+    "emb_pq" ->
+      """WITH seeded AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 8 AS INT) AS code0
+            FROM embeddings),
+          subs AS (
+            SELECT vec_id, embedding, code0, CAST(t.i AS INT) AS sub
+            FROM seeded, range(4) t(i)),
+          cb AS (
+            SELECT sub, code, list(c ORDER BY pos) AS cent FROM (
+              SELECT sub, code0 AS code, i AS pos,
+                     CAST(round(avg(embedding[sub*16 + i + 1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+              FROM subs, range(16) t(i) GROUP BY 1, 2, 3)
+            GROUP BY sub, code),
+          scored AS (
+            SELECT s.vec_id, s.sub, c.code,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+                     i -> (s.embedding[s.sub*16 + i]::DOUBLE - c.cent[i])
+                        * (s.embedding[s.sub*16 + i]::DOUBLE - c.cent[i]))),
+                     (acc, x) -> acc + x) AS dist2
+            FROM subs s JOIN cb c ON s.sub = c.sub),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                        ORDER BY dist2 ASC, code ASC) AS rn
+            FROM scored)
+          SELECT vec_id, sub, code,
+                 CAST(round(dist2*10000) AS BIGINT)/10000.0 AS err2
+          FROM ranked WHERE rn = 1
+          ORDER BY vec_id, sub""",
 
     // lsh_rp_near_dup's chain plus the ±1-bit probe union: side A probes
     // its own bucket and every bucket one sign-bit away in each band.

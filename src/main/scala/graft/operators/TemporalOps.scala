@@ -295,6 +295,49 @@ object TemporalOps {
         .orderBy("user_id")
     }),
 
+    // I12: sync reconciliation — the integrity audit that closes the sync
+    // loop: did the target (AWS copy) actually end up equal to the source
+    // (CMDB)? At 100 TB you cannot diff row-by-row, so the report is
+    // Merkle-style: per partition class (order month), compare row COUNTS
+    // and an order-insensitive content CHECKSUM (sum of per-row md5-hashes
+    // mod 1e9+7 — integer, associative, partial-aggregable, identical
+    // under any partitioning on either engine); only drifted partitions
+    // would then get the row-level i8 diff. The target here is the source
+    // re-derived with two deterministic sync defects (keys ≡7 mod 997
+    // dropped, keys ≡13 mod 997 price-corrupted by one cent) so the report
+    // provably classifies all three states. The row hash folds the full
+    // record through exact-integer encodings (cents, epoch micros) — no
+    // float-to-string formatting anywhere.
+    "i12_reconcile" -> ((s, d) => {
+      def hashed(df: org.apache.spark.sql.DataFrame) = df.select(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"),
+        (conv(substring(md5(concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"), col("pcents").cast("string"),
+          unix_micros(col("o_orderdate")).cast("string"),
+          col("o_orderpriority"))), 1, 15), 16, 10).cast("long")
+          % 1000000007L).as("h"))
+      val src = orders(s, d).withColumn("pcents", cents(col("o_totalprice")))
+      val tgt = src.filter(col("o_orderkey") % 997 =!= 7)
+        .withColumn("pcents",
+          when(col("o_orderkey") % 997 === 13, col("pcents") + 1)
+            .otherwise(col("pcents")))
+      val a = hashed(src).groupBy("month")
+        .agg(count(lit(1)).as("src_n"), sum(col("h")).as("src_sum"))
+      val b = hashed(tgt).groupBy("month")
+        .agg(count(lit(1)).as("tgt_n"), sum(col("h")).as("tgt_sum"))
+      a.join(b, Seq("month"), "full")
+        .select(col("month"),
+          coalesce(col("src_n"), lit(0L)).as("src_n"),
+          coalesce(col("tgt_n"), lit(0L)).as("tgt_n"),
+          when(coalesce(col("src_n"), lit(0L)) =!= coalesce(col("tgt_n"), lit(0L)),
+            "count_drift")
+            .when(coalesce(col("src_sum"), lit(-1L)) =!= coalesce(col("tgt_sum"), lit(-1L)),
+              "content_drift")
+            .otherwise("in_sync").as("status"))
+        .orderBy("month")
+    }),
+
     // I8: snapshot diff (CDC derive) — per-user state at t1 vs t2; emits
     // inserted/updated/unchanged rows (the sync delta the reference loads).
     "i8_snapshot_diff" -> ((s, d) => {
@@ -512,6 +555,48 @@ object TemporalOps {
          JOIN vol v ON d.user_id = v.user_id
          LEFT JOIN target t ON d.user_id = t.tu
          ORDER BY d.user_id""",
+
+    // Same defect derivation, same exact-integer row hash; HUGEINT checksum
+    // sums stay internal to the CASE (never in the output schema).
+    "i12_reconcile" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                  o_orderdate,
+                  CAST(round(o_totalprice*100) AS BIGINT) AS pcents
+           FROM orders),
+         tgt AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+                  o_orderdate,
+                  CASE WHEN o_orderkey % 997 = 13 THEN pcents + 1
+                       ELSE pcents END AS pcents
+           FROM src WHERE o_orderkey % 997 <> 7),
+         sh AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                  ('0x'||substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+                    o_custkey::VARCHAR, o_orderstatus, pcents::VARCHAR,
+                    epoch_us(o_orderdate)::VARCHAR, o_orderpriority)),1,15))::BIGINT
+                    % 1000000007 AS h
+           FROM src),
+         th AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                  ('0x'||substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+                    o_custkey::VARCHAR, o_orderstatus, pcents::VARCHAR,
+                    epoch_us(o_orderdate)::VARCHAR, o_orderpriority)),1,15))::BIGINT
+                    % 1000000007 AS h
+           FROM tgt),
+         sa AS (SELECT month, count(*) AS src_n, sum(h) AS src_sum
+                FROM sh GROUP BY 1),
+         ta AS (SELECT month, count(*) AS tgt_n, sum(h) AS tgt_sum
+                FROM th GROUP BY 1)
+         SELECT coalesce(sa.month, ta.month) AS month,
+                coalesce(src_n, 0) AS src_n, coalesce(tgt_n, 0) AS tgt_n,
+                CASE WHEN coalesce(src_n, 0) <> coalesce(tgt_n, 0)
+                       THEN 'count_drift'
+                     WHEN coalesce(src_sum, -1) <> coalesce(tgt_sum, -1)
+                       THEN 'content_drift'
+                     ELSE 'in_sync' END AS status
+         FROM sa FULL OUTER JOIN ta ON sa.month = ta.month
+         ORDER BY month""",
 
     "i8_snapshot_diff" ->
       """WITH old AS (

@@ -436,6 +436,45 @@ object WindowedAnalytics {
         .orderBy("purchase_id")
     }),
 
+    // C14: interval-overlap join — for each purchase's 1-hour fulfillment
+    // interval, the severe maintenance windows (error events with
+    // value ≥ 90, ±15 min) that overlap it, with total overlap time.
+    // Unlike C7 there is NO equi key at all (windows are global), so the
+    // only scale lever is the time-grid trick: both interval sets explode
+    // onto a 30-min epoch grid (a bounded ≤3/≤2 cells per interval — the
+    // lengths are fixed), the join is equi on the cell, and each
+    // qualifying pair is counted exactly once WITHOUT a distinct shuffle
+    // by keeping it only in the cell that contains the overlap's start
+    // (`cell == greatest(ps, ms) div G` — the standard spatial-join
+    // de-dup trick). Candidates are Σ_cell |P_cell|·|M_cell|, never
+    // |P|·|M|; at 100 TB the grid granularity is the knob that holds
+    // per-cell populations constant. Closed-interval semantics: touching
+    // endpoints match with overlap_us = 0, and all arithmetic is integer
+    // microseconds so the overlap predicate is exact on both engines.
+    "c14_interval_join" -> ((s, d) => {
+      val gridUs = 1800000000L // 30-min cells
+      val ev = events(s, d).select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("us").as("ps"),
+          (col("us") + 3600000000L).as("pe"))
+        .withColumn("cell",
+          explode(sequence(expr(s"ps div ${gridUs}L"), expr(s"pe div ${gridUs}L"))))
+      val maint = ev.filter(col("event_type") === "error" && col("value") >= 90)
+        .select(col("event_id").as("window_id"), (col("us") - 900000000L).as("ms"),
+          (col("us") + 900000000L).as("me"))
+        .withColumn("cell",
+          explode(sequence(expr(s"ms div ${gridUs}L"), expr(s"me div ${gridUs}L"))))
+      purch.join(maint, Seq("cell"))
+        .filter(col("ps") <= col("me") && col("ms") <= col("pe") &&
+          col("cell") === expr(s"greatest(ps, ms) div ${gridUs}L"))
+        .groupBy("purchase_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(least(col("pe"), col("me")) - greatest(col("ps"), col("ms")))
+            .as("overlap_us"))
+        .orderBy("purchase_id")
+    }),
+
     // D5: collect aggregation — per-nation sorted name roster, rendered as a
     // joined string so the oracle hash is array-representation-agnostic.
     "d5_collect" -> ((s, d) =>
@@ -832,6 +871,20 @@ object WindowedAnalytics {
            FROM events WHERE event_type IN ('purchase', 'click'))
          WHERE event_type = 'purchase'
          ORDER BY purchase_id""",
+
+    // The oracle states the overlap join directly (DuckDB handles the
+    // theta join at oracle scale); the grid blocking is plan shape only.
+    "c14_interval_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_windows,
+                CAST(sum(least(p.us + 3600000000, m.us + 900000000)
+                         - greatest(p.us, m.us - 900000000)) AS BIGINT) AS overlap_us
+         FROM (SELECT event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'purchase') p
+         JOIN (SELECT event_id, epoch_us(ts) AS us FROM events
+               WHERE event_type = 'error' AND value >= 90) m
+           ON p.us <= m.us + 900000000
+          AND m.us - 900000000 <= p.us + 3600000000
+         GROUP BY 1 ORDER BY purchase_id""",
 
     "d5_collect" ->
       """SELECT n_name, string_agg(c_name, '|' ORDER BY c_name) AS names,

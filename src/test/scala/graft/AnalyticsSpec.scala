@@ -319,4 +319,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(rep.filter(!col("change").isin("inserted", "updated", "unchanged"))
       .count() == 0)
   }
+
+  test("c14: grid-blocked interval join equals the direct theta join") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("us").as("ps"),
+        (col("us") + 3600000000L).as("pe"))
+    val m = ev.filter(col("event_type") === "error" && col("value") >= 90)
+      .select((col("us") - 900000000L).as("ms"), (col("us") + 900000000L).as("me"))
+    // naive all-pairs form (fine at spec scale) — the grid blocking plus
+    // the overlap-start-cell dedup trick must lose and invent NOTHING
+    val naive = p.crossJoin(m)
+      .filter(col("ps") <= col("me") && col("ms") <= col("pe"))
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(least(col("pe"), col("me")) - greatest(col("ps"), col("ms")))
+          .as("overlap_us"))
+    val got = run("c14_interval_join")
+    assert(got.exceptAll(naive).count() == 0 && naive.exceptAll(got).count() == 0)
+    assert(got.count() > 0)
+  }
+
+  test("i12: reconciliation classifies the planted sync defects per month") {
+    val out = run("i12_reconcile").collect()
+    val om = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+    def monthsWhere(r: Long): Set[String] = om
+      .filter(col("o_orderkey") % 997 === r)
+      .select("month").distinct().collect().map(_.getString(0)).toSet
+    val dropped = monthsWhere(7)
+    val corrupted = monthsWhere(13)
+    out.foreach { r =>
+      val month = r.getString(0)
+      val expected =
+        if (dropped(month)) "count_drift"
+        else if (corrupted(month)) "content_drift"
+        else "in_sync"
+      assert(r.getString(3) == expected, s"$month: ${r.getString(3)} vs $expected")
+    }
+    // the total count delta is exactly the planted drop set — the checksum
+    // partition never hides a missing row in an aggregate
+    val drops = om.filter(col("o_orderkey") % 997 === 7).count()
+    assert(out.map(r => r.getLong(1) - r.getLong(2)).sum == drops)
+  }
 }

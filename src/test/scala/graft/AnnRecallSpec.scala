@@ -100,4 +100,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r2 >= 0.2, s"nprobe=2 recall collapsed: $r2")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("PQ: one code per (vector, subspace), codes in range, and the " +
+      "quantization error never exceeds the raw scatter") {
+    val out = graft.operators.Lsh.pqCodes(spark, d, m = 4, k = 8)
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val n = emb.count()
+    // exactly m rows per vector, one per subspace, all codes in [0, k)
+    assert(out.count() == 4 * n)
+    assert(out.select("vec_id", "sub").distinct().count() == 4 * n)
+    assert(out.filter(col("code") < 0 || col("code") >= 8).count() == 0)
+    assert(out.filter(col("err2") < 0).count() == 0)
+    // codewords are (at worst) seed-cell means and assignment is argmin, so
+    // by the variance decomposition total err2 <= total raw subvector
+    // scatter Σ‖v‖² — a codebook that stopped centering or an argmin that
+    // stopped minimizing breaks this
+    val totalErr = out.agg(sum("err2")).head().getDouble(0)
+    val totalNorm = emb
+      .select(graft.plans.VectorExpressions.squared_norm(
+        transform(col("embedding"), _.cast("double"))).as("n2"))
+      .agg(sum("n2")).head().getDouble(0)
+    assert(totalErr <= totalNorm + 1.0,
+      s"PQ error $totalErr exceeds raw scatter $totalNorm")
+  }
 }
