@@ -230,6 +230,14 @@ object Lsh {
     // lsh_ivf_refined's knob).
     "emb_pq" -> ((s, d) => pqCodes(s, d, m = 4, k = 8)),
 
+    // IVF-PQ ADC search — the composition of the two graded halves
+    // (lsh_ivf_topk's coarse cells × emb_pq's codes); see [[ivfpqTopK]].
+    // Graded at nlist=10, m=4, k=8 with 2 Lloyd rounds (the measured
+    // recall-best codebook on this fixture), top-5 over the 5 lowest
+    // vec_ids.
+    "lsh_ivfpq_topk" -> ((s, d) =>
+      ivfpqTopK(s, d, nlist = 10, m = 4, k = 8, topk = 5, nq = 5, refine = 2)),
+
     // ±1-bit multiprobe LSH — grades the `multiprobe` knob: per band, side
     // A also probes every bucket one sign-bit away, recovering true pairs
     // that disagree on a single bit in every band, at ×(1+bandBits)
@@ -447,8 +455,13 @@ object Lsh {
     * tie-break. Distances are bit-identical cross-engine: round4-exact
     * centroids, and both engines fold the 16 dimension terms in index
     * order. */
-  private[graft] def pqCodes(s: org.apache.spark.sql.SparkSession, d: String,
-      m: Int, k: Int): org.apache.spark.sql.DataFrame = {
+  /** The PQ model build shared by [[pqCodes]] and [[ivfpqTopK]]: returns
+    * (codebook, codes) — codebook is the m·k broadcastable centroid table
+    * (sub, code, cent), codes is the per-(vec, sub) assignment
+    * (vec_id, sub, code, dist2). */
+  private[graft] def pqModel(s: org.apache.spark.sql.SparkSession, d: String,
+      m: Int, k: Int, refine: Int = 0)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val dims = 64 / m
     val subs = embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -458,22 +471,86 @@ object Lsh {
       .withColumn("seed",
         (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % k).cast("int"))
-    val codebook = subs
-      .select(col("sub"), col("seed").as("code"), posexplode(col("sv")).as(Seq("pos", "e")))
+    // (sub, code, sv) → round4'd per-dimension mean codewords
+    def centsOf(assign: org.apache.spark.sql.DataFrame) = assign
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "e")))
       .groupBy("sub", "code", "pos").agg(round4(avg(col("e"))).as("c"))
       .groupBy("sub", "code")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cent"))
     val argminW = Window.partitionBy("vec_id", "sub")
       .orderBy(col("dist2").asc, col("code").asc)
-    subs.join(broadcast(codebook), Seq("sub"))
-      .withColumn("dist2",
-        graft.plans.VectorExpressions.squared_distance(col("sv"), col("cent")))
-      .withColumn("rn", row_number().over(argminW))
+    def nearest(cb: org.apache.spark.sql.DataFrame) =
+      subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("dist2",
+          graft.plans.VectorExpressions.squared_distance(col("sv"), col("cent")))
+        .withColumn("rn", row_number().over(argminW))
+    // Lloyd rounds per subspace: reassign each subvector to its nearest
+    // codeword, recompute round4 means — one broadcast-join + aggregate
+    // per round at any scale (empty codewords drop out), exactly the IVF
+    // `refine` shape applied m times in parallel.
+    val cb0 = centsOf(subs.select(col("sub"), col("seed").as("code"), col("sv")))
+    val codebook = (0 until refine).foldLeft(cb0) { (c, _) =>
+      centsOf(nearest(c).filter(col("rn") === 1)
+        .select(col("sub"), col("code"), col("sv")))
+    }
+    val codes = nearest(codebook)
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("dist2"))
+    (codebook, codes)
+  }
+
+  private[graft] def pqCodes(s: org.apache.spark.sql.SparkSession, d: String,
+      m: Int, k: Int): org.apache.spark.sql.DataFrame =
+    pqModel(s, d, m, k)._2
       .select(col("vec_id"), col("sub"), col("code"),
         round4(col("dist2")).as("err2"))
       .orderBy("vec_id", "sub")
+
+  /** IVF-PQ search (Jégou et al. TPAMI'11; the FAISS `IVFPQ` architecture):
+    * the coarse IVF quantizer picks the candidate cell, and candidates are
+    * ranked by ASYMMETRIC distance (ADC) — the exact query subvector
+    * against each candidate's CODEWORD, so ranking needs only the 12-bit
+    * code per candidate, never the raw vector. The ADC lookup table is
+    * nq·m·k rows (query × subspace × codeword squared distances) — always
+    * broadcast; per candidate the approximate distance is the SUM of its m
+    * table entries. The sum runs over exact 1e-4-tick longs (each entry
+    * tenK-quantized) so it is associative — identical under any
+    * partitioning or fold order on either engine — and the (adist, vec_id)
+    * ranking is wholly deterministic. At 100 TB this is the plan where the
+    * raw vectors never shuffle: cells partition the corpus, codes are 4
+    * bytes/vector, and only the top-k per query rejoin their vectors for
+    * an (optional) exact re-rank. */
+  private[graft] def ivfpqTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      nlist: Int, m: Int, k: Int, topk: Int, nq: Int, refine: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val dims = 64 / m
+    val ranked = ivfAssignments(s, d, nlist, nprobe = 1)
+    val corpus = ranked.filter(col("rnk") === 1).select("vec_id", "cell")
+    val (codebook, codes) = pqModel(s, d, m, k, refine)
+    val qIds = corpus.select("vec_id").orderBy("vec_id").limit(nq)
+    val qs = ranked.filter(col("rnk") === 1).join(broadcast(qIds), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"))
+    // ADC lookup table: exact query subvector vs every codeword, as 1e-4
+    // ticks (nq·m·k rows, broadcast)
+    val adc = qs
+      .select(col("query_id"), col("q"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("qsv", expr(s"slice(q, sub*$dims + 1, $dims)"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        tenK(graft.plans.VectorExpressions.squared_distance(col("qsv"), col("cent")))
+          .as("dq"))
+    val rankW = Window.partitionBy("query_id").orderBy(col("adist_tenk").asc, col("vec_id").asc)
+    corpus.join(broadcast(qs.select(col("query_id"), col("cell"))), Seq("cell"))
+      .join(codes.select("vec_id", "sub", "code"), Seq("vec_id"))
+      .join(broadcast(adc), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("dq")).as("adist_tenk"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        (col("adist_tenk") / 10000.0).as("adist"))
+      .orderBy("query_id", "rank")
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup by
@@ -515,6 +592,55 @@ object Lsh {
     * its nearest centroid, recompute round4-ed means — identical membership
     * each round because the distances fold in the same order and the
     * centroids are exact 4-decimal values in both engines. */
+  /** Oracle CTE chain for the PQ model — mirrors [[pqModel]] (same md5
+    * seed, round4 codeword means, argmin with code-id tie-break, `refine`
+    * Lloyd rounds per subspace). Ends in `pcb` (the final codebook:
+    * sub, code, cent) and `pcodes` (vec_id, embedding, sub, code, dist2).
+    * All CTE names are p-prefixed so the chain composes with
+    * [[ivfAssignSql]] in one WITH clause. */
+  private def pqSql(k: Int, refine: Int): String = {
+    def distExpr(e: String, sub: String, cent: String): String =
+      pqDistSql(e, sub, cent)
+    def centsOf(src: String, cname: String): String =
+      s"""$cname AS (
+            SELECT sub, code, list(c ORDER BY pos) AS cent FROM (
+              SELECT sub, code, i AS pos,
+                     CAST(round(avg(embedding[sub*16 + i + 1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+              FROM $src, range(16) t(i) GROUP BY 1, 2, 3)
+            GROUP BY sub, code)"""
+    def assignOf(cbname: String, aname: String): String =
+      s"""$aname AS (
+            SELECT vec_id, embedding, sub, code, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                          ORDER BY dist2 ASC, code ASC) AS rn FROM (
+                SELECT s.vec_id, s.embedding, s.sub, c.code,
+                       ${distExpr("s.embedding", "s.sub", "c.cent")} AS dist2
+                FROM psubs s JOIN $cbname c ON s.sub = c.sub))
+            WHERE rn = 1)"""
+    val lloyd = (1 to refine).map { r =>
+      assignOf(s"pcb${r - 1}", s"pre$r") + ",\n          " +
+        centsOf(s"pre$r", s"pcb$r")
+    }.mkString(",\n          ", ",\n          ", "")
+    s"""pseed AS (
+            SELECT vec_id, embedding,
+                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % $k AS INT) AS code0
+            FROM embeddings),
+          psubs AS (
+            SELECT vec_id, embedding, code0 AS code, CAST(t.i AS INT) AS sub
+            FROM pseed, range(4) t(i)),
+          ${centsOf("psubs", "pcb0")}${if (refine > 0) lloyd else ""},
+          pcb AS (SELECT * FROM pcb$refine),
+          ${assignOf("pcb", "pcodes")}"""
+  }
+
+  /** SQL fragment: squared distance between a 16-dim subvector of `e`
+    * (subspace index `sub`) and codeword `cent` — shared by [[pqSql]]
+    * consumers that need the ADC table. */
+  private def pqDistSql(e: String, sub: String, cent: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+        i -> ($e[$sub*16 + i]::DOUBLE - $cent[i])
+           * ($e[$sub*16 + i]::DOUBLE - $cent[i]))), (acc, x) -> acc + x)"""
+
   private def ivfAssignSql(nlist: Int, refine: Int = 0): String = {
     def centsOf(src: String, cname: String): String =
       s"""$cname AS (
@@ -708,34 +834,37 @@ object Lsh {
     // index into the full embedding (sub*16 + i) where Spark slices first
     // — same values, same fold order, bit-identical doubles.
     "emb_pq" ->
-      """WITH seeded AS (
-            SELECT vec_id, embedding,
-                   CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 8 AS INT) AS code0
-            FROM embeddings),
-          subs AS (
-            SELECT vec_id, embedding, code0, CAST(t.i AS INT) AS sub
-            FROM seeded, range(4) t(i)),
-          cb AS (
-            SELECT sub, code, list(c ORDER BY pos) AS cent FROM (
-              SELECT sub, code0 AS code, i AS pos,
-                     CAST(round(avg(embedding[sub*16 + i + 1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
-              FROM subs, range(16) t(i) GROUP BY 1, 2, 3)
-            GROUP BY sub, code),
-          scored AS (
-            SELECT s.vec_id, s.sub, c.code,
-                   list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-                     i -> (s.embedding[s.sub*16 + i]::DOUBLE - c.cent[i])
-                        * (s.embedding[s.sub*16 + i]::DOUBLE - c.cent[i]))),
-                     (acc, x) -> acc + x) AS dist2
-            FROM subs s JOIN cb c ON s.sub = c.sub),
-          ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                        ORDER BY dist2 ASC, code ASC) AS rn
-            FROM scored)
+      s"""WITH ${pqSql(8, 0)}
           SELECT vec_id, sub, code,
                  CAST(round(dist2*10000) AS BIGINT)/10000.0 AS err2
-          FROM ranked WHERE rn = 1
+          FROM pcodes
           ORDER BY vec_id, sub""",
+
+    // IVF-PQ mirror: the IVF cell chain (`assigned`) + the shared PQ chain
+    // (p-prefixed CTEs, 2 Lloyd rounds) + the per-query ADC table in 1e-4
+    // ticks, summed as integers so the ranking is exact.
+    "lsh_ivfpq_topk" ->
+      s"""WITH ${ivfAssignSql(10)},
+          ${pqSql(8, 2)},
+          qs AS (SELECT vec_id AS query_id, embedding AS q, cell
+                 FROM assigned ORDER BY vec_id LIMIT 5),
+          adc AS (
+            SELECT q.query_id, c.sub, c.code,
+                   CAST(round((${pqDistSql("q.q", "c.sub", "c.cent")})*10000) AS BIGINT) AS dq
+            FROM qs q CROSS JOIN pcb c),
+          cand AS (
+            SELECT q.query_id, a.vec_id, CAST(sum(adc.dq) AS BIGINT) AS adist_tenk
+            FROM assigned a JOIN qs q ON a.cell = q.cell
+            JOIN pcodes pc ON pc.vec_id = a.vec_id
+            JOIN adc ON adc.query_id = q.query_id
+                    AND adc.sub = pc.sub AND adc.code = pc.code
+            GROUP BY 1, 2)
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 adist_tenk/10000.0 AS adist
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adist_tenk ASC, vec_id ASC) AS rank FROM cand)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
 
     // lsh_rp_near_dup's chain plus the ±1-bit probe union: side A probes
     // its own bucket and every bucket one sign-bit away in each band.

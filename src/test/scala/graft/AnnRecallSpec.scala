@@ -123,4 +123,41 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(totalErr <= totalNorm + 1.0,
       s"PQ error $totalErr exceeds raw scatter $totalNorm")
   }
+
+  test("IVF-PQ: ADC ranking recalls the exact within-cell L2 top-5") {
+    val got = graft.operators.Lsh.ivfpqTopK(spark, d, nlist = 10, m = 4, k = 8,
+      topk = 5, nq = 5, refine = 2)
+    val rows = got.collect()
+    // structure: ranks 1..5 per query, adist nonnegative and nondecreasing
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length),
+        s"query $q ranks not contiguous")
+      val dists = sorted.map(_.getDouble(3))
+      assert(dists.forall(_ >= 0) && (dists, dists.drop(1)).zipped.forall(_ <= _),
+        s"query $q adist not sorted: ${dists.mkString(",")}")
+    }
+    // recall vs the EXACT L2 ranking over the same candidate set (the home
+    // cell) isolates the PQ approximation loss from the IVF partition loss
+    val assigned = graft.operators.Lsh.ivfAssignments(spark, d, nlist = 10, nprobe = 1)
+      .filter(col("rnk") === 1)
+    val qs = assigned.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"))
+    val exact = assigned.join(qs, Seq("cell"))
+      .withColumn("d2",
+        graft.plans.VectorExpressions.squared_distance(col("q"), col("v")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (gotSet intersect exact).size.toDouble / exact.size
+    // the floor is 3× the ~0.1 random-pick baseline (5 of ~50 per cell);
+    // these near-random fixture vectors cap what 12-bit codes can resolve
+    // (measured: 0.36 at refine=0, 0.44 at refine=2)
+    assert(recall >= 0.3, s"IVF-PQ recall vs exact in-cell L2 collapsed: $recall")
+    graft.CacheRegistry.releaseAll()
+  }
 }
