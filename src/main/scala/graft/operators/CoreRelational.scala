@@ -566,6 +566,41 @@ object CoreRelational {
         .orderBy("s_suppkey")
     }),
 
+    // GR6: label-propagation communities (Raghavan et al. 2007) over the
+    // kNN co-supply graph — the DENSITY view the connectivity fixpoint
+    // can't give: dd_components answers "what is reachable", LPA answers
+    // "what clusters tightly" (a chain is one component but many weak
+    // communities). Two SYNCHRONOUS rounds, made fully deterministic where
+    // textbook LPA is run-order-dependent: every vertex adopts the
+    // plurality label among its neighbors' PREVIOUS-round labels, ties
+    // broken by the smallest label. Each round is one edge⋈labels
+    // co-partitioned join + a (vertex, label) count aggregate + an argmax
+    // window partitioned by vertex — all hash-partitioned on vertex id,
+    // nothing global; rounds are lineage-truncated (the kcore lesson).
+    // Bounded rounds are the point: community assignment stabilizes in
+    // O(1) rounds on degree-capped graphs, and a bounded unroll is
+    // oracle-mirrorable CTE by CTE.
+    "gr_lpa" -> ((s, d) => {
+      val e = knnEdges(s, d)
+      val ed = graft.CacheRegistry.materialize(
+        e.select(col("src").as("u"), col("dst").as("v"))
+          .union(e.select(col("dst").as("u"), col("src").as("v"))))
+      var labels = ed.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      val argmaxW = Window.partitionBy("u").orderBy(col("n").desc, col("lbl").asc)
+      for (_ <- 1 to 2)
+        labels = ed
+          .join(labels.select(col("id").as("vid"), col("lbl")), col("v") === col("vid"))
+          .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(argmaxW))
+          .filter(col("rn") === 1)
+          .select(col("u").as("id"), col("lbl"))
+          .localCheckpoint(eager = false)
+      labels
+        .select(col("id").as("s_suppkey"), col("lbl").as("community"))
+        .orderBy("s_suppkey")
+    }),
+
     // GR4: degree distribution of the kNN graph — the one-line graph
     // dataset-card (is the co-supply network a hairball or a sparse
     // lattice?) and the audit that the degree-capped construction actually
@@ -1227,6 +1262,40 @@ object CoreRelational {
           SELECT u AS s_suppkey, count(*) AS core_deg FROM ed
           WHERE u IN (SELECT id FROM a3) AND v IN (SELECT id FROM a3)
           GROUP BY 1 ORDER BY s_suppkey""",
+
+    // Two synchronous LPA rounds unrolled CTE by CTE: plurality label
+    // among previous-round neighbor labels, min-label tie-break.
+    "gr_lpa" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          ed AS (SELECT src AS u, dst AS v FROM e
+                 UNION ALL SELECT dst, src FROM e),
+          l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM ed),
+          v1 AS (SELECT ed.u, l0.lbl, count(*) AS n
+                 FROM ed JOIN l0 ON ed.v = l0.id GROUP BY 1, 2),
+          l1 AS (SELECT u AS id, lbl FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY u ORDER BY n DESC, lbl ASC) AS rn
+                   FROM v1) WHERE rn = 1),
+          v2 AS (SELECT ed.u, l1.lbl, count(*) AS n
+                 FROM ed JOIN l1 ON ed.v = l1.id GROUP BY 1, 2),
+          l2 AS (SELECT u AS id, lbl FROM (
+                   SELECT *, row_number() OVER (
+                     PARTITION BY u ORDER BY n DESC, lbl ASC) AS rn
+                   FROM v2) WHERE rn = 1)
+          SELECT id AS s_suppkey, lbl AS community FROM l2
+          ORDER BY s_suppkey""",
 
     "d1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

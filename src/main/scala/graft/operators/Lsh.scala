@@ -488,15 +488,22 @@ object Lsh {
     // Lloyd rounds per subspace: reassign each subvector to its nearest
     // codeword, recompute round4 means — one broadcast-join + aggregate
     // per round at any scale (empty codewords drop out), exactly the IVF
-    // `refine` shape applied m times in parallel.
+    // `refine` shape applied m times in parallel. Each round's m·k-row
+    // codebook is MATERIALIZED: the next round's plan then starts from a
+    // 32-row leaf instead of nesting every previous round's corpus pass
+    // (the kcore/components lineage lesson, at codebook size).
     val cb0 = centsOf(subs.select(col("sub"), col("seed").as("code"), col("sv")))
-    val codebook = (0 until refine).foldLeft(cb0) { (c, _) =>
-      centsOf(nearest(c).filter(col("rn") === 1)
-        .select(col("sub"), col("code"), col("sv")))
+    val codebook = (0 until refine).foldLeft(graft.CacheRegistry.materialize(cb0)) {
+      (c, _) =>
+        graft.CacheRegistry.materialize(centsOf(nearest(c).filter(col("rn") === 1)
+          .select(col("sub"), col("code"), col("sv"))))
     }
-    val codes = nearest(codebook)
+    // the code table IS the stored PQ index at cluster scale — built once,
+    // owned by the registry, served to every consumer (same policy as
+    // ivfAssignments / the shingle and band indexes)
+    val codes = graft.CacheRegistry.materialize(nearest(codebook)
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"), col("dist2"))
+      .select(col("vec_id"), col("sub"), col("code"), col("dist2")))
     (codebook, codes)
   }
 

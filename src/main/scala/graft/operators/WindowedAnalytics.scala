@@ -371,6 +371,27 @@ object WindowedAnalytics {
     // negative-operand div/floor divergence between engines (the e10
     // lesson); a multiplied-out comparison of nonnegative longs cannot.
     // Days with fewer than 7 prior days are warm-up, not alarms.
+    // E14: weekly seasonality profile — the structural complement to
+    // E13's anomaly flags: per (event_type, day-of-week), the traffic
+    // share and a hot-day flag, answering "is this feed weekday-shaped?"
+    // before E13 asks "did today break shape?". The event volume reduces
+    // to |types|·7 rows in one map-side-combined aggregate; the hot flag
+    // is a multiplied-out nonnegative-integer comparison (7n > 2·total ≡
+    // share > 2/7 ≈ 2× uniform) — no division in the predicate (the E10
+    // lesson). dow is Sunday=0..Saturday=6 on both engines (Spark
+    // dayofweek()-1 ≡ DuckDB dayofweek()).
+    "e14_seasonality" -> ((s, d) => {
+      val base = events(s, d)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val tot = base.groupBy("event_type").agg(sum(col("n")).as("total"))
+      base.join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n"),
+          round4(col("n") / col("total")).as("share"),
+          (col("n") * 7 > col("total") * 2).cast("int").as("hot"))
+        .orderBy("event_type", "dow")
+    }),
+
     "e13_volume_monitor" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(col("event_type"),
@@ -733,6 +754,20 @@ object WindowedAnalytics {
 
     // same daily reduction + 7-row trailing window; thresholds stay
     // multiplied-out integer comparisons (HUGEINT window sum cast back)
+    "e14_seasonality" ->
+      s"""WITH base AS (
+            SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+          tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+            FROM base GROUP BY 1)
+          SELECT b.event_type, b.dow, b.n,
+                 ${sqlRound4("b.n::DOUBLE/t.total")} AS share,
+                 CAST(b.n * 7 > t.total * 2 AS INT) AS hot
+          FROM base b JOIN tot t ON b.event_type = t.event_type
+          ORDER BY 1, 2""",
+
     "e13_volume_monitor" ->
       """WITH daily AS (
            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -365,4 +365,44 @@ class AnalyticsSpec extends AnyFunSuite {
     val drops = om.filter(col("o_orderkey") % 997 === 7).count()
     assert(out.map(r => r.getLong(1) - r.getLong(2)).sum == drops)
   }
+
+  test("gr_lpa: one community per vertex, labels are vertex ids, and no " +
+      "community crosses a connected component") {
+    val lpa = run("gr_lpa")
+    val e = graft.operators.CoreRelational.knnEdges(spark, sf)
+    val verts = e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct()
+    assert(lpa.count() == verts.count())
+    assert(lpa.select("s_suppkey").distinct().count() == lpa.count())
+    // labels come from the vertex set (they start as ids and only propagate)
+    assert(lpa.join(verts, col("community") === col("id"), "left_anti").count() == 0)
+    // labels propagate along edges only, so a community can never span two
+    // components of the same graph
+    val comps = graft.operators.GraphOps.minLabelComponents(
+      verts, e.select("src", "dst"))
+    val joined = lpa
+      .join(comps.withColumnRenamed("id", "s_suppkey"), "s_suppkey")
+      .select(col("community"), col("comp").as("vcomp"))
+      .join(comps.withColumnRenamed("id", "community")
+        .withColumnRenamed("comp", "lcomp"), "community")
+    assert(joined.filter(col("vcomp") =!= col("lcomp")).count() == 0)
+    graft.CacheRegistry.releaseAll()
+  }
+
+  test("e14: dow in range, counts partition the events, shares recompute, " +
+      "hot flag agrees with its own columns") {
+    val out = run("e14_seasonality").collect()
+    assert(out.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 6))
+    val total = graft.sources.Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(2)).sum == total)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (t, rs) =>
+      val typeTotal = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        val expShare = math.round(r.getLong(2).toDouble / typeTotal * 1e4) / 1e4
+        assert(math.abs(r.getDouble(3) - expShare) < 1e-9, s"$t share")
+        assert(r.getInt(4) == (if (r.getLong(2) * 7 > typeTotal * 2) 1 else 0),
+          s"$t hot flag")
+      }
+    }
+  }
 }
