@@ -295,6 +295,61 @@ object TemporalOps {
         .orderBy("user_id")
     }),
 
+    // I13: multi-source precedence merge — the attribute-level half of
+    // CMDB reconciliation (ServiceNow's IRE concept: c13 answers "are
+    // these the same CI?", this answers "which source's value wins per
+    // FIELD?"). Two discovery sources derive per-user LWW records (source
+    // A = transactional events, source B = telemetry); the merge applies
+    // per-attribute rules rather than whole-record LWW: the `value` field
+    // follows source PRECEDENCE (A holds unless its record is >7 days
+    // staler than B's — the staleness override that keeps a dead
+    // authoritative feed from pinning stale data forever), while the
+    // `type` field is cross-source LWW with A winning timestamp ties
+    // (precedence as tie-break). Provenance columns record which source
+    // supplied each field — the audit trail reconciliation engines must
+    // emit. Shape: two windowed LWW collapses + one full-outer pk join,
+    // all hash-partitioned on user_id; per-field CASE logic is pure
+    // projection.
+    "i13_precedence_merge" -> ((s, d) => {
+      val staleUs = 604800000000L // 7 days
+      def lww(types: Seq[String]) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        events(s, d).filter(col("event_type").isin(types: _*))
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            cents(col("value")).as("vc"), unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      val a = lww(Seq("signup", "purchase"))
+        .select(col("user_id"), col("event_type").as("a_type"),
+          col("vc").as("a_vc"), col("us").as("a_us"))
+      val b = lww(Seq("view", "click", "error"))
+        .select(col("user_id"), col("event_type").as("b_type"),
+          col("vc").as("b_vc"), col("us").as("b_us"))
+      a.join(b, Seq("user_id"), "full")
+        .select(col("user_id"),
+          when(col("a_us").isNull, "b")
+            .when(col("b_us").isNull, "a")
+            .otherwise("both").as("present"),
+          when(col("a_us").isNull, col("b_type"))
+            .when(col("b_us").isNull, col("a_type"))
+            .when(col("b_us") > col("a_us"), col("b_type"))
+            .otherwise(col("a_type")).as("m_type"),
+          when(col("a_us").isNull, "b")
+            .when(col("b_us").isNull, "a")
+            .when(col("b_us") > col("a_us"), "b")
+            .otherwise("a").as("type_src"),
+          when(col("a_us").isNull, col("b_vc"))
+            .when(col("b_us").isNull, col("a_vc"))
+            .when(col("a_us") + staleUs >= col("b_us"), col("a_vc"))
+            .otherwise(col("b_vc")).as("m_value_cents"),
+          when(col("a_us").isNull, "b")
+            .when(col("b_us").isNull, "a")
+            .when(col("a_us") + staleUs >= col("b_us"), "a")
+            .otherwise("b").as("value_src"))
+        .orderBy("user_id")
+    }),
+
     // I12: sync reconciliation — the integrity audit that closes the sync
     // loop: did the target (AWS copy) actually end up equal to the source
     // (CMDB)? At 100 TB you cannot diff row-by-row, so the report is
@@ -555,6 +610,41 @@ object TemporalOps {
          JOIN vol v ON d.user_id = v.user_id
          LEFT JOIN target t ON d.user_id = t.tu
          ORDER BY d.user_id""",
+
+    "i13_precedence_merge" ->
+      """WITH a AS (
+           SELECT user_id, event_type AS a_type,
+                  CAST(round(value*100) AS BIGINT) AS a_vc,
+                  epoch_us(ts) AS a_us
+           FROM events WHERE event_type IN ('signup', 'purchase')
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         b AS (
+           SELECT user_id, event_type AS b_type,
+                  CAST(round(value*100) AS BIGINT) AS b_vc,
+                  epoch_us(ts) AS b_us
+           FROM events WHERE event_type IN ('view', 'click', 'error')
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1)
+         SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                CASE WHEN a_us IS NULL THEN 'b'
+                     WHEN b_us IS NULL THEN 'a' ELSE 'both' END AS present,
+                CASE WHEN a_us IS NULL THEN b_type
+                     WHEN b_us IS NULL THEN a_type
+                     WHEN b_us > a_us THEN b_type ELSE a_type END AS m_type,
+                CASE WHEN a_us IS NULL THEN 'b'
+                     WHEN b_us IS NULL THEN 'a'
+                     WHEN b_us > a_us THEN 'b' ELSE 'a' END AS type_src,
+                CASE WHEN a_us IS NULL THEN b_vc
+                     WHEN b_us IS NULL THEN a_vc
+                     WHEN a_us + 604800000000 >= b_us THEN a_vc
+                     ELSE b_vc END AS m_value_cents,
+                CASE WHEN a_us IS NULL THEN 'b'
+                     WHEN b_us IS NULL THEN 'a'
+                     WHEN a_us + 604800000000 >= b_us THEN 'a'
+                     ELSE 'b' END AS value_src
+         FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+         ORDER BY user_id""",
 
     // Same defect derivation, same exact-integer row hash; HUGEINT checksum
     // sums stay internal to the CASE (never in the output schema).

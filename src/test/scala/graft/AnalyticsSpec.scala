@@ -366,6 +366,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.map(r => r.getLong(1) - r.getLong(2)).sum == drops)
   }
 
+  test("i13: per-field precedence merge matches a sequential per-user model") {
+    val evs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    val aTypes = Set("signup", "purchase")
+    val bTypes = Set("view", "click", "error")
+    val stale = 604800000000L
+    def cents(v: Double) = math.round(v * 100)
+    def lww(rows: Seq[(Long, Long, String, Double, Long)]) =
+      rows.sortBy(t => (-t._5, -t._2)).headOption
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val a = lww(rows.toSeq.filter(r => aTypes(r._3)))
+      val b = lww(rows.toSeq.filter(r => bTypes(r._3)))
+      (a, b) match {
+        case (None, None) => None
+        case (Some(ar), None) => Some((u, "a", ar._3, "a", cents(ar._4), "a"))
+        case (None, Some(br)) => Some((u, "b", br._3, "b", cents(br._4), "b"))
+        case (Some(ar), Some(br)) =>
+          val (mt, ts) = if (br._5 > ar._5) (br._3, "b") else (ar._3, "a")
+          val (mv, vs) =
+            if (ar._5 + stale >= br._5) (cents(ar._4), "a") else (cents(br._4), "b")
+          Some((u, "both", mt, ts, mv, vs))
+      }
+    }.toSet
+    val got = run("i13_precedence_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(got == expected)
+  }
+
   test("gr_lpa: one community per vertex, labels are vertex ids, and no " +
       "community crosses a connected component") {
     val lpa = run("gr_lpa")
