@@ -42,7 +42,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // cross-combines the single-row token-budget aggregate
       "tp_token_budget",
       // cross-combines the langs-sized weight frame with its one total row
-      "tp_temperature_mix")
+      "tp_temperature_mix",
+      // broadcasts the nq-sized query set (and the m·k-row ADC table) —
+      // the same bounded-query-set shape as lsh_ivf_topk
+      "lsh_ivfpq_topk")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
@@ -92,7 +95,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // the POINT of the query: the salted join is hinted shuffle_hash so
       // the hot-key sharding demonstrably shuffles instead of broadcasting
       // the test-SF dim (at scale the dim is too big to broadcast)
-      "c12_salted_join")
+      "c12_salted_join",
+      // full-outer reconciliations on the partition/entity key — neither
+      // side broadcastable, same class as c4_join_full / i8_snapshot_diff
+      "i12_reconcile", "i13_precedence_merge",
+      // the candidate scoring join rides the corpus-sized code table on
+      // the vec_id pk — a co-partitioned equi join at scale; broadcasting
+      // a 100 TB corpus's codes would be wrong
+      "lsh_ivfpq_topk")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
