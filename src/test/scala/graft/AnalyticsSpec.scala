@@ -437,4 +437,37 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e15: sliding distinct users equal a brute-force per-window recount") {
+    val got = run("e15_sliding_distinct").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("ed"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val model = ev.flatMap { case (t, u, ed) => (ed - 6 to ed).map(w => (t, w, u)) }
+      .groupBy { case (t, w, _) => (t, w) }
+      .map { case ((t, w), rows) =>
+        (t, java.time.LocalDate.ofEpochDay(w.toLong).toString) ->
+          rows.map(_._3).distinct.size.toLong
+      }
+    assert(got == model)
+  }
+
+  test("gr_node_sim: hand graph — two-paths found, jaccard from symmetrized " +
+      "degrees, sub-threshold pairs dropped") {
+    import spark.implicits._
+    // square 2-3-4 with chord: neighbors 1:{2,3} 2:{1,3,4} 3:{1,2,4} 4:{2,3}
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.operators.CoreRelational.neighborSimOf(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // (1,4): common {2,3}, deg 2/2 → jac 2/(2+2-2) = 1.0 (structurally
+    // identical non-adjacent pair — the link-prediction hit)
+    // (2,3): common {1,4}, deg 3/3 → jac 2/4 = 0.5
+    // all other pairs share one neighbor → below the common >= 2 floor
+    assert(got == Map(
+      (1L, 4L) -> (2L, 2L, 2L, 1.0),
+      (2L, 3L) -> (2L, 3L, 3L, 0.5)))
+  }
 }

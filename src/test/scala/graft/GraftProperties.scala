@@ -396,4 +396,29 @@ object GraftProperties extends Properties("graft") {
             r.getLong(4) == spanLen.toLong
         }
     }
+
+  // Misra–Gries guarantee under the distributed execution shape: for ANY
+  // partitioning of a weighted stream, reduce-per-partition + pairwise
+  // merge must keep every item whose total weight exceeds N/(k+1) in the
+  // candidate set (the bound the two-pass exact d13 plan relies on).
+  // Pure driver-side check — the aggregator's reduce/merge are exercised
+  // exactly as Spark's partial aggregation would call them.
+  property("misra-gries candidates cover all true heavy hitters under any split") =
+    forAll(for {
+      k <- Gen.choose(2, 6)
+      nsplit <- Gen.choose(1, 5)
+      items <- Gen.listOfN(40,
+        Gen.zip(Gen.choose(0, 9).map(i => s"t$i"), Gen.choose(1L, 20L)))
+    } yield (k, nsplit, items)) { case (k, nsplit, items) =>
+      val agg = new graft.functions.Aggregators.MisraGriesAggregator(k)
+      val parts = items.grouped(math.max(1, items.size / nsplit)).toList
+      val merged = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val cands = agg.finish(merged).toSet
+      val n = items.map(_._2).sum
+      val heavy = items.groupBy(_._1).collect {
+        case (t, g) if g.map(_._2).sum * (k + 1) > n => t
+      }.toSet
+      cands.size <= k && heavy.subsetOf(cands)
+    }
 }

@@ -343,4 +343,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(h.forall(r => r.getAs[Long]("n_docs") ==
       r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters")))
   }
+
+  test("ta_novelty: first use gets full credit, a verbatim copy scores zero, " +
+      "shingle-less docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "en", "s"),
+      (2L, "a b c d", "en", "s"), // verbatim copy of 1 → novelty 0
+      (3L, "x y z w", "en", "s"), // disjoint content → novelty 1
+      (4L, "a b", "en", "s")      // < 3 tokens → no shingles → absent
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.LlmOps.noveltyOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (2L, 2L), 2L -> (2L, 0L), 3L -> (2L, 2L)))
+  }
+
+  test("d13: two-pass MG heavy hitters equal the exact frequent-item set " +
+      "on a skewed stream") {
+    import spark.implicits._
+    // a=50 b=30 c=10, plus 8 singletons → N=98; k=3 → threshold N/4=24.5
+    val occ = (Seq((1L, "a", 50L), (1L, "b", 30L), (1L, "c", 10L)) ++
+      (1 to 8).map(i => (2L, s"t$i", 1L))).toDF("doc_id", "tok", "m")
+    val got = graft.operators.LlmOps.heavyHittersOf(occ, 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 50L, "b" -> 30L))
+  }
 }
