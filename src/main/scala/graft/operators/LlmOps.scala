@@ -902,7 +902,7 @@ object LlmOps {
     import spark.implicits._
     val mg = new graft.functions.Aggregators.MisraGriesAggregator(k)
     val cands = occ.select(col("tok"), col("m")).as[(String, Long)]
-      .select(mg.toColumn.as("cands"))
+      .select(mg.toColumn.name("cands"))
       .select(explode(col("cands")).as("tok"))
     val tot = occ.agg(sum(col("m")).as("n"))
     occ.join(broadcast(cands), "tok")
