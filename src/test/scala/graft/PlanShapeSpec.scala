@@ -45,7 +45,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "tp_temperature_mix",
       // broadcasts the nq-sized query set (and the m·k-row ADC table) —
       // the same bounded-query-set shape as lsh_ivf_topk
-      "lsh_ivfpq_topk")
+      "lsh_ivfpq_topk",
+      // cross-combines the single-row total-token-mass aggregate with the
+      // ≤ k Misra–Gries candidates — both sides provably tiny
+      "d13_heavy_hitters")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
