@@ -242,4 +242,46 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
       "salted join must not silently broadcast — the demonstration is the shuffle")
   }
+
+  test("c13 banded blocking is exact on substitution-radius-2 pairs (pigeonhole)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val got = run_dir("c13_fuzzy_match", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("dist")).toMap
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val sup = graft.sources.Tables.supplier(spark, dir)
+      .join(graft.sources.Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_regionkey").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val brute = (for {
+      (ia, na, ra) <- sup; (ib, nb, rb) <- sup
+      if ra == rb && ia < ib
+      d = lev(na, nb) if d <= 2
+    } yield (ia, ib) -> (na, nb, d)).toMap
+
+    // Completeness on the substitution model: every same-region pair at
+    // hamming ≤ 2 shares a transversal digit group (pigeonhole) and MUST
+    // be in the result. Shift-type pairs (hamming > 2 but lev ≤ 2) are
+    // the documented recall trade and may be absent.
+    brute.foreach { case ((ia, ib), (na, nb, d)) =>
+      val ham = na.zip(nb).count { case (x, y) => x != y }
+      if (ham <= 2)
+        assert(got.contains((ia, ib)), s"lost substitution pair ($ia,$ib)")
+    }
+    // Soundness: everything emitted is a true same-region lev ≤ 2 pair
+    // with the standard distance.
+    got.foreach { case (k, d) =>
+      assert(brute.contains(k) && brute(k)._3 == d, s"false pair $k")
+    }
+    // At this fixture the trade costs nothing: banded == brute exactly.
+    assert(got.size == brute.size, s"sf0.01: ${got.size} vs brute ${brute.size}")
+  }
 }
