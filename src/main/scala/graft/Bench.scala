@@ -28,7 +28,11 @@ object Bench {
     // (the components fixpoint loop) are REBUILT inside the timing, so the
     // reported seconds include the work the builder actually does — a
     // pre-built plan would time only a cached-RDD read for them.
-    val eagerBuilders = Set("dd_components", "dd_keep_one")
+    // The streaming-graded entries DRAIN their stream at plan-construction
+    // time and return the sink's table — rebuild them too, so the timing
+    // covers the actual stream run, not a cached-sink read.
+    val eagerBuilders = Set("dd_components", "dd_keep_one",
+      "dd_admit_stream", "i7b_upsert_stream")
     // A failed query records -1 (never a tiny elapsed time) so a regression
     // that breaks a query can't lower the bench total; `fail` counts them.
     def timedPass(): Map[String, Double] = dfs.map { case (name, df0) =>

@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreRelational.queries ++ WindowedAnalytics.queries ++ TemporalOps.queries ++
-      LlmOps.queries ++ Lsh.queries ++ TrainingPipeline.queries
+      LlmOps.queries ++ Lsh.queries ++ TrainingPipeline.queries ++
+      graft.streaming.StreamingGraded.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreRelational.oracle ++ WindowedAnalytics.oracle ++ TemporalOps.oracle ++
-      LlmOps.oracle ++ Lsh.oracle ++ TrainingPipeline.oracle
+      LlmOps.oracle ++ Lsh.oracle ++ TrainingPipeline.oracle ++
+      graft.streaming.StreamingGraded.oracle
 }

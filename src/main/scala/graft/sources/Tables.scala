@@ -37,6 +37,24 @@ object Tables {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     normTs(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Streaming form of [[table]]: the same parquet read as a file-source
+    * stream, with the same timestamp folding. File streams require an
+    * explicit schema, so it is pinned from a batch scan of the same path —
+    * at scale the file source incrementally lists and processes new files
+    * under the directory, which is exactly the landing-zone ingest shape. */
+  def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source requires a DIRECTORY to monitor (basePath);
+    // the fixture is one file per table in a shared dir, so monitor the
+    // dir with the listing filtered to this table's file — the same shape
+    // as a per-table landing zone.
+    val sch = s.read.parquet(s"$dir/$name.parquet").schema
+    normTs(s.readStream.schema(sch)
+      .option("pathGlobFilter", s"$name.parquet")
+      .parquet(dir))
+  }
+
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normTs(s.read.parquet(s"$d/events.parquet"))

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Tables
+
+/** Driver-graded queries that EXECUTE the Structured Streaming surface —
+  * not batch twins, the real `readStream → transform → writeStream` path,
+  * drained to completion with `Trigger.AvailableNow` and returned as the
+  * sink's final table so the DuckDB oracle can hash-compare it like any
+  * other graded query. This is the externally-audited complement to
+  * StreamingSpec: a spec proves stream ≡ batch in-JVM; these two entries
+  * put the streaming result itself through the driver's correctness gate.
+  *
+  * Determinism note: both results are micro-batch-partitioning-independent
+  * by construction — the admission gate is a stateless stream-static anti
+  * join (each row's verdict depends only on the static corpus), and the
+  * upsert sink's last-writer-wins merge is associative across batches
+  * (LWW(LWW(a), b) = LWW(a ∪ b) under the total (us, event_id) order) —
+  * so the graded output is stable however the file source batches the
+  * input.
+  */
+object StreamingGraded {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The streaming admission gate (dd_incremental's arrival-time form at
+    // the exact-identity level): the doc_id % 5 == 0 increment arrives as
+    // a file stream and is anti-joined per micro-batch against the static
+    // corpus's hash set. At scale the static side is a stored hash index
+    // partitioned by hash — the join shuffles batch-by-hash, never
+    // batch × corpus (see StreamingOps.admitAgainstCorpus).
+    "dd_admit_stream" -> ((s, d) => {
+      val incoming = Tables.tableStream(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      val admitted = StreamingOps.admitAgainstCorpus(incoming, corpus)
+        .select(col("doc_id"), col("text_hash"))
+      val sink = "dd_admit_stream_sink"
+      val q = admitted.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("doc_id")
+    }),
+
+    // The versioned-table upsert sink (L15 / i7's production form) driven
+    // end-to-end: the event feed streams through foreachBatch into a
+    // `_VERSION`-pointered parquet table, and the graded result is the
+    // PUBLISHED snapshot read back through the pointer. Equals i7's
+    // target ∪ delta merge because last-writer-wins is associative across
+    // the cutoff split.
+    "i7b_upsert_stream" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("i7b_upsert").toString
+      val ev = Tables.tableStream(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      StreamingOps.runUpsertSinkToParquet(s, ev, s"$tmp/ckpt", s"$tmp/table")
+      StreamingOps.currentUpsertTable(s, s"$tmp/table")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // the same composed plan, batch-declared: increment anti-joined
+    // against the corpus hash set on the j1 normalized text hash
+    "dd_admit_stream" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS text_hash
+         FROM documents
+         WHERE doc_id % 5 = 0
+           AND md5(lower(trim(text))) NOT IN (
+             SELECT md5(lower(trim(text))) FROM documents WHERE doc_id % 5 <> 0)
+         ORDER BY doc_id""",
+
+    // global last-writer-wins per user — what the published snapshot
+    // must equal after the full feed drains through the sink
+    "i7b_upsert_stream" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                epoch_us(ts) AS last_us
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id"""
+  )
+}
