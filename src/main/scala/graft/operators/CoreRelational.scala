@@ -503,10 +503,9 @@ object CoreRelational {
     // (rank ⋈ edges on the source vertex, both sides hash-partitioned on
     // the key) + one hash aggregate on the destination — the degree-≤5
     // construction bounds the join fan-out at 5 rows per vertex, so a
-    // round is O(|V|) shuffled rows no matter the corpus size. Rounds are
-    // materialized so the unrolled 3-round Catalyst tree doesn't
-    // re-execute its prefix per round (the components-fixpoint lineage
-    // discipline).
+    // round is O(|V|) shuffled rows no matter the corpus size. The round
+    // loop lives in [[GraphOps.pagerankRounds]], whose restart-from-a-
+    // persisted-round contract GraphOpsSpec pins through parquet.
     "gr_pagerank" -> ((s, d) => {
       val e = knnEdges(s, d)
       // symmetrize: the canonical src<dst edge both ways, so every vertex
@@ -515,16 +514,8 @@ object CoreRelational {
         e.select(col("src").as("u"), col("dst").as("v"))
           .union(e.select(col("dst").as("u"), col("src").as("v"))))
       val deg = ed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
-      var pr = deg.withColumn("pr", lit(1000000L))
-      for (_ <- 1 to 3) {
-        val next = ed
-          .join(pr.withColumn("c", expr("pr div deg")), col("u") === col("id"))
-          .groupBy(col("v").as("vid"))
-          .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr"))
-        pr = graft.CacheRegistry.materialize(
-          deg.join(next, col("id") === col("vid")).drop("vid"))
-      }
-      pr.select(col("id").as("s_suppkey"), col("pr").as("pr_fixed"))
+      GraphOps.pagerankRounds(ed, deg.withColumn("pr", lit(1000000L)), 3)
+        .select(col("id").as("s_suppkey"), col("pr").as("pr_fixed"))
         .orderBy("s_suppkey")
     }),
 

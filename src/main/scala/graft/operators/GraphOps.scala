@@ -130,4 +130,34 @@ object GraphOps {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Damped power-iteration PageRank rounds in scaled-integer arithmetic,
+    * over a symmetrized edge list `ed` (columns `u`, `v`) starting from
+    * `pr0` (columns `id`, `deg`, `pr`; rank in 1e-6 units). Each round is
+    * one equi-join (rank ⋈ edges on the source vertex, both sides
+    * hash-partitioned on the key) + one hash aggregate on the destination;
+    * rounds are materialized so the unrolled Catalyst tree never
+    * re-executes its prefix (the components-fixpoint lineage discipline).
+    *
+    * Every quantity is an integer and every step (`pr div deg`, the
+    * damping `(85·sum) div 100`) is deterministic under ANY partitioning,
+    * so running `a + b` rounds from `pr0` is bit-identical to running `b`
+    * rounds restarted from the PERSISTED result of `a` rounds — the
+    * restartable-mid-iteration contract a long job needs at 100 TB
+    * (checkpoint the rank frame, resume after preemption). GraphOpsSpec
+    * pins exactly that, round-tripping the intermediate through parquet.
+    */
+  def pagerankRounds(ed: DataFrame, pr0: DataFrame, rounds: Int): DataFrame = {
+    val deg = pr0.select(col("id"), col("deg"))
+    var pr = pr0
+    for (_ <- 1 to rounds) {
+      val next = ed
+        .join(pr.withColumn("c", expr("pr div deg")), col("u") === col("id"))
+        .groupBy(col("v").as("vid"))
+        .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr"))
+      pr = graft.CacheRegistry.materialize(
+        deg.join(next, col("id") === col("vid")).drop("vid"))
+    }
+    pr
+  }
 }

@@ -134,4 +134,29 @@ object GraphOpsSpec extends Properties("graphops") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == counts.toMap
     }
+
+  // The restartable-mid-iteration contract gr_pagerank's integer fixed
+  // point claims: a+b rounds straight through must be BIT-identical to a
+  // rounds, a real checkpoint (the intermediate rank frame round-tripped
+  // through parquet, losing cache and lineage), then b more rounds. Any
+  // float arithmetic or partitioning-order dependence would falsify this.
+  property("pagerank restarts from a persisted round without drift") =
+    forAll(graphGen suchThat (_._2.nonEmpty)) { case (_, edges) =>
+      import spark.implicits._
+      val canon = edges.map { case (a, b) =>
+        (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+      val ed = (canon ++ canon.map(_.swap)).toDF("u", "v")
+      val pr0 = ed.groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+        .withColumn("pr", lit(1000000L))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val straight = rows(graft.operators.GraphOps.pagerankRounds(ed, pr0, 3))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("pr_ckpt").resolve("round1").toString
+      graft.operators.GraphOps.pagerankRounds(ed, pr0, 1)
+        .write.mode("overwrite").parquet(ckpt)
+      val resumed = rows(graft.operators.GraphOps.pagerankRounds(
+        ed, spark.read.parquet(ckpt).select("id", "deg", "pr"), 2))
+      straight == resumed
+    }
 }

@@ -161,6 +161,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d1 scan reads pruned-out columns: $readSchemas")
   }
 
+  test("the round-5 newcomers stay window-free: expand/agg, never a global sort") {
+    // Each of these is a deliberate window-avoidance design: e15 is
+    // expand-then-aggregate (a window can't do a moving DISTINCT without
+    // per-window rescans), gr_node_sim is wedge-join + hash aggregates,
+    // ta_novelty is a per-shingle min + per-doc roll-up. A Window node
+    // appearing in any of them means the shape regressed toward a sorted
+    // per-partition pass that doesn't exist in the 100-TB plan.
+    assert(!plans("e15_sliding_distinct").contains("Window"),
+      "e15 grew a window node")
+    // ta_novelty's windows all come from the cached shingle INPUT frame and
+    // must stay doc_id-partitioned (one shuffle, bounded per-doc frames);
+    // the novelty computation itself is hash aggregates + one equi join.
+    val novWins = plans("ta_novelty").split("\n")
+      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .filter(_.startsWith("Window ")).distinct
+    assert(novWins.forall(_.contains("windowspecdefinition(doc_id#")),
+      s"ta_novelty grew a non-doc-partitioned window:\n${novWins.mkString("\n")}")
+    for (q <- Seq("e15_sliding_distinct", "ta_novelty"))
+      assert(plans(q).contains("HashAggregate"), s"$q lost its hash aggregate")
+    // gr_node_sim's only window is the cached knnEdges INPUT construction
+    // (per-supplier top-5, partitioned by the vertex key — bounded
+    // fan-out); the similarity computation itself adds none.
+    val simWins = plans("gr_node_sim").split("\n")
+      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .filter(_.startsWith("Window ")).distinct
+    assert(simWins.length == 1 && simWins(0).contains("windowspecdefinition(s#"),
+      s"gr_node_sim window set changed:\n${simWins.mkString("\n")}")
+    assert(plans("gr_node_sim").contains("HashAggregate"))
+    // e15's ×7 expansion must be a Generate (explode of the 7 covering
+    // window starts), not a range join against a calendar table.
+    assert(plans("e15_sliding_distinct").contains("Generate"),
+      "e15 lost its explode-based expansion")
+  }
+
   test("the span detector's nine lead()s collapse into ONE window pass") {
     // the k-gram builder chains 9 withColumn(lead(th, i)) over the same
     // (doc_id, pos) window spec; CollapseWindow must merge them — nine
