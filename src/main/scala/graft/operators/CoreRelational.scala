@@ -941,8 +941,91 @@ object CoreRelational {
         .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
           col("dist"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // C15: co-located bucket join — the SHUFFLE-FREE fact⋈dim shape. Both
+    // tables are written bucketed (8 buckets, same count) + sorted on the
+    // customer key; Spark's bucketed scan then satisfies the sort-merge
+    // join's distribution requirement straight off disk, so the join runs
+    // with ZERO exchange below it (PlanShapeSpec pins exactly that: no
+    // hashpartitioning on the customer key anywhere in the plan). At
+    // 100 TB this is the difference between re-shuffling the fact table on
+    // every sync-join run and paying the shuffle ONCE at ingest — the
+    // lakehouse layout decision every recurring pipeline makes. The
+    // `merge` hint keeps the plan honest at test SF (the dim would
+    // broadcast and hide the co-location; at scale neither side
+    // broadcasts). Buckets are written once per (session, sfDir) at plan
+    // build, like a11's partitioned sink.
+    "c15_bucket_join" -> ((s, d) => {
+      val (ot, ct) = bucketedOrdersCustomer(s, d)
+      s.table(ot).hint("merge")
+        .join(s.table(ct).hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum2(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // D14: exact DECIMAL money arithmetic — the fixed-point ledger path
+    // (audit/billing semantics where binary-float drift is not
+    // acceptable). The doubles are snapped to integer cents by the SAME
+    // proven kernel every other money query uses (ExactNum: round(x*100)
+    // recovers exact cents from a ≤2-decimal double identically in both
+    // engines), then lifted into DecimalType by an exact scale shift
+    // (cents × 0.01 literal — no division, no engine rounding mode in
+    // play). Every downstream step is exact: decimal × decimal widens
+    // precision/scale without loss (charge peaks at scale 6, precision
+    // ≤ 32 < 38), decimal sums are associative integers underneath —
+    // partial+final hash aggregates, order-independent under any
+    // partitioning, which is what lets a decimal ledger hash-match across
+    // engines AND across cluster sizes. Final casts pin the output types
+    // the oracle mirrors verbatim.
+    "d14_decimal_money" -> ((s, d) => {
+      val c01 = lit(new java.math.BigDecimal("0.01"))
+      def dec2(c: Column) = cents(c).cast("decimal(18,0)") * c01
+      val one = lit(new java.math.BigDecimal("1.00"))
+      val li = lineitem(s, d).select(
+        col("l_returnflag"),
+        dec2(col("l_extendedprice")).as("px"),
+        dec2(col("l_discount")).as("dc"),
+        dec2(col("l_tax")).as("tx"))
+        .select(col("l_returnflag"), col("px"), col("tx"),
+          (col("px") * (one - col("dc"))).as("dp"))
+      li.groupBy("l_returnflag")
+        .agg(sum(col("px")).cast("decimal(38,2)").as("sum_price"),
+          sum(col("dp")).cast("decimal(38,4)").as("sum_disc_price"),
+          sum(col("dp") * (one + col("tx"))).cast("decimal(38,6)").as("sum_charge"))
+        .orderBy("l_returnflag")
     })
   )
+
+  /** Bucketed copies of orders/customer for `c15_bucket_join`, written once
+    * per (session, sfDir): 8 buckets each on the customer key, sorted
+    * within buckets, registered as catalog tables (bucket metadata lives in
+    * the catalog — a plain parquet path read would not know the layout).
+    * The pre-write repartition on the bucket key gives one file per bucket
+    * so the sorted-bucket metadata stays usable. Memoized like
+    * [[knnEdgesMemo]]; /tmp paths keep the repo clean. */
+  private val bucketMemo =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), (String, String)]()
+  graft.CacheRegistry.onRelease(() => bucketMemo.clear())
+
+  private def bucketedOrdersCustomer(
+      s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
+    bucketMemo.getOrElseUpdate((s, d), {
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+      orders(s, d).repartition(8, col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"/tmp/graft_bucketed/$tag/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      customer(s, d).repartition(8, col("c_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"/tmp/graft_bucketed/$tag/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      (ot, ct)
+    })
 
   /** The kNN co-supply edge set shared by `gr_knn_triangles` and
     * `gr_pagerank`: per-order distinct supplier sets (orderkey-partitioned
@@ -1584,6 +1667,31 @@ object CoreRelational {
                  = substr(b.s_name,11,1)||substr(b.s_name,14,1)||substr(b.s_name,17,1)
                 OR substr(a.s_name,12,1)||substr(a.s_name,15,1)||substr(a.s_name,18,1)
                  = substr(b.s_name,12,1)||substr(b.s_name,15,1)||substr(b.s_name,18,1))
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    // The bucketed copies are row-identical to the source tables, so the
+    // oracle joins the originals — what it grades is the RESULT; the
+    // zero-exchange layout is pinned by PlanShapeSpec.
+    "c15_bucket_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+                 ${sqlSum2("coalesce(o_totalprice, 0.0)")} AS total_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // Mirrors the exact-decimal pipeline step for step: same cents snap,
+    // same 0.01 scale shift, same widening multiplies, same final casts.
+    "d14_decimal_money" ->
+      """WITH li AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS px,
+                  CAST(round(l_discount*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS dc,
+                  CAST(round(l_tax*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS tx
+           FROM lineitem),
+         d AS (SELECT l_returnflag, px, tx, px * (1.00 - dc) AS dp FROM li)
+         SELECT l_returnflag,
+                CAST(sum(px) AS DECIMAL(38,2)) AS sum_price,
+                CAST(sum(dp) AS DECIMAL(38,4)) AS sum_disc_price,
+                CAST(sum(dp * (1.00 + tx)) AS DECIMAL(38,6)) AS sum_charge
+         FROM d GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

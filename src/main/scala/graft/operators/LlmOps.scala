@@ -808,6 +808,51 @@ object LlmOps {
           (col("frame_idx") * 100).as("byte_offset"), col("n_frames"))
         .orderBy("doc_id", "frame_idx")),
 
+    // Multimodal ViT patch geometry — the arithmetic that sizes a vision
+    // transformer's input BEFORE any pixel touches the cluster: aspect-
+    // preserving downscale to a 96-px max side (integer round-half-up of
+    // side·96/max(w,h) — exact cross-engine, no float scale factor), then
+    // the ceil-div 16-px patch grid and the resulting sequence length
+    // (+1 CLS token). This is the column a packing/batching stage keys on
+    // (sequence length drives batch shape and cost), and it must be
+    // computable WITHOUT decoding — a 100-TB image corpus plans its
+    // training batches from metadata, decoding only what ships. Pure
+    // per-row projection over the stub decoder's dimensions; no shuffle.
+    "mm_patch_grid" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          (ascii(substring(col("text"), 1, 1)) * 7 % 640).as("w"),
+          (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("h"))
+        .filter(col("w") > 0 && col("h") > 0)
+        .withColumn("m", greatest(col("w"), col("h")))
+        .withColumn("rw", when(col("m") <= 96, col("w"))
+          .otherwise(greatest(lit(1), expr("(192*w + m) div (2*m)"))).cast("int"))
+        .withColumn("rh", when(col("m") <= 96, col("h"))
+          .otherwise(greatest(lit(1), expr("(192*h + m) div (2*m)"))).cast("int"))
+        .select(col("doc_id"), col("w"), col("h"), col("rw"), col("rh"),
+          expr("(rw + 15) div 16").cast("int").as("patch_cols"),
+          expr("(rh + 15) div 16").cast("int").as("patch_rows"),
+          (expr("(rw + 15) div 16") * expr("(rh + 15) div 16") + 1)
+            .cast("int").as("seq_len"))
+        .orderBy("doc_id")),
+
+    // Multimodal audio frame windowing — the 25 ms / 10 ms hop frame count
+    // (the feature-extractor contract: 16 kHz mono 16-bit, 400-sample
+    // windows, 160-sample hop) from payload size alone. Like the patch
+    // grid, this is the batch-shape column (frame count = encoder sequence
+    // length) a pipeline computes from metadata at planning time; the
+    // decode itself stays stubbed. Integer end to end; per-row projection.
+    "mm_audio_frames" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("n_bytes"))
+        .withColumn("n_samples", expr("n_bytes div 2").cast("bigint"))
+        .select(col("doc_id"), col("n_bytes"), col("n_samples"),
+          expr("(n_samples * 1000) div 16000").cast("bigint").as("duration_ms"),
+          when(col("n_samples") >= 400,
+            (expr("(n_samples - 400) div 160") + 1).cast("int"))
+            .otherwise(lit(0)).as("n_frames"))
+        .orderBy("doc_id")),
+
     // Cross-doc boilerplate coverage (the C4/RefinedWeb-family signal the
     // WITHIN-doc ta_repetition can't see): a 3-gram shingle appearing in
     // ≥ BoilerplateDf distinct docs is boilerplate (headers, licence
@@ -1527,6 +1572,39 @@ object LlmOps {
            FROM (SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames
                  FROM documents))
          ORDER BY doc_id, frame_idx""",
+
+    "mm_patch_grid" ->
+      """WITH dims AS (
+           SELECT doc_id,
+                  CAST(ascii(text[1]) * 7 % 640 AS INT) AS w,
+                  CAST(ascii(text[2]) * 5 % 480 AS INT) AS h
+           FROM documents),
+         scaled AS (
+           SELECT doc_id, w, h,
+                  CAST(CASE WHEN greatest(w, h) <= 96 THEN w
+                       ELSE greatest(1, (192*w + greatest(w, h)) // (2*greatest(w, h)))
+                       END AS INT) AS rw,
+                  CAST(CASE WHEN greatest(w, h) <= 96 THEN h
+                       ELSE greatest(1, (192*h + greatest(w, h)) // (2*greatest(w, h)))
+                       END AS INT) AS rh
+           FROM dims WHERE w > 0 AND h > 0)
+         SELECT doc_id, w, h, rw, rh,
+                CAST((rw + 15) // 16 AS INT) AS patch_cols,
+                CAST((rh + 15) // 16 AS INT) AS patch_rows,
+                CAST(((rw + 15) // 16) * ((rh + 15) // 16) + 1 AS INT) AS seq_len
+         FROM scaled ORDER BY doc_id""",
+
+    "mm_audio_frames" ->
+      """SELECT doc_id,
+                CAST(n_bytes AS INT) AS n_bytes,
+                CAST(n_samples AS BIGINT) AS n_samples,
+                CAST((n_samples * 1000) // 16000 AS BIGINT) AS duration_ms,
+                CAST(CASE WHEN n_samples >= 400 THEN (n_samples - 400) // 160 + 1
+                     ELSE 0 END AS INT) AS n_frames
+         FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                      octet_length(encode(text)) // 2 AS n_samples
+               FROM documents)
+         ORDER BY doc_id""",
 
     // Same shingle hash as the similarity oracles; df via a window count
     // over the hash, boilerplate = df >= BoilerplateDf.

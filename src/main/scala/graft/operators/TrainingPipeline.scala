@@ -255,6 +255,38 @@ object TrainingPipeline {
     // and at cluster scale it's a plain sort (range-partitioned, spillable)
     // rather than rand()-ordering, which changes every execution and breaks
     // resume-from-checkpoint training.
+    // tp_reservoir: k-per-group reservoir sampling, derandomized — keep
+    // exactly 5 docs per language, uniformly without replacement. A
+    // uniform-random priority per item + per-group top-k IS reservoir
+    // sampling; the salted portable hash replaces rand() so the draw is
+    // reproducible run-to-run and identical across engines. The scale
+    // shape is the same bounded partial aggregate as f3: each map
+    // partition reduces to ≤ k rows per group BEFORE the shuffle (the
+    // window form would shuffle and sort every row of every group — at
+    // 100 TB with billions of docs per language that is the whole table).
+    // Priority is the hash mod 1e9 (exactly representable in the
+    // aggregator's double; doc_id breaks ties deterministically).
+    "tp_reservoir" -> ((s, d) => {
+      import s.implicits._
+      val topk = new graft.functions.Aggregators.TopKAggregator(5).toColumn
+      documents(s, d)
+        .select(col("lang"),
+          (conv(substring(md5(concat(lit("res:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 1000000000L).cast("double").as("pri"),
+          col("doc_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(topk.name("top"))
+        .flatMap { case (lang, top) =>
+          top.iterator.zipWithIndex.map { case ((pri, id), i) =>
+            (lang, i + 1, id, pri.toLong)
+          }
+        }
+        .toDF("lang", "rnk", "doc_id", "pri")
+        .orderBy("lang", "rnk")
+    }),
+
     "tp_shuffle" -> ((s, d) =>
       documents(s, d)
         .withColumn("shuffle_key",
@@ -620,6 +652,20 @@ object TrainingPipeline {
                     len(string_split(text, ' ')) AS n_toks
                   FROM documents))
           GROUP BY source, shard, bin_id ORDER BY source, shard, bin_id""",
+
+    // The window form is the semantic mirror of the bounded partial
+    // aggregate (TopKAggregator orders score DESC, id DESC).
+    "tp_reservoir" ->
+      """SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, pri
+         FROM (
+           SELECT lang, doc_id, pri,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY pri DESC, doc_id DESC) AS rnk
+           FROM (SELECT lang, doc_id,
+                   ('0x'||substr(md5('res:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+                     % 1000000000 AS pri
+                 FROM documents))
+         WHERE rnk <= 5 ORDER BY lang, rnk""",
 
     "tp_shuffle" ->
       """SELECT doc_id,

@@ -284,4 +284,43 @@ class CoreRelationalSpec extends AnyFunSuite {
     // At this fixture the trade costs nothing: banded == brute exactly.
     assert(got.size == brute.size, s"sf0.01: ${got.size} vs brute ${brute.size}")
   }
+
+  test("c15 bucketed join returns exactly the plain-join result") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ExactNum.sum2
+    val got = run("c15_bucket_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val exp = graft.sources.Tables.orders(spark, sf)
+      .join(graft.sources.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum2(coalesce(col("o_totalprice"), lit(0.0))).as("total_price"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("d14 decimal sums equal an exact driver-side BigDecimal ledger") {
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+    def d2(x: Double) = BigDecimal(math.round(x * 100)) * BigDecimal("0.01")
+    val model = rows.groupBy(_.getString(0)).map { case (f, g) =>
+      val px = g.map(r => d2(r.getDouble(1))).sum
+      val dp = g.map(r => d2(r.getDouble(1)) * (1 - d2(r.getDouble(2)))).sum
+      val ch = g.map { r =>
+        d2(r.getDouble(1)) * (1 - d2(r.getDouble(2))) * (1 + d2(r.getDouble(3)))
+      }.sum
+      f -> (px, dp, ch)
+    }
+    val got = run("d14_decimal_money").collect()
+    assert(got.map(_.getString(0)).toSet == model.keySet)
+    got.foreach { r =>
+      val (px, dp, ch) = model(r.getString(0))
+      assert(BigDecimal(r.getDecimal(1)) == px, s"${r.getString(0)} sum_price")
+      assert(BigDecimal(r.getDecimal(2)) == dp, s"${r.getString(0)} sum_disc_price")
+      assert(BigDecimal(r.getDecimal(3)) == ch, s"${r.getString(0)} sum_charge")
+    }
+  }
 }

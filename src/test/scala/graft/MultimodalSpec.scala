@@ -51,6 +51,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizedDims(480, 640, 320, 320) == ((240, 320)))
     assert(Multimodal.resizedDims(100, 100, 320, 320) == ((100, 100))) // no upscale
     assert(Multimodal.resizedDims(0, 100, 320, 320) == ((0, 0)))
+  }
+
+  test("mm_patch_grid geometry: bounded, never upscales, patch math exact") {
+    val rows = SparkEntry.queries("mm_patch_grid")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      val (rw, rh) = (r.getInt(3), r.getInt(4))
+      val m = math.max(w, h)
+      // integer round-half-up model of the aspect-preserving downscale
+      def sc(x: Int) = if (m <= 96) x else math.max(1, (192 * x + m) / (2 * m))
+      assert(rw == sc(w) && rh == sc(h), s"doc ${r.getLong(0)}: ($w,$h)→($rw,$rh)")
+      assert(rw <= math.max(w, 96) && rh <= math.max(h, 96)) // never upscale
+      assert(math.max(rw, rh) <= 96)
+      assert(r.getInt(5) == (rw + 15) / 16 && r.getInt(6) == (rh + 15) / 16)
+      assert(r.getInt(7) == r.getInt(5) * r.getInt(6) + 1)
+    }
+  }
+
+  test("mm_audio_frames: 400/160 frame windowing model") {
+    val rows = SparkEntry.queries("mm_audio_frames")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      val samples = n / 2
+      assert(r.getLong(2) == samples)
+      assert(r.getLong(3) == samples * 1000L / 16000)
+      val exp = if (samples >= 400) (samples - 400) / 160 + 1 else 0
+      assert(r.getInt(4) == exp, s"doc ${r.getLong(0)}")
+    }
     assert(Multimodal.resizedDims(10000, 1, 320, 320)._1 <= 320)
     // ratio distortion stays within 1 pixel of exact for typical shapes
     val (w, h) = Multimodal.resizedDims(1920, 1080, 512, 512)

@@ -105,7 +105,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // the candidate scoring join rides the corpus-sized code table on
       // the vec_id pk — a co-partitioned equi join at scale; broadcasting
       // a 100 TB corpus's codes would be wrong
-      "lsh_ivfpq_topk")
+      "lsh_ivfpq_topk",
+      // the POINT of the query: a bucketed sort-merge join with zero
+      // exchange below it (its own test pins the no-reshuffle property)
+      "c15_bucket_join")
 
   test("no query ever executes a cartesian product") {
     val offenders = plans.collect {
@@ -193,6 +196,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // window starts), not a range join against a calendar table.
     assert(plans("e15_sliding_distinct").contains("Generate"),
       "e15 lost its explode-based expansion")
+  }
+
+  test("c15's bucket join runs with zero exchange on the join key") {
+    // The point of the bucketed layout: the sort-merge join's distribution
+    // requirement is satisfied straight off disk. Any Exchange
+    // hashpartitioning on the customer key means the layout stopped being
+    // used (bucket metadata lost, bucket counts diverged, or the scan
+    // stopped being bucket-aware) — the exact regression this guards.
+    val p = plans("c15_bucket_join")
+    assert(p.contains("SortMergeJoin"), "c15 lost its sort-merge join")
+    val keyShuffles = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("o_custkey") || l.contains("c_custkey")))
+    assert(keyShuffles.isEmpty,
+      s"c15 re-shuffles on the bucket key:\n${keyShuffles.mkString("\n")}")
   }
 
   test("the span detector's nine lead()s collapse into ONE window pass") {

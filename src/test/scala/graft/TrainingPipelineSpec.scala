@@ -247,4 +247,28 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(admitted(top)._1 / admTotal < corpus(top).toDouble / nd)
     assert(admitted(bot)._1 / admTotal > corpus(bot).toDouble / nd)
   }
+
+  test("tp_reservoir: exactly min(5,|group|) rows per lang, the hash-top-5 set") {
+    val got = run("tp_reservoir").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // driver model: same salted hash, top-5 by (pri desc, doc_id desc)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def pri(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"res:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000000L
+    }
+    val model = docs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      g.map { case (id, _) => (pri(id), id) }
+        .sortBy { case (p, id) => (-p, -id) }.take(5).zipWithIndex
+        .map { case ((p, id), i) => (lang, i + 1, id, p) }
+    }.toSet
+    assert(got.toSet == model)
+    // every group is filled to min(5, group size)
+    val sizes = docs.groupBy(_._2).map { case (l, g) => l -> math.min(5, g.size) }
+    assert(got.groupBy(_._1).map { case (l, g) => l -> g.length } == sizes)
+  }
 }
