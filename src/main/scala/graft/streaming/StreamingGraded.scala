@@ -45,6 +45,33 @@ object StreamingGraded {
       s.table(sink).orderBy("doc_id")
     }),
 
+    // I4 promoted to the oracle gate: a WATERMARKED tumbling aggregate in
+    // append mode — the real late-data semantics, not a batch twin. The
+    // emitted set is deterministic under AvailableNow: the watermark ends
+    // at max(ts) − 1 h regardless of how the file source batches, append
+    // mode emits exactly the windows whose END ≤ that final watermark
+    // (inclusive is safe: an event AT the watermark belongs to the NEXT
+    // window), and the trailing still-open windows are correctly withheld.
+    // The oracle mirrors that frontier arithmetic — this grades the
+    // window-eviction contract itself, the thing I4's spec could only
+    // assert in-JVM. At scale this exact plan runs continuously with
+    // bounded state: the watermark is what lets a 100-TB/day feed drop
+    // closed-window state instead of holding every hour ever seen.
+    "i4_watermark_stream" -> ((s, d) => {
+      val agg = Tables.tableStream(s, d, "events")
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"), col("n"))
+      val sink = "i4_watermark_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink).orderBy("hour_start", "event_type")
+    }),
+
     // The versioned-table upsert sink (L15 / i7's production form) driven
     // end-to-end: the event feed streams through foreachBatch into a
     // `_VERSION`-pointered parquet table, and the graded result is the
@@ -74,6 +101,17 @@ object StreamingGraded {
            AND md5(lower(trim(text))) NOT IN (
              SELECT md5(lower(trim(text))) FROM documents WHERE doc_id % 5 <> 0)
          ORDER BY doc_id""",
+
+    // the emitted-window frontier: every hour window whose end is at or
+    // before the final watermark (max event time − 1 h), and no other
+    "i4_watermark_stream" ->
+      """WITH g AS (
+           SELECT date_trunc('hour', ts) AS hs, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start, event_type, n
+         FROM g
+         WHERE hs + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+         ORDER BY hour_start, event_type""",
 
     // global last-writer-wins per user — what the published snapshot
     // must equal after the full feed drains through the sink

@@ -648,4 +648,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == evs.size,
       s"restart broke exactly-once: $total events counted for ${evs.size}")
   }
+
+  test("i4_watermark_stream emits exactly the closed-window frontier") {
+    val got = SparkEntry.queries("i4_watermark_stream")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // batch model: every hour window whose END <= max(ts) - 1h, no others
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hs"),
+        col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 1000000").as("hs_sec"),
+        expr("unix_micros(ts) div 1000000").as("sec"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val frontierSec = ev.map(_._4).max - 3600
+    val model = ev.groupBy(e => (e._1, e._2)).collect {
+      case ((hs, et), g) if g.head._3 + 3600 <= frontierSec =>
+        (hs, et) -> g.length.toLong
+    }.toMap
+    assert(got == model,
+      s"frontier mismatch: extra=${got.keySet -- model.keySet} " +
+        s"missing=${model.keySet -- got.keySet}")
+    assert(model.nonEmpty, "fixture span too short to close any window")
+  }
 }
