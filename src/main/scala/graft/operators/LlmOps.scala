@@ -507,6 +507,28 @@ object LlmOps {
         .orderBy("query_id", "rank")
     }),
 
+    // K4 closed at the SQL surface: the session extension registers the
+    // codegen'd vector Expressions as SQL functions (dot_product /
+    // squared_distance / squared_norm) and injects the DotSelfToNorm
+    // optimizer rule, so a user writing plain SQL gets the same tight
+    // generated loops the Column API gets — and dot_product(v, v) is
+    // rewritten to the one-array squared_norm automatically (PlanShapeSpec
+    // pins that the rewrite fired through the SQL path). Outputs are RAW
+    // doubles on purpose: the Expressions fold left-to-right exactly like
+    // the oracle's list_reduce(list_prepend(0.0, …)), so the hash match is
+    // bit-for-bit — no rounding net needed.
+    "k4_sql_vector" -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      embeddings(s, d)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .createOrReplaceTempView("graft_emb_sqlv")
+      s.sql("""SELECT vec_id,
+                      dot_product(v, v) AS sq_norm,
+                      dot_product(v, reverse(v)) AS rev_dot,
+                      squared_distance(v, reverse(v)) AS rev_dist
+               FROM graft_emb_sqlv ORDER BY vec_id""")
+    }),
+
     // J4: centroid aggregation — per-label mean vector, emitted flat as
     // (label, pos, c) rows (array outputs hash differently across engines).
     "j4_centroid" -> ((s, d) =>
@@ -1321,6 +1343,22 @@ object LlmOps {
                  ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
          WHERE rank <= 5
          ORDER BY query_id, rank""",
+
+    // The same left-to-right double fold as the Expressions generate —
+    // bit-identical, so raw doubles hash-match.
+    "k4_sql_vector" ->
+      """SELECT vec_id,
+                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> (embedding[i]::DOUBLE) * (embedding[i]::DOUBLE))),
+                  (a,x) -> a + x) AS sq_norm,
+                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> (embedding[i]::DOUBLE) * (embedding[65-i]::DOUBLE))),
+                  (a,x) -> a + x) AS rev_dot,
+                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> ((embedding[i]::DOUBLE) - (embedding[65-i]::DOUBLE))
+                     * ((embedding[i]::DOUBLE) - (embedding[65-i]::DOUBLE)))),
+                  (a,x) -> a + x) AS rev_dist
+         FROM embeddings ORDER BY vec_id""",
 
     "j4_centroid" -> centroidSql,
 

@@ -213,6 +213,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"c15 re-shuffles on the bucket key:\n${keyShuffles.mkString("\n")}")
   }
 
+  test("k4's SQL path rewrites dot_product(v,v) to squared_norm") {
+    // DotSelfToNorm must fire through the SQL surface: the executed plan
+    // carries a squarednorm over the self pair, and the only remaining
+    // dotproduct is the (v, reverse(v)) one.
+    val p = plans("k4_sql_vector").toLowerCase
+    assert(p.contains("squarednorm"), "DotSelfToNorm did not fire via SQL")
+    assert(p.contains("dotproduct"), "the two-array dot_product disappeared")
+  }
+
   test("the span detector's nine lead()s collapse into ONE window pass") {
     // the k-gram builder chains 9 withColumn(lead(th, i)) over the same
     // (doc_id, pos) window spec; CollapseWindow must merge them — nine
