@@ -32,7 +32,8 @@ object Bench {
     // time and return the sink's table — rebuild them too, so the timing
     // covers the actual stream run, not a cached-sink read.
     val eagerBuilders = Set("dd_components", "dd_keep_one",
-      "dd_admit_stream", "i7b_upsert_stream", "i4_watermark_stream")
+      "dd_admit_stream", "i7b_upsert_stream", "i4_watermark_stream",
+      "i14_stream_join")
     // A failed query records -1 (never a tiny elapsed time) so a regression
     // that breaks a query can't lower the bench total; `fail` counts them.
     def timedPass(): Map[String, Double] = dfs.map { case (name, df0) =>

@@ -72,6 +72,34 @@ object StreamingGraded {
       s.table(sink).orderBy("hour_start", "event_type")
     }),
 
+    // The hardest streaming operator promoted to the gate: the left-outer
+    // STREAM-STREAM interval join (clicks ⋈ purchases within 30 min,
+    // 10-min watermarks both sides). Deterministic under AvailableNow by
+    // the same frontier argument as i4, applied twice: (1) matches are
+    // never missed — a left row's state evicts only when the global
+    // watermark (the MIN of both sides' frontiers — the min-watermark
+    // gotcha) has passed its entire join window, at which point no
+    // qualifying right row can still arrive; (2) the null rows are exactly
+    // the unmatched clicks whose window end sits behind that final global
+    // watermark — later clicks are withheld as "maybe matched later".
+    // The oracle mirrors both halves. At 100 TB this is the operator that
+    // joins two unbounded feeds in bounded state — the watermark bound IS
+    // the memory bound.
+    "i14_stream_join" -> ((s, d) => {
+      val joined = StreamingOps.clickToPurchaseLeftJoin(
+        Tables.tableStream(s, d, "events"))
+      val sink = "i14_stream_join_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("click_id"), col("user_id"),
+          expr("unix_micros(click_ts)").as("click_us"),
+          col("purchase_id"),
+          expr("unix_micros(purchase_ts)").as("purchase_us"))
+        .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
+    }),
+
     // The versioned-table upsert sink (L15 / i7's production form) driven
     // end-to-end: the event feed streams through foreachBatch into a
     // `_VERSION`-pointered parquet table, and the graded result is the
@@ -112,6 +140,40 @@ object StreamingGraded {
          FROM g
          WHERE hs + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
          ORDER BY hour_start, event_type""",
+
+    // matches = the plain interval join; nulls = unmatched clicks whose
+    // join window closed behind the final global (min-of-sides) watermark
+    "i14_stream_join" ->
+      """WITH clicks AS (
+           SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id AS purchase_id, user_id AS p_user, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT least((SELECT max(click_ts) FROM clicks),
+                        (SELECT max(purchase_ts) FROM purchases))
+                  - INTERVAL 10 MINUTE AS w),
+         matched AS (
+           SELECT c.click_id, c.user_id, epoch_us(c.click_ts) AS click_us,
+                  p.purchase_id, epoch_us(p.purchase_ts) AS purchase_us
+           FROM clicks c JOIN purchases p
+             ON c.user_id = p.p_user
+            AND p.purchase_ts BETWEEN c.click_ts
+                                  AND c.click_ts + INTERVAL 30 MINUTE),
+         unmatched AS (
+           SELECT c.click_id, c.user_id, epoch_us(c.click_ts) AS click_us,
+                  CAST(NULL AS BIGINT) AS purchase_id,
+                  CAST(NULL AS BIGINT) AS purchase_us
+           FROM clicks c
+           WHERE c.click_ts + INTERVAL 30 MINUTE < (SELECT w FROM wm)
+             AND NOT EXISTS (
+               SELECT 1 FROM purchases p
+               WHERE p.p_user = c.user_id
+                 AND p.purchase_ts BETWEEN c.click_ts
+                                       AND c.click_ts + INTERVAL 30 MINUTE))
+         SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+         ORDER BY click_id, coalesce(purchase_id, -1)""",
 
     // global last-writer-wins per user — what the published snapshot
     // must equal after the full feed drains through the sink
