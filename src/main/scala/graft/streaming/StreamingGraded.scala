@@ -24,6 +24,26 @@ import graft.sources.Tables
   */
 object StreamingGraded {
 
+  /** Start-and-drain a STATEFUL streaming query with the shuffle width
+    * right-sized for the drained volume. A stateful operator materializes
+    * `shuffle.partitions` state-store instances per store (several stores
+    * for an outer join), each committing checkpoint files every batch —
+    * at the batch session's width of 32 that is pure fixed overhead for a
+    * bounded drain (the stream-stream join spent ~6 of its 8 s there).
+    * The conf is a per-query knob because streaming queries PIN the
+    * width into their checkpoint at first start: at 100 TB/day this is
+    * sized UP per query for state volume, independent of the batch
+    * width — which is exactly how it is exercised here, just downward.
+    * Restored before returning, so the graded read-back and every other
+    * registry query still plan at the session's width. */
+  private def drainStateful(s: SparkSession)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val old = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try start.awaitTermination()
+    finally s.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The streaming admission gate (dd_incremental's arrival-time form at
@@ -66,9 +86,10 @@ object StreamingGraded {
           date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
           col("event_type"), col("n"))
       val sink = "i4_watermark_sink"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainStateful(s) {
+        agg.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
       s.table(sink).orderBy("hour_start", "event_type")
     }),
 
@@ -89,9 +110,10 @@ object StreamingGraded {
       val joined = StreamingOps.clickToPurchaseLeftJoin(
         Tables.tableStream(s, d, "events"))
       val sink = "i14_stream_join_sink"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      drainStateful(s) {
+        joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
       s.table(sink)
         .select(col("click_id"), col("user_id"),
           expr("unix_micros(click_ts)").as("click_us"),
