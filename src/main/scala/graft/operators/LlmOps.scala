@@ -55,6 +55,28 @@ object LlmOps {
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
   }
 
+  /** Corpus-level PMI per frequent bigram (see the `ta_pmi` registry note).
+    * Separated so tests can drive it with synthetic collocation text. */
+  private[graft] def pmiOf(docs: DataFrame, minCnt: Long): DataFrame = {
+    val cb = graft.CacheRegistry.materialize(
+      bigramRows(docs).groupBy("bg").agg(count(lit(1)).as("cnt")))
+    val ca = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt")).as("ca"))
+    val cz = cb.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+      .agg(sum(col("cnt")).as("cz"))
+    val n = cb.agg(sum(col("cnt")).cast("double").as("n"))
+    cb.filter(col("cnt") >= minCnt)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(ca, "w1").join(cz, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bg").as("bigram"), col("cnt"),
+        (round(log(col("cnt").cast("double") * col("n") /
+          (col("ca").cast("double") * col("cz").cast("double"))) * 1e7)
+          .cast("long") / 1e7).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+  }
+
   /** One row per distinct (doc, hashed word-3-gram shingle), plus the
     * (lang, length-bucket) block key. Built relationally — posexplode +
     * lead() window + row-level md5 — because Spark's higher-order-function
@@ -610,6 +632,19 @@ object LlmOps {
         .filter(col("cnt") >= 20)
         .orderBy(col("cnt").desc, col("bigram").asc)
     }),
+
+    // Text analysis: PMI collocations — which frequent bigrams are REAL
+    // multi-word units rather than chance co-occurrences of common words
+    // (the Church–Hanks association measure; the tokenizer-vocabulary and
+    // phrase-mining primitive). PMI(a,b) = ln(c(ab)·N / (c(a·)·c(·b))).
+    // Everything reduces to model-sized frames off the shared bigram
+    // stream: per-bigram counts (materialized — three aggregate consumers),
+    // prefix/suffix marginals (vocabulary-sized, joined on their keys),
+    // and the single-row total broadcast. The ln runs once per SURVIVING
+    // distinct bigram — never per occurrence — and snaps to the 1e-7 grid,
+    // so the score is engine-identical and the whole op is two hash
+    // aggregates + model joins at any corpus size.
+    "ta_pmi" -> ((s, d) => pmiOf(documents(s, d), 20L)),
 
     // J6: quality gate — length/lang corpus-cleaning filter.
     "j6_quality_filter" -> ((s, d) =>
@@ -1394,6 +1429,28 @@ object LlmOps {
             FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
           GROUP BY bigram HAVING count(*) >= 20
           ORDER BY cnt DESC, bigram ASC""",
+
+    // mirrors pmiOf term for term: same bigram stream, same marginals,
+    // same ln argument structure, same 1e-7 snap
+    "ta_pmi" ->
+      s"""WITH cb AS (
+            SELECT bg, count(*) AS cnt FROM (
+              SELECT $toksSql[i] || ' ' || $toksSql[i+1] AS bg
+              FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
+            GROUP BY bg),
+          ca AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cnt) AS ca FROM cb GROUP BY 1),
+          cz AS (SELECT split_part(bg, ' ', 2) AS w2, sum(cnt) AS cz FROM cb GROUP BY 1),
+          n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM cb)
+          SELECT bg AS bigram, cnt,
+                 CAST(round(ln(CAST(cnt AS DOUBLE) * n
+                     / (CAST(ca AS DOUBLE) * CAST(cz AS DOUBLE))) * 10000000)
+                   AS BIGINT)/10000000.0 AS pmi
+          FROM cb
+          JOIN ca ON split_part(bg, ' ', 1) = w1
+          JOIN cz ON split_part(bg, ' ', 2) = w2
+          CROSS JOIN n
+          WHERE cnt >= 20
+          ORDER BY pmi DESC, bigram ASC""",
 
     "j6_quality_filter" ->
       s"""SELECT doc_id, lang, n_chars, CAST(len($toksSql) AS INT) AS n_tokens

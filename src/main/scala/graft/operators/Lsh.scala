@@ -230,6 +230,23 @@ object Lsh {
     // lsh_ivf_refined's knob).
     "emb_pq" -> ((s, d) => pqCodes(s, d, m = 4, k = 8)),
 
+    // K-means clustering REPORT over the refined IVF index — the dataset
+    // card for the coarse quantizer (and the generic embedding-clustering
+    // deliverable): per-cluster population and inertia (Σ squared distance
+    // to the centroid). Rides the SAME materialized assignment frame
+    // lsh_ivf_refined serves from (nlist=10, one Lloyd round) — zero extra
+    // corpus passes; the report is one hash aggregate over it. Inertia
+    // sums snap each distance to the 1e-4 grid first (order-independent
+    // integer sum → engine-identical), the same trick as every money sum.
+    // This is the convergence/balance signal a 100-TB clustering job
+    // monitors per round: skewed cells → grow nlist or re-seed.
+    "emb_kmeans_report" -> ((s, d) =>
+      ivfAssignments(s, d, nlist = 10, nprobe = 1, refine = 1)
+        .filter(col("rnk") === 1)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum4(col("dist2")).as("inertia"))
+        .orderBy("cell")),
+
     // IVF-PQ ADC search — the composition of the two graded halves
     // (lsh_ivf_topk's coarse cells × emb_pq's codes); see [[ivfpqTopK]].
     // Graded at nlist=10, m=4, k=8 with 2 Lloyd rounds (the measured
@@ -425,7 +442,8 @@ object Lsh {
     graft.CacheRegistry.materialize(nearestCell(cents)
       .filter(col("rnk") <= math.max(1, nprobe))
       .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
-        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm")))
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm"),
+        col("dist2")))
   }
 
   private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
@@ -835,6 +853,19 @@ object Lsh {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    // same refined assignment CTE; distance re-derived against the final
+    // centroids with the identical left-to-right fold, snapped pre-sum
+    "emb_kmeans_report" ->
+      s"""WITH ${ivfAssignSql(10, refine = 1)},
+          d AS (
+            SELECT a.cell,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                     i -> (a.embedding[i]::DOUBLE - c.cent[i])
+                        * (a.embedding[i]::DOUBLE - c.cent[i]))), (acc,x) -> acc + x) AS dist2
+            FROM assigned a JOIN cents1 c ON a.cell = c.clabel)
+          SELECT cell, count(*) AS n, ${sqlSum4("dist2")} AS inertia
+          FROM d GROUP BY cell ORDER BY cell""",
 
     // PQ mirror: same md5 seed, round4'd per-subspace codeword means,
     // squared-distance argmin with the code id as tie-break. Distances

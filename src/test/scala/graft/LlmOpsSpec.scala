@@ -368,4 +368,38 @@ class LlmOpsSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 50L, "b" -> 30L))
   }
+
+  test("ta_pmi: a perfect collocation outranks chance pairs, values exact") {
+    import spark.implicits._
+    // "xq yq" is a pure collocation (xq only ever precedes yq); the
+    // the/a × cat/dog grid is chance co-occurrence of common words.
+    val docs = Seq(
+      (1L, "xq yq xq yq xq yq"),
+      (2L, "the cat the dog a cat a dog"),
+      (3L, "the dog a cat the cat a dog"),
+      (4L, "xq yq the cat a dog xq yq")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.LlmOps.pmiOf(docs, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // sequential model: same bigrams (within doc, across all positions),
+    // same marginals, same snapped ln
+    val bgs = Seq("xq yq xq yq xq yq", "the cat the dog a cat a dog",
+      "the dog a cat the cat a dog", "xq yq the cat a dog xq yq")
+      .flatMap(t => t.split(" ").sliding(2).map(_.mkString(" ")))
+    val cb = bgs.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val ca = cb.groupBy(_._1.split(" ")(0)).map { case (w, g) => w -> g.values.sum }
+    val cz = cb.groupBy(_._1.split(" ")(1)).map { case (w, g) => w -> g.values.sum }
+    val n = cb.values.sum.toDouble
+    val model = cb.filter(_._2 >= 2L).map { case (b, c) =>
+      val Array(w1, w2) = b.split(" ")
+      (b, c, math.round(math.log(c.toDouble * n / (ca(w1).toDouble * cz(w2).toDouble)) * 1e7) / 1e7)
+    }.toSeq.sortBy(t => (-t._3, t._1))
+    assert(got.toSeq == model)
+    // both xq/yq transitions are pure collocations (those tokens never pair
+    // with anything else); either outranks every the/a × cat/dog pair
+    assert(Set("xq yq", "yq xq")(got.head._1),
+      s"collocation not ranked first: ${got.head}")
+    val grid = got.filter(r => !Set("xq yq", "yq xq")(r._1)).map(_._3)
+    assert(grid.nonEmpty && grid.max < got.head._3)
+  }
 }
