@@ -48,7 +48,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "lsh_ivfpq_topk",
       // cross-combines the single-row total-token-mass aggregate with the
       // ≤ k Misra–Gries candidates — both sides provably tiny
-      "d13_heavy_hitters")
+      "d13_heavy_hitters",
+      // cross-combines the single-row bigram-total aggregate (the PMI
+      // denominator) with the frequent-bigram frame
+      "ta_pmi",
+      // rides the IVF assignment build, which broadcasts the nlist-sized
+      // centroid grid — same tiny side as lsh_ivf_refined
+      "emb_kmeans_report")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
