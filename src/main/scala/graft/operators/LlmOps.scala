@@ -633,6 +633,48 @@ object LlmOps {
         .orderBy(col("cnt").desc, col("bigram").asc)
     }),
 
+    // Ranked RETRIEVAL: BM25 (k1=1.2, b=0.75) over the corpus for a
+    // bounded query-term set — the relevance-scoring primitive a training
+    // pipeline uses to surface topic-matched documents (and the classic
+    // lexical-retrieval baseline next to J3's dense retrieval). The query
+    // terms are the top-3 corpus tokens (deterministic: count desc, word
+    // asc) — at scale an explicit user list, same broadcast shape. Rides
+    // ta_tfidf's materialized (doc, dlen, word, cnt) frame (CacheManager
+    // keys on the canonical plan — one storage copy); docfreq and the
+    // query set are vocabulary-/k-sized broadcasts, N·avgdl one broadcast
+    // row (avgdl = exact long sum ÷ count, one division — no
+    // order-dependent double sum). Per-(doc,term) scores snap to the 1e-7
+    // grid pre-sum; top-20 is a TakeOrdered, never a global sort.
+    "ta_bm25" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nAvg = docs.agg(count(lit(1)).cast("double").as("n_total"),
+        (sum(size(split(col("text"), " "))).cast("double") /
+          count(lit(1))).as("avgdl"))
+      val terms = graft.CacheRegistry.materialize(docs
+        .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy("doc_id", "dlen", "word")
+        .agg(count(lit(1)).as("cnt")))
+      val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
+      val q = terms.groupBy("word").agg(sum(col("cnt")).as("ctot"))
+        .orderBy(col("ctot").desc, col("word").asc).limit(3)
+        .select("word")
+      terms.join(broadcast(q), "word")
+        .join(broadcast(df_), "word")
+        .crossJoin(broadcast(nAvg))
+        .select(col("doc_id"),
+          round(log(lit(1.0) + (col("n_total") - col("docfreq") + 0.5) /
+              (col("docfreq") + 0.5)) *
+            ((col("cnt") * 2.2) /
+              (col("cnt") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dlen") / col("avgdl"))))
+            * 1e7).cast("long").as("sticks"))
+        .groupBy("doc_id")
+        .agg((sum(col("sticks")) / 1e7).as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // Text analysis: PMI collocations — which frequent bigrams are REAL
     // multi-word units rather than chance co-occurrences of common words
     // (the Church–Hanks association measure; the tokenizer-vocabulary and
@@ -1429,6 +1471,33 @@ object LlmOps {
             FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
           GROUP BY bigram HAVING count(*) >= 20
           ORDER BY cnt DESC, bigram ASC""",
+
+    // same terms CTE as ta_tfidf; idf/tf-part mirrored operand for
+    // operand, snapped to 1e-7 pre-sum; avgdl = exact long sum ÷ count
+    "ta_bm25" ->
+      s"""WITH terms AS (
+            SELECT doc_id, len($toksSql) AS dlen, word, count(*) AS cnt
+            FROM (SELECT doc_id, text, unnest($toksSql) AS word FROM documents)
+            GROUP BY doc_id, len($toksSql), word),
+          navg AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_total,
+                   CAST(sum(len($toksSql)) AS DOUBLE)/count(*) AS avgdl
+            FROM documents),
+          dfq AS (SELECT word, count(*) AS docfreq FROM terms GROUP BY word),
+          q AS (SELECT word FROM (
+                  SELECT word, sum(cnt) AS ctot FROM terms GROUP BY word)
+                ORDER BY ctot DESC, word ASC LIMIT 3),
+          s AS (
+            SELECT t.doc_id,
+                   CAST(round(ln(1.0 + (n_total - docfreq + 0.5)/(docfreq + 0.5))
+                     * ((cnt * 2.2)/(cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl)))
+                     * 10000000) AS BIGINT) AS sticks
+            FROM terms t JOIN q USING (word) JOIN dfq USING (word)
+            CROSS JOIN navg)
+          SELECT doc_id, CAST(sum(sticks) AS BIGINT)/10000000.0 AS bm25,
+                 count(*) AS n_terms
+          FROM s GROUP BY doc_id
+          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
 
     // mirrors pmiOf term for term: same bigram stream, same marginals,
     // same ln argument structure, same 1e-7 snap

@@ -369,6 +369,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 50L, "b" -> 30L))
   }
 
+  test("ta_bm25: top-20 matches a sequential BM25 model on the fixture") {
+    val got = SparkEntry.queries("ta_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length).sum.toDouble / docs.length
+    val termCnt = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (w, g) => (id, w, g.size, ts.length) } }
+    val df = termCnt.groupBy(_._2).map { case (w, g) => w -> g.size }
+    val q = termCnt.groupBy(_._2).map { case (w, g) => w -> g.map(_._3).sum }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1).toSet
+    val model = termCnt.filter(t => q(t._2)).groupBy(_._1).map { case (id, g) =>
+      val ticks = g.map { case (_, w, cnt, dlen) =>
+        math.round((math.log(1.0 + (n - df(w) + 0.5) / (df(w) + 0.5)) *
+          ((cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dlen / avgdl)))) * 1e7)
+      }.sum
+      (id, ticks / 1e7, g.size.toLong)
+    }.toSeq.sortBy { case (id, s, _) => (-s, id) }.take(20)
+    assert(got.length == 20)
+    got.zip(model).foreach { case ((gi, gs, gt), (mi, ms, mt)) =>
+      assert(gi == mi && gt == mt && math.abs(gs - ms) <= 1e-6,
+        s"got ($gi,$gs,$gt) model ($mi,$ms,$mt)")
+    }
+  }
+
   test("ta_pmi: a perfect collocation outranks chance pairs, values exact") {
     import spark.implicits._
     // "xq yq" is a pure collocation (xq only ever precedes yq); the

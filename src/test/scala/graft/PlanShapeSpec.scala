@@ -54,7 +54,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "ta_pmi",
       // rides the IVF assignment build, which broadcasts the nlist-sized
       // centroid grid — same tiny side as lsh_ivf_refined
-      "emb_kmeans_report")
+      "emb_kmeans_report",
+      // cross-combines the single-row N·avgdl aggregate with the
+      // query-term-filtered posting rows
+      "ta_bm25")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
