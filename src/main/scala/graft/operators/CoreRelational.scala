@@ -1043,8 +1043,11 @@ object CoreRelational {
   /** Common-neighbor count + neighbor Jaccard over a canonical (src < dst)
     * edge list — the core of `gr_node_sim`, parameterized for tests. */
   private[graft] def neighborSimOf(e: DataFrame): DataFrame = {
-    val sym = e.select(col("src").as("u"), col("dst").as("v"))
-      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    // three consumers (deg + both wedge-join sides) — materialize, or the
+    // union re-evaluates per consumer
+    val sym = graft.CacheRegistry.materialize(
+      e.select(col("src").as("u"), col("dst").as("v"))
+        .union(e.select(col("dst").as("u"), col("src").as("v"))))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val cn = sym.alias("l")
       .join(sym.alias("r"), col("l.v") === col("r.v") && col("l.u") < col("r.u"))
