@@ -485,6 +485,18 @@ object WindowedAnalytics {
         .orderBy("purchase_id")
     }),
 
+    // E16: last-touch attribution — the business composite over C8's as-of
+    // machinery: every purchase credits the most recent preceding touch
+    // (click or view) by the same user within a 7-day lookback, else
+    // 'direct'; channels roll up to conversion counts + exact revenue.
+    // Same single-window union shape as C8 (touches sort before a
+    // same-microsecond conversion via the kind key), so the whole
+    // attribution is ONE user-partitioned window pass + one hash
+    // aggregate — never a touches × conversions join, which is the shape
+    // that dies on high-activity users at 100 TB. The lookback is integer
+    // µs arithmetic; revenue goes through the cents kernel.
+    "e16_attribution" -> ((s, d) => attributionOf(events(s, d))),
+
     // C14: interval-overlap join — for each purchase's 1-hour fulfillment
     // interval, the severe maintenance windows (error events with
     // value ≥ 90, ±15 min) that overlap it, with total overlap time.
@@ -630,6 +642,31 @@ object WindowedAnalytics {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("active_users"))
       .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Last-touch attribution core (see the `e16_attribution` registry
+    * note), over any events-shaped frame — parameterized so tests can pin
+    * the 7-day lookback boundary and the same-microsecond ordering. */
+  private[graft] def attributionOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("value"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("kind"))
+      .withColumn("lt", last(when(col("kind") === 0,
+          struct(col("us").as("tus"), col("event_type").as("ch"))),
+        ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("channel",
+        when(col("lt").isNotNull &&
+            col("lt.tus") >= col("us") - lit(604800000000L), col("lt.ch"))
+          .otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum2(coalesce(col("value"), lit(0.0))).as("revenue"))
+      .orderBy("channel")
   }
 
   val oracle: Map[String, String] = Map(
@@ -949,6 +986,29 @@ object WindowedAnalytics {
            FROM events WHERE event_type IN ('purchase', 'click'))
          WHERE event_type = 'purchase'
          ORDER BY purchase_id""",
+
+    // two last_value windows over the same spec (both engines collapse to
+    // one pass); same (us, kind, event_id) total order as the Spark form
+    "e16_attribution" ->
+      s"""WITH ev AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+            FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+          lt AS (
+            SELECT *,
+                   last_value(CASE WHEN kind = 0 THEN us END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltus,
+                   last_value(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ltch
+            FROM ev)
+          SELECT CASE WHEN ltus IS NOT NULL AND ltus >= us - 604800000000
+                      THEN ltch ELSE 'direct' END AS channel,
+                 count(*) AS n_conversions,
+                 ${sqlSum2("coalesce(value, 0.0)")} AS revenue
+          FROM lt WHERE kind = 1
+          GROUP BY 1 ORDER BY channel""",
 
     // The oracle states the overlap join directly (DuckDB handles the
     // theta join at oracle scale); the grid blocking is plan shape only.

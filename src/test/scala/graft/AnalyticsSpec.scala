@@ -470,4 +470,38 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 4L) -> (2L, 2L, 2L, 1.0),
       (2L, 3L) -> (2L, 3L, 3L, 0.5)))
   }
+
+  test("e16 attribution: lookback boundary inclusive, same-us touch credits, " +
+      "no touch is direct") {
+    import spark.implicits._
+    def t(us: Long) = new java.sql.Timestamp(us / 1000) // µs → ms epoch
+    val day = 86400000000L
+    val t0 = 1700000000000000L
+    val ev = Seq(
+      // u1: click one day before the purchase → click credited
+      (1L, 1L, "click", t(t0), 0.0),
+      (2L, 1L, "purchase", t(t0 + day), 10.0),
+      // u2: view 8 days before → outside the 7-day lookback → direct
+      (3L, 2L, "view", t(t0), 0.0),
+      (4L, 2L, "purchase", t(t0 + 8 * day), 20.0),
+      // u3: click EXACTLY 7 days before → boundary is inclusive → click
+      (5L, 3L, "click", t(t0), 0.0),
+      (6L, 3L, "purchase", t(t0 + 7 * day), 30.0),
+      // u4: view at the SAME microsecond → kind key sorts it first → view
+      (7L, 4L, "view", t(t0), 0.0),
+      (8L, 4L, "purchase", t(t0), 40.0),
+      // u5: no touch at all → direct
+      (9L, 5L, "purchase", t(t0), 50.0),
+      // u6: click then view → LAST touch (view) gets the credit
+      (10L, 6L, "click", t(t0), 0.0),
+      (11L, 6L, "view", t(t0 + day), 0.0),
+      (12L, 6L, "purchase", t(t0 + 2 * day), 60.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = graft.operators.WindowedAnalytics.attributionOf(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(
+      "click" -> (2L, 40.0),
+      "view" -> (2L, 100.0),
+      "direct" -> (2L, 70.0)))
+  }
 }
