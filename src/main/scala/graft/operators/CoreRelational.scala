@@ -967,6 +967,18 @@ object CoreRelational {
         .orderBy("c_mktsegment")
     }),
 
+    // D15: data-quality gate report — the per-rule assertion suite every
+    // pipeline runs before publishing a sync (pk uniqueness, FK coverage,
+    // domain/range and null-rate bounds), as ONE plan: all scan-level
+    // rules fold into a single conditional-aggregate pass over the fact
+    // table, the FK rule is one anti join (the c11 idiom — a null key
+    // matches nothing and counts as an orphan), and the rule rows unpivot
+    // from the combined single-row frame. At 100 TB: one pass + one
+    // hash-partitioned anti join, however many scan rules are registered;
+    // thresholds are multiplied-out integer comparisons (null-rate ≤ 5% is
+    // v·20 ≤ n — no engine-divergent division).
+    "d15_dq_report" -> ((s, d) => dqReportOf(orders(s, d), customer(s, d))),
+
     // D14: exact DECIMAL money arithmetic — the fixed-point ledger path
     // (audit/billing semantics where binary-float drift is not
     // acceptable). The doubles are snapped to integer cents by the SAME
@@ -999,6 +1011,36 @@ object CoreRelational {
         .orderBy("l_returnflag")
     })
   )
+
+  /** Data-quality gate core (see the `d15_dq_report` registry note) over
+    * any orders/customer-shaped pair — parameterized so tests can inject
+    * violations per rule. */
+  private[graft] def dqReportOf(o: DataFrame, cust: DataFrame): DataFrame = {
+    val base = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_pk"),
+      sum(when(col("o_totalprice") < 0, 1L).otherwise(0L)).as("v_neg"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("o_orderdate").isNull ||
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2000-01-01").cast("timestamp"), 1L)
+        .otherwise(0L)).as("v_range"))
+    val vfk = o.join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_fk"))
+    def rule(name: String, v: Column, pass: Column) =
+      struct(lit(name).as("rule"), col("n"), v.as("v"), pass.cast("int").as("pass"))
+    base.crossJoin(vfk)
+      .select(explode(array(
+        rule("fk_customer", col("v_fk"), col("v_fk") === 0),
+        rule("orderdate_range", col("v_range"), col("v_range") === 0),
+        rule("pk_unique", col("v_pk"), col("v_pk") === 0),
+        rule("price_nonneg", col("v_neg"), col("v_neg") === 0),
+        rule("price_null_rate_5pct", col("v_null"), col("v_null") * 20 <= col("n"))
+      )).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n").as("n_checked"),
+        col("r.v").as("n_violations"), col("r.pass").as("pass"))
+      .orderBy("rule")
+  }
 
   /** Bucketed copies of orders/customer for `c15_bucket_join`, written once
     * per (session, sfDir): 8 buckets each on the customer key, sorted
@@ -1680,6 +1722,31 @@ object CoreRelational {
                  ${sqlSum2("coalesce(o_totalprice, 0.0)")} AS total_price
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // one conditional-aggregate pass + one NOT EXISTS, unpivoted per rule
+    "d15_dq_report" ->
+      """WITH b AS (
+           SELECT count(*) AS n,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_pk,
+                  CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+                  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                  CAST(sum(CASE WHEN o_orderdate IS NULL
+                                OR o_orderdate < TIMESTAMP '1992-01-01'
+                                OR o_orderdate >= TIMESTAMP '2000-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+           FROM orders),
+         f AS (SELECT count(*) AS v_fk FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE o.o_custkey = c.c_custkey))
+         SELECT rule, n AS n_checked, v AS n_violations, CAST(p AS INT) AS pass
+         FROM (
+           SELECT 'fk_customer' AS rule, n, v_fk AS v, v_fk = 0 AS p
+           FROM b CROSS JOIN f
+           UNION ALL SELECT 'orderdate_range', n, v_range, v_range = 0 FROM b
+           UNION ALL SELECT 'pk_unique', n, v_pk, v_pk = 0 FROM b
+           UNION ALL SELECT 'price_nonneg', n, v_neg, v_neg = 0 FROM b
+           UNION ALL SELECT 'price_null_rate_5pct', n, v_null, v_null * 20 <= n FROM b)
+         ORDER BY rule""",
 
     // Mirrors the exact-decimal pipeline step for step: same cents snap,
     // same 0.01 scale shift, same widening multiplies, same final casts.

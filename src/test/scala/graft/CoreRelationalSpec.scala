@@ -301,6 +301,34 @@ class CoreRelationalSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("d15 dq report: injected violations land on exactly their rules") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    // 20 clean rows keep the 5% null-rate rule passing with ONE null below
+    val clean = (1L to 20L).map(i =>
+      (i, i % 3 + 1, 100.0, t("1995-06-01 00:00:00")))
+    val dirty = Seq(
+      (20L, 1L, 100.0, t("1995-06-01 00:00:00")),           // duplicate pk
+      (21L, 99L, 100.0, t("1995-06-01 00:00:00")),          // orphan custkey
+      (22L, 1L, -5.0, t("1995-06-01 00:00:00")),            // negative price
+      (23L, 2L, 100.0, t("2001-01-01 00:00:00")))           // out of range
+    val o = (clean ++ dirty)
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      // two nulls among 24 rows → 2*20 > 24 → the null-rate rule FAILS
+      .withColumn("o_totalprice",
+        when(col("o_orderkey").isin(18L, 19L), lit(null)).otherwise(col("o_totalprice")))
+    val cust = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val got = graft.operators.CoreRelational.dqReportOf(o, cust).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got == Map(
+      "fk_customer" -> (24L, 1L, 0),
+      "orderdate_range" -> (24L, 1L, 0),
+      "pk_unique" -> (24L, 1L, 0),
+      "price_nonneg" -> (24L, 1L, 0),
+      "price_null_rate_5pct" -> (24L, 2L, 0)))
+  }
+
   test("d14 decimal sums equal an exact driver-side BigDecimal ledger") {
     val rows = graft.sources.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
