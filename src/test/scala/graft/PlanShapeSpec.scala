@@ -57,7 +57,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "emb_kmeans_report",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
-      "ta_bm25")
+      "ta_bm25",
+      // cross-combines two single-row rule aggregates, like c11's audits
+      "d15_dq_report")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a
