@@ -397,6 +397,52 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  // Last-touch attribution vs a sequential per-user walk: random event
+  // streams with ts ties, non-attributable types, null revenue, and
+  // lookback boundaries both sides of 7 days. The model walks each user's
+  // events in the operator's total order (us, purchase-last, event_id).
+  property("attribution equals the sequential last-touch model") =
+    forAll(Gen.listOfN(25, for {
+      u <- Gen.choose(1L, 4L)
+      ty <- Gen.oneOf("click", "view", "purchase", "error")
+      day <- Gen.choose(0L, 15L)
+      us <- Gen.choose(0L, 3L).map(day * 86400000000L + _) // frequent ties
+      cents <- Gen.choose(0L, 500L)
+      nul <- Gen.choose(0, 9)
+    } yield (u, ty, us, if (nul == 0) null else Double.box(cents / 100.0)))) { evs0 =>
+      import spark.implicits._
+      val evs = evs0.zipWithIndex.map { case ((u, ty, us, v), i) =>
+        (i.toLong + 1, u, ty, us, v)
+      }
+      if (!evs.exists(_._3 == "purchase")) true
+      else {
+        val df = evs.toDF("event_id", "user_id", "event_type", "us_in", "value")
+          .withColumn("ts", timestamp_micros(col("us_in"))).drop("us_in")
+        val got = graft.operators.WindowedAnalytics.attributionOf(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        val look = 604800000000L
+        val model = evs.filter(e => Set("click", "view", "purchase")(e._3))
+          .groupBy(_._2).toSeq.flatMap { case (_, g) =>
+            var lt: Option[(Long, String)] = None
+            g.sortBy(e => (e._4, if (e._3 == "purchase") 1 else 0, e._1))
+              .flatMap { case (_, _, ty, us, v) =>
+                if (ty != "purchase") { lt = Some((us, ty)); None }
+                else {
+                  val ch = lt match {
+                    case Some((tus, c)) if tus >= us - look => c
+                    case _ => "direct"
+                  }
+                  Some(ch -> math.round(Option(v).map(_.doubleValue).getOrElse(0.0) * 100))
+                }
+              }
+          }
+          .groupBy(_._1).map { case (ch, g) =>
+            ch -> (g.size.toLong, g.map(_._2).sum / 100.0)
+          }
+        got == model
+      }
+    }
+
   // Misra–Gries guarantee under the distributed execution shape: for ANY
   // partitioning of a weighted stream, reduce-per-partition + pairwise
   // merge must keep every item whose total weight exceeds N/(k+1) in the
