@@ -55,6 +55,34 @@ object LlmOps {
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
   }
 
+  /** Zipf power-law fit core (see the `ta_zipf` registry note) over any
+    * (doc_id, tok, m) occurrence frame — parameterized so tests can feed a
+    * true Zipfian corpus (slope → −1) and a uniform one (slope → 0). */
+  private[graft] def zipfOf(occ: DataFrame): DataFrame = {
+    val top = occ
+      .groupBy("tok").agg(sum(col("m")).as("c"))
+      .filter(col("c") >= 2)
+      .orderBy(col("c").desc, col("tok").asc).limit(200)
+    top
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+      .select(round(log(col("r")) * 1e4).cast("long").as("x"),
+        round(log(col("c")) * 1e4).cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x*x")).as("sxx"), sum(expr("x*y")).as("sxy"),
+        sum(expr("y*y")).as("syy"))
+      .select(col("n").as("n_points"),
+        expr("n*sxy - sx*sy").as("num"),
+        expr("n*sxx - sx*sx").as("denx"),
+        expr("n*syy - sy*sy").as("deny"))
+      .select(col("n_points"),
+        (expr("""CASE WHEN num >= 0 THEN (20000*num + denx) div (2*denx)
+                 ELSE -((20000*(-num) + denx) div (2*denx)) END""") / 1e4)
+          .as("slope"),
+        round4(col("num").cast("double") * col("num") /
+          expr("nullif(cast(denx as double)*deny, 0)")).as("r2"))
+  }
+
   /** Corpus-level PMI per frequent bigram (see the `ta_pmi` registry note).
     * Separated so tests can drive it with synthetic collocation text. */
   private[graft] def pmiOf(docs: DataFrame, minCnt: Long): DataFrame = {
@@ -632,6 +660,20 @@ object LlmOps {
         .filter(col("cnt") >= 20)
         .orderBy(col("cnt").desc, col("bigram").asc)
     }),
+
+    // Corpus dataset-card: Zipf power-law fit — the slope of
+    // ln(count) ~ ln(rank) over the top-200 token frequencies (natural
+    // text sits near −1; a flat or cliff-shaped slope flags synthetic or
+    // template-heavy corpora before training does). Exactly e10's
+    // integer-least-squares discipline: the only data-sized work is the
+    // token-count aggregate (already shared/materialized); the top-200 is
+    // a TakeOrdered; ranks come from a window over that BOUNDED 200-row
+    // frame (never the vocabulary); x/y snap to the 1e-4 ln grid so every
+    // moment sum is an exact long (products bounded ≲6e18 by the tick
+    // choice — headroom audited), and the slope divides once with
+    // half-away rounding. r² goes through doubles (num² exceeds long
+    // range) — same IEEE ops both engines.
+    "ta_zipf" -> ((s, d) => zipfOf(tokenCounts(documents(s, d)))),
 
     // Ranked RETRIEVAL: BM25 (k1=1.2, b=0.75) over the corpus for a
     // bounded query-term set — the relevance-scoring primitive a training
@@ -1471,6 +1513,34 @@ object LlmOps {
             FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
           GROUP BY bigram HAVING count(*) >= 20
           ORDER BY cnt DESC, bigram ASC""",
+
+    // same snapped-ln moments in exact BIGINTs; r² through doubles like
+    // the Spark side (num² exceeds the long range)
+    "ta_zipf" ->
+      s"""WITH tc AS (
+            SELECT tok, CAST(sum(m) AS BIGINT) AS c FROM (
+              SELECT doc_id, tok, count(*) AS m
+              FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+              GROUP BY doc_id, tok)
+            GROUP BY tok HAVING sum(m) >= 2
+            ORDER BY c DESC, tok ASC LIMIT 200),
+          rk AS (SELECT row_number() OVER (ORDER BY c DESC, tok ASC) AS r, c FROM tc),
+          p AS (SELECT CAST(round(ln(r)*10000) AS BIGINT) AS x,
+                       CAST(round(ln(c)*10000) AS BIGINT) AS y FROM rk),
+          a AS (SELECT count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+                       CAST(sum(y*y) AS BIGINT) AS syy FROM p),
+          b AS (SELECT n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS denx,
+                       n*syy - sy*sy AS deny FROM a)
+          SELECT n AS n_points,
+                 CAST(CASE WHEN num >= 0 THEN (20000*num + denx) // (2*denx)
+                      ELSE -((20000*(-num) + denx) // (2*denx)) END AS BIGINT)/10000.0
+                   AS slope,
+                 CAST(round((CAST(num AS DOUBLE)*num
+                     / nullif(CAST(denx AS DOUBLE)*deny, 0))*10000) AS BIGINT)/10000.0
+                   AS r2
+          FROM b""",
 
     // same terms CTE as ta_tfidf; idf/tf-part mirrored operand for
     // operand, snapped to 1e-7 pre-sum; avgdl = exact long sum ÷ count

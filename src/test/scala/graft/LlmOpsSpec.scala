@@ -369,6 +369,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Map("a" -> 50L, "b" -> 30L))
   }
 
+  test("ta_zipf: a Zipfian corpus fits slope ~ -1 with high r2, uniform ~ 0") {
+    import spark.implicits._
+    // token k appears floor(2000/k) times, k = 1..100 → exact power law
+    val zipfOcc = (1 to 100).map(k => (1L, f"t$k%03d", (2000 / k).toLong))
+      .toDF("doc_id", "tok", "m")
+    val z = graft.operators.LlmOps.zipfOf(zipfOcc).collect()(0)
+    assert(z.getLong(0) == 100)
+    assert(math.abs(z.getDouble(1) - (-1.0)) < 0.05, s"slope ${z.getDouble(1)}")
+    assert(z.getDouble(2) > 0.99, s"r2 ${z.getDouble(2)}")
+    // uniform counts → flat slope, r2 undefined-or-0 (deny = 0 → null r2)
+    val uniOcc = (1 to 50).map(k => (1L, f"u$k%03d", 10L)).toDF("doc_id", "tok", "m")
+    val u = graft.operators.LlmOps.zipfOf(uniOcc).collect()(0)
+    assert(u.getDouble(1) == 0.0, s"uniform slope ${u.getDouble(1)}")
+  }
+
   test("ta_bm25: top-20 matches a sequential BM25 model on the fixture") {
     val got = SparkEntry.queries("ta_bm25")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
