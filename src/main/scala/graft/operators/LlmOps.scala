@@ -55,6 +55,20 @@ object LlmOps {
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t2")).as("bg"))
   }
 
+  /** Vocabulary-growth core (see the `ta_heaps` registry note) over any
+    * (doc_id, tok, m) occurrence frame. */
+  private[graft] def heapsOf(occ: DataFrame, bucketDocs: Int): DataFrame =
+    occ
+      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr(s"fd div $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("vocab",
+        sum(col("new_types")).over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+      .select((col("bucket") * bucketDocs).as("docs_start"), col("new_types"),
+        col("vocab"))
+      .orderBy("docs_start")
+
   /** Zipf power-law fit core (see the `ta_zipf` registry note) over any
     * (doc_id, tok, m) occurrence frame — parameterized so tests can feed a
     * true Zipfian corpus (slope → −1) and a uniform one (slope → 0). */
@@ -674,6 +688,19 @@ object LlmOps {
     // half-away rounding. r² goes through doubles (num² exceeds long
     // range) — same IEEE ops both engines.
     "ta_zipf" -> ((s, d) => zipfOf(tokenCounts(documents(s, d)))),
+
+    // Corpus dataset-card, growth axis (Heaps' law companion to ta_zipf's
+    // frequency axis): vocabulary size as the corpus streams in, in
+    // 50-doc ingestion buckets — new types per bucket + the running
+    // vocabulary. Sub-linear growth is natural text; a straight line
+    // flags unbounded-id junk (serials, hashes) that will blow up a
+    // tokenizer's vocab. Each token contributes ONE row at its first doc
+    // (min aggregate over the shared occurrence frame — the data-sized
+    // work is a partial+final min, no window over the corpus); the
+    // cumulative sum runs over the BUCKET frame (N/50 rows — bounded,
+    // the tick-histogram discipline). Ingestion order = doc_id order,
+    // the fixtures' load order.
+    "ta_heaps" -> ((s, d) => heapsOf(tokenCounts(documents(s, d)), 50)),
 
     // Ranked RETRIEVAL: BM25 (k1=1.2, b=0.75) over the corpus for a
     // bounded query-term set — the relevance-scoring primitive a training
@@ -1513,6 +1540,19 @@ object LlmOps {
             FROM documents, LATERAL (SELECT unnest(range(1, len($toksSql))) AS i) t)
           GROUP BY bigram HAVING count(*) >= 20
           ORDER BY cnt DESC, bigram ASC""",
+
+    // one row per token at its first doc; cumulative over the bucket frame
+    "ta_heaps" ->
+      s"""WITH first AS (
+            SELECT tok, min(doc_id) AS fd
+            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+            GROUP BY tok),
+          b AS (SELECT fd // 50 AS bucket, count(*) AS new_types
+                FROM first GROUP BY 1)
+          SELECT bucket * 50 AS docs_start, new_types,
+                 CAST(sum(new_types) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+          FROM b ORDER BY docs_start""",
 
     // same snapped-ln moments in exact BIGINTs; r² through doubles like
     // the Spark side (num² exceeds the long range)

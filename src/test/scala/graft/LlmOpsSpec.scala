@@ -384,6 +384,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(u.getDouble(1) == 0.0, s"uniform slope ${u.getDouble(1)}")
   }
 
+  test("ta_heaps: new types land in their first-doc bucket, vocab accumulates") {
+    import spark.implicits._
+    // doc k introduces its own token new_k; every doc also repeats "the"
+    // (first-doc 0). Buckets of 10 over 35 docs → 4 buckets.
+    val occ = (0L until 35L).flatMap(k =>
+      Seq((k, s"new_$k", 1L), (k, "the", 3L))).toDF("doc_id", "tok", "m")
+    val got = graft.operators.LlmOps.heapsOf(occ, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (0L, 11L, 11L),   // 10 new_k + "the"
+      (10L, 10L, 21L),
+      (20L, 10L, 31L),
+      (30L, 5L, 36L)))
+  }
+
   test("ta_bm25: top-20 matches a sequential BM25 model on the fixture") {
     val got = SparkEntry.queries("ta_bm25")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
