@@ -613,11 +613,14 @@ object CoreRelational {
     // Jaccard; pairs scoring high without an edge are the "probably the
     // same / probably related" candidates every CMDB-ish entity graph
     // audit wants). Candidate pairs are TWO-PATHS (a–x–b through a shared
-    // neighbor), so cost is Σ_x deg(x)² — bounded by the top-5 degree cap
-    // at construction (the same reason the 100-TB story holds for the
-    // triangle count); never all-pairs. Degrees join from a vertex-sized
-    // frame; common ≥ 2 bounds the reported set. All arithmetic is
-    // integer until the final round4 of a small-rational division.
+    // neighbor), so cost is Σ_x deg(x)² — and because SYMMETRIZED degree
+    // is unbounded even under the top-5 out-degree construction cap (hubs
+    // sit in many top-5 lists), neighborSimOf re-caps the symmetrized
+    // adjacency at each vertex's 10 strongest partners before the wedge
+    // join: Σ deg² ≤ 100·|V|, linear at any scale, never all-pairs, no
+    // hot reducer key. Degrees join from a vertex-sized frame; common ≥ 2
+    // bounds the reported set. All arithmetic is integer until the final
+    // round4 of a small-rational division.
     "gr_node_sim" -> ((s, d) =>
       neighborSimOf(knnEdges(s, d)).orderBy("a", "b")),
 
@@ -979,38 +982,64 @@ object CoreRelational {
     // v·20 ≤ n — no engine-divergent division).
     "d15_dq_report" -> ((s, d) => dqReportOf(orders(s, d), customer(s, d))),
 
-    // D14: exact DECIMAL money arithmetic — the fixed-point ledger path
-    // (audit/billing semantics where binary-float drift is not
-    // acceptable). The doubles are snapped to integer cents by the SAME
-    // proven kernel every other money query uses (ExactNum: round(x*100)
-    // recovers exact cents from a ≤2-decimal double identically in both
-    // engines), then lifted into DecimalType by an exact scale shift
-    // (cents × 0.01 literal — no division, no engine rounding mode in
-    // play). Every downstream step is exact: decimal × decimal widens
-    // precision/scale without loss (charge peaks at scale 6, precision
-    // ≤ 32 < 38), decimal sums are associative integers underneath —
-    // partial+final hash aggregates, order-independent under any
-    // partitioning, which is what lets a decimal ledger hash-match across
-    // engines AND across cluster sizes. Final casts pin the output types
-    // the oracle mirrors verbatim.
+    // D14: exact money ledger — the fixed-point audit/billing path where
+    // binary-float drift is not acceptable. GRADED IN EXACT INTEGER UNITS
+    // end-to-end (BIGINT cents / 1e-4 / 1e-6 ticks — the proven e10/d12
+    // kernel class): round 5 proved that a DecimalType graded output hashes
+    // differently across DuckDB versions because the oracle's intermediate
+    // DECIMAL widths are engine-inferred, while integer columns have ONE
+    // cross-engine representation. The doubles snap to integer cents by
+    // the same ExactNum kernel every other money query uses; discount and
+    // tax application are pure integer multiplies (px·(100−dc) is exact in
+    // 1e-4 units, ·(100+tx) exact in 1e-6); integer sums are associative →
+    // identical under any partitioning, engine, or parallelism. Long
+    // headroom: max |charge_e6| ≈ 1e11, so ~9×10⁷ max-priced rows per
+    // group before the e6 sum overflows — fine through the graded SFs and
+    // ~sf200; the DecimalType twin below (decimalLedgerOf, int128-backed
+    // sums) is the form a >sf200 deployment grades internally.
     "d14_decimal_money" -> ((s, d) => {
-      val c01 = lit(new java.math.BigDecimal("0.01"))
-      def dec2(c: Column) = cents(c).cast("decimal(18,0)") * c01
-      val one = lit(new java.math.BigDecimal("1.00"))
       val li = lineitem(s, d).select(
         col("l_returnflag"),
-        dec2(col("l_extendedprice")).as("px"),
-        dec2(col("l_discount")).as("dc"),
-        dec2(col("l_tax")).as("tx"))
-        .select(col("l_returnflag"), col("px"), col("tx"),
-          (col("px") * (one - col("dc"))).as("dp"))
+        cents(col("l_extendedprice")).as("pxc"),
+        cents(col("l_discount")).as("dcc"),
+        cents(col("l_tax")).as("txc"))
+        .select(col("l_returnflag"), col("pxc"), col("txc"),
+          (col("pxc") * (lit(100L) - col("dcc"))).as("dp4"))
       li.groupBy("l_returnflag")
-        .agg(sum(col("px")).cast("decimal(38,2)").as("sum_price"),
-          sum(col("dp")).cast("decimal(38,4)").as("sum_disc_price"),
-          sum(col("dp") * (one + col("tx"))).cast("decimal(38,6)").as("sum_charge"))
+        .agg(sum(col("pxc")).as("sum_price_cents"),
+          sum(col("dp4")).as("sum_disc_price_e4"),
+          sum(col("dp4") * (lit(100L) + col("txc"))).as("sum_charge_e6"))
         .orderBy("l_returnflag")
     })
   )
+
+  /** The DecimalType ledger twin of `d14_decimal_money` — same exact
+    * arithmetic lifted into DECIMAL (cents × 0.01 literal scale shift, no
+    * division; decimal × decimal widens precision/scale without loss,
+    * charge peaks at scale 6, precision ≤ 32 < 38; decimal sums are
+    * int128-backed associative integers → order-independent partial+final
+    * hash aggregates). This is the production ledger surface when Long e6
+    * headroom runs out; it is spec-proven against a driver-side BigDecimal
+    * model (CoreRelationalSpec) rather than driver-graded, because graded
+    * outputs are restricted to the cross-engine hash-stable type classes
+    * (SURVEY.md §7.4 #10) and DECIMAL is not one of them. */
+  private[graft] def decimalLedgerOf(li0: DataFrame): DataFrame = {
+    val c01 = lit(new java.math.BigDecimal("0.01"))
+    def dec2(c: Column) = cents(c).cast("decimal(18,0)") * c01
+    val one = lit(new java.math.BigDecimal("1.00"))
+    val li = li0.select(
+      col("l_returnflag"),
+      dec2(col("l_extendedprice")).as("px"),
+      dec2(col("l_discount")).as("dc"),
+      dec2(col("l_tax")).as("tx"))
+      .select(col("l_returnflag"), col("px"), col("tx"),
+        (col("px") * (one - col("dc"))).as("dp"))
+    li.groupBy("l_returnflag")
+      .agg(sum(col("px")).cast("decimal(38,2)").as("sum_price"),
+        sum(col("dp")).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(col("dp") * (one + col("tx"))).cast("decimal(38,6)").as("sum_charge"))
+      .orderBy("l_returnflag")
+  }
 
   /** Data-quality gate core (see the `d15_dq_report` registry note) over
     * any orders/customer-shaped pair — parameterized so tests can inject
@@ -1083,13 +1112,32 @@ object CoreRelational {
   graft.CacheRegistry.onRelease(() => knnEdgesMemo.clear())
 
   /** Common-neighbor count + neighbor Jaccard over a canonical (src < dst)
-    * edge list — the core of `gr_node_sim`, parameterized for tests. */
-  private[graft] def neighborSimOf(e: DataFrame): DataFrame = {
+    * edge list — the core of `gr_node_sim`, parameterized for tests.
+    *
+    * The wedge join's cost is Σ_v deg(v)² on the SYMMETRIZED adjacency,
+    * and symmetrized degree is unbounded even when the kNN construction
+    * caps out-degree (a hub sits in many vertices' top-5 lists — the skew
+    * gr_degree_dist exists to surface). So the similarity is defined over
+    * the CAPPED symmetrized adjacency: each vertex keeps its `capM`
+    * strongest partners (weight `w` desc, partner id asc — deterministic),
+    * one row_number window partitioned by vertex, the same discipline as
+    * knnEdges' own out-degree cap. That bounds the wedge key at capM rows
+    * per shared neighbor → Σ deg² ≤ capM²·|V|, linear in the graph at any
+    * scale, and degrees in the Jaccard denominator are the capped degrees
+    * (self-consistent: the operator is "similarity of capped neighbor
+    * sets"). An edge list without a `w` column caps by partner id alone
+    * (w=1); below the cap the result is IDENTICAL to the uncapped
+    * similarity (property-pinned in AnalyticsSpec). */
+  private[graft] def neighborSimOf(e: DataFrame, capM: Int = 10): DataFrame = {
+    val wcol = if (e.columns.contains("w")) col("w") else lit(1L)
     // three consumers (deg + both wedge-join sides) — materialize, or the
     // union re-evaluates per consumer
+    val sym0 = e.select(col("src").as("u"), col("dst").as("v"), wcol.as("w"))
+      .union(e.select(col("dst").as("u"), col("src").as("v"), wcol.as("w")))
+    val capW = Window.partitionBy("u").orderBy(col("w").desc, col("v").asc)
     val sym = graft.CacheRegistry.materialize(
-      e.select(col("src").as("u"), col("dst").as("v"))
-        .union(e.select(col("dst").as("u"), col("src").as("v"))))
+      sym0.withColumn("rn", row_number().over(capW))
+        .filter(col("rn") <= capM).select("u", "v"))
     val deg = sym.groupBy("u").agg(count(lit(1)).as("deg"))
     val cn = sym.alias("l")
       .join(sym.alias("r"), col("l.v") === col("r.v") && col("l.u") < col("r.u"))
@@ -1116,9 +1164,13 @@ object CoreRelational {
         .union(pairs.select(col("sb").as("s"), col("sa").as("p"), col("cnt")))
       val w = Window.partitionBy("s").orderBy(col("cnt").desc, col("p").asc)
       val knn = dir.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      // cnt is a function of the unordered pair (computed once on sa<sb and
+      // unioned both ways), so carrying it through the canonicalize+distinct
+      // keeps exactly one weighted row per edge — the `w` column is what
+      // lets neighborSimOf cap the symmetrized adjacency by tie strength
       graft.CacheRegistry.materialize(
         knn.select(least(col("s"), col("p")).as("src"),
-          greatest(col("s"), col("p")).as("dst")).distinct())
+          greatest(col("s"), col("p")).as("dst"), col("cnt").as("w")).distinct())
     })
 
   /** One FK-edge audit row for `c11_ref_integrity`: child rows whose key
@@ -1362,8 +1414,10 @@ object CoreRelational {
           SELECT deg, count(*) AS n_vertices
           FROM deg GROUP BY deg ORDER BY deg""",
 
-    // same knn edge CTE; common neighbors via the two-path join, neighbor
-    // Jaccard from the symmetrized degrees
+    // same knn edge CTE; symmetrized adjacency re-capped at the 10
+    // strongest partners per vertex (weight desc, partner asc — mirrors
+    // neighborSimOf's wedge-key bound), then common neighbors via the
+    // two-path join, neighbor Jaccard from the capped degrees
     "gr_node_sim" ->
       s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
                      FROM lineitem),
@@ -1372,14 +1426,19 @@ object CoreRelational {
                 GROUP BY 1, 2),
           dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
                   UNION ALL SELECT sb, sa, cnt FROM p),
-          knn AS (SELECT s, pr FROM (
-                    SELECT s, pr, row_number() OVER (
+          knn AS (SELECT s, pr, cnt FROM (
+                    SELECT s, pr, cnt, row_number() OVER (
                       PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
                     FROM dir) WHERE rn <= 5),
-          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst,
+                       cnt AS w
                 FROM knn),
-          sym AS (SELECT src AS u, dst AS v FROM e
-                  UNION ALL SELECT dst, src FROM e),
+          sym0 AS (SELECT src AS u, dst AS v, w FROM e
+                   UNION ALL SELECT dst, src, w FROM e),
+          sym AS (SELECT u, v FROM (
+                    SELECT u, v, row_number() OVER (
+                      PARTITION BY u ORDER BY w DESC, v ASC) AS rn
+                    FROM sym0) WHERE rn <= 10),
           deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
           cn AS (SELECT l.u AS a, r.u AS b, count(*) AS common
                  FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
@@ -1748,20 +1807,23 @@ object CoreRelational {
            UNION ALL SELECT 'price_null_rate_5pct', n, v_null, v_null * 20 <= n FROM b)
          ORDER BY rule""",
 
-    // Mirrors the exact-decimal pipeline step for step: same cents snap,
-    // same 0.01 scale shift, same widening multiplies, same final casts.
+    // Mirrors the integer-unit ledger step for step: same cents snap, same
+    // integer discount/tax multiplies, BIGINT sums (DuckDB's sum(BIGINT)
+    // returns HUGEINT — the explicit final cast pins the graded type; the
+    // values fit, see the registry headroom note). No DECIMAL anywhere, so
+    // no engine-version-inferred width can reach the hash.
     "d14_decimal_money" ->
       """WITH li AS (
            SELECT l_returnflag,
-                  CAST(round(l_extendedprice*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS px,
-                  CAST(round(l_discount*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS dc,
-                  CAST(round(l_tax*100) AS BIGINT)::DECIMAL(18,0) * 0.01 AS tx
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS pxc,
+                  CAST(round(l_discount*100) AS BIGINT) AS dcc,
+                  CAST(round(l_tax*100) AS BIGINT) AS txc
            FROM lineitem),
-         d AS (SELECT l_returnflag, px, tx, px * (1.00 - dc) AS dp FROM li)
+         d AS (SELECT l_returnflag, pxc, txc, pxc * (100 - dcc) AS dp4 FROM li)
          SELECT l_returnflag,
-                CAST(sum(px) AS DECIMAL(38,2)) AS sum_price,
-                CAST(sum(dp) AS DECIMAL(38,4)) AS sum_disc_price,
-                CAST(sum(dp * (1.00 + tx)) AS DECIMAL(38,6)) AS sum_charge
+                CAST(sum(pxc) AS BIGINT) AS sum_price_cents,
+                CAST(sum(dp4) AS BIGINT) AS sum_disc_price_e4,
+                CAST(sum(dp4 * (100 + txc)) AS BIGINT) AS sum_charge_e6
          FROM d GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

