@@ -233,6 +233,30 @@ object CoreRelational {
         .orderBy("o_orderkey")
     }),
 
+    // A12/L46: small-files compaction roundtrip — the maintenance pass a
+    // streaming lake needs continuously (micro-batch sinks leave KB-sized
+    // files; every scan then pays a task + footer read per file). The
+    // query IS the roundtrip, the a7_orc_roundtrip pattern applied to
+    // Maintenance.compactParquet: the source table is first EXPLODED into
+    // many small files (the pathological input — one write at width 32),
+    // compacted into ~4 even files via the distributed read→repartition→
+    // write pass, and the graded scan reads the compacted copy back; a
+    // hash match against the original table proves compaction is
+    // value-and-type lossless, which is the entire contract of a
+    // maintenance rewrite (the file-count assertions stay in
+    // MaintenanceSpec — file counts are layout, not data). At 100 TB the
+    // same pass runs per partition-directory, embarrassingly parallel
+    // across them.
+    "a12_compaction_roundtrip" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
+        new java.io.File(d).getName
+      val src = customer(s, d)
+      src.repartition(32).write.mode("overwrite").parquet(s"$base/small")
+      graft.sources.Maintenance.compactParquet(
+        s, s"$base/small", s"$base/compacted", targetBytes = 256L * 1024)
+      s.read.parquet(s"$base/compacted").orderBy("c_custkey")
+    }),
+
     // ---------------------------------------------------------------- B
     "b1_project" -> ((s, d) =>
       lineitem(s, d)
@@ -1010,7 +1034,27 @@ object CoreRelational {
           sum(col("dp4")).as("sum_disc_price_e4"),
           sum(col("dp4") * (lit(100L) + col("txc"))).as("sum_charge_e6"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // Graded-output type-contract canary (SURVEY.md §7.4 #10, the d14
+    // lesson generalized): graded outputs may use ONLY the five classes
+    // with proven cross-engine hashing — string, bigint, int,
+    // double-via-ExactNum-kernel, timestamp. This 25-row query emits one
+    // column of each class from the same base rows, so the local gate
+    // exercises every allowed class on every run: if a driver-side engine
+    // change ever shifts how one of them hashes (the way DECIMAL width
+    // inference shifted d14), the canary goes red FIRST, isolating the
+    // type class from any operator logic. A new type class may be added
+    // to the contract only together with a canary column here.
+    "tc_type_canary" -> ((s, d) =>
+      nation(s, d).select(
+        col("n_name").as("c_string"),
+        col("n_nationkey").cast("long").as("c_bigint"),
+        col("n_regionkey").cast("int").as("c_int"),
+        round4(col("n_nationkey") / 7.0).as("c_double_kernel"),
+        (lit("2024-01-01 00:00:00").cast("timestamp") +
+          expr("make_interval(0, 0, 0, n_nationkey, 0, 0, 0)")).as("c_timestamp"))
+        .orderBy("c_bigint"))
   )
 
   /** The DecimalType ledger twin of `d14_decimal_money` — same exact
@@ -1085,7 +1129,17 @@ object CoreRelational {
   private def bucketedOrdersCustomer(
       s: org.apache.spark.sql.SparkSession, d: String): (String, String) =
     bucketMemo.getOrElseUpdate((s, d), {
-      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      // tag = basename + a hash of the FULL path: the memo keys on the
+      // full (session, dir) pair, so two data dirs sharing a basename must
+      // never share a catalog table name — the second's overwrite would
+      // clobber the first's table while its memo entry still resolved to
+      // it, silently serving the wrong dataset to c15_bucket_join
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getAbsolutePath
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_") +
+        "_" + dirHash
       val (ot, ct) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
       orders(s, d).repartition(8, col("o_custkey"))
         .write.mode("overwrite").format("parquet")
@@ -1225,6 +1279,12 @@ object CoreRelational {
 
     // the ORIGINAL parquet again — the JSONL hop must be lossless
     "a8_jsonl_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+
+    // the ORIGINAL parquet once more — the explode-to-small-files +
+    // compact rewrite must be value-and-type lossless
+    "a12_compaction_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer ORDER BY c_custkey""",
 
@@ -1824,6 +1884,17 @@ object CoreRelational {
                 CAST(sum(pxc) AS BIGINT) AS sum_price_cents,
                 CAST(sum(dp4) AS BIGINT) AS sum_disc_price_e4,
                 CAST(sum(dp4 * (100 + txc)) AS BIGINT) AS sum_charge_e6
-         FROM d GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM d GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // one column per allowed graded-output type class (§7.4 #10)
+    "tc_type_canary" ->
+      s"""SELECT n_name AS c_string,
+                 CAST(n_nationkey AS BIGINT) AS c_bigint,
+                 CAST(n_regionkey AS INT) AS c_int,
+                 ${graft.functions.ExactNum.sqlRound4("n_nationkey/7.0")}
+                   AS c_double_kernel,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + n_nationkey * INTERVAL 1 DAY AS c_timestamp
+          FROM nation ORDER BY c_bigint"""
   )
 }

@@ -63,6 +63,10 @@ object LlmOps {
       .groupBy(expr(s"fd div $bucketDocs").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
       .withColumn("vocab",
+        // unpartitioned ordered window BY DESIGN (source of a benign
+        // WindowExec "No Partition Defined" WARN): the frame is the
+        // bucket histogram — corpus_docs/bucketDocs rows, the dataset-card
+        // resolution knob — never the doc or token volume
         sum(col("new_types")).over(
           Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
       .select((col("bucket") * bucketDocs).as("docs_start"), col("new_types"),
@@ -79,6 +83,9 @@ object LlmOps {
       .orderBy(col("c").desc, col("tok").asc).limit(200)
     top
       .withColumn("r",
+        // unpartitioned ordered window BY DESIGN (benign WindowExec WARN):
+        // it ranks the top-200 frame the limit() above already bounded,
+        // never the vocabulary
         row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
       .select(round(log(col("r")) * 1e4).cast("long").as("x"),
         round(log(col("c")) * 1e4).cast("long").as("y"))

@@ -37,12 +37,19 @@ object StreamingGraded {
     * Restored before returning, so the graded read-back and every other
     * registry query still plan at the session's width. */
   private def drainStateful(s: SparkSession)(
-      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val old = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try start.awaitTermination()
-    finally s.conf.set("spark.sql.shuffle.partitions", old)
-  }
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    // synchronized on the session: the temporary width rewrite below is a
+    // session-global conf, so a CONCURRENT planner on the same session
+    // would otherwise race it (plan an unrelated query at width 4, or pin
+    // the wrong width into a streaming checkpoint). The current Verify/
+    // Bench drivers are sequential; the lock makes the non-reentrancy a
+    // guarantee instead of a convention, at zero cost when uncontended.
+    s.synchronized {
+      val old = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try start.awaitTermination()
+      finally s.conf.set("spark.sql.shuffle.partitions", old)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -122,6 +129,128 @@ object StreamingGraded {
         .orderBy(col("click_id"), coalesce(col("purchase_id"), lit(-1L)))
     }),
 
+    // E8b promoted to the gate: the streaming retention IVM — the one
+    // operator with full RETRACTION discipline (a user whose true earlier
+    // cohort week arrives late triggers −1 deltas for every increment
+    // previously attributed to the provisional cohort, then re-emits
+    // rebased). The graded result is the summed delta log, which equals
+    // the batch retention matrix under ANY arrival order BY CONSTRUCTION
+    // (the IVM invariant) — so unlike the Update-mode twins below there is
+    // no last-emission selection at all: sum(delta) GROUP BY key, drop the
+    // fully-retracted zero rows, and the oracle is e8_retention's SQL
+    // verbatim. Fixture weeks span ≈5 ≪ the 64-week state horizon, so the
+    // bounded-state trade never bites here.
+    "e8b_retention_stream" -> ((s, d) => {
+      val deltas = StreamingOps.retentionDeltas(Tables.tableStream(s, d, "events"))
+      val sink = "e8b_retention_sink"
+      drainStateful(s) {
+        deltas.toDF.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      s.table(sink)
+        .groupBy("cohort_us", "week_offset")
+        .agg(sum(col("delta")).as("active_users"))
+        .filter(col("active_users") =!= 0)
+        .select(timestamp_micros(col("cohort_us")).as("cohort_week"),
+          col("week_offset"), col("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // E7b promoted to the gate: the arrival-time funnel. flatMapGroups-
+    // WithState Update-mode emissions are one (user, stage) row per batch
+    // the user appears in; stage is MONOTONIC (the greedy scan only
+    // advances), so max(stage) per user always selects the final
+    // position. The funnel is the one arrival-TIME twin (documented in
+    // funnelStages): greedy-scan ≡ batch-ladder holds for time-ordered
+    // arrival — which AvailableNow over the fixture file gives — not for
+    // adversarial reorderings (unlike e8b/i11b/e13b, whose folds are
+    // commutative/retracting). Oracle = the batch min-ts ladder's stage
+    // column (StreamingSpec proves greedy-scan ≡ ladder in-JVM across a
+    // time-split micro-batch boundary; this row makes it externally
+    // graded).
+    "e7b_funnel_stream" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.tableStream(s, d, "events")
+        .select(col("user_id").cast("long"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .as[StreamingOps.UserEvent]
+      val prog = StreamingOps.funnelStages(ev, Seq("view", "click", "purchase"))
+      val sink = "e7b_funnel_sink"
+      drainStateful(s) {
+        prog.toDF.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      }
+      s.table(sink).groupBy("user_id")
+        .agg(max(col("stage")).cast("int").as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // I11b promoted to the gate: the streaming sync-changes twin. The
+    // post-cutoff delta streams in, stream-static-joined per micro-batch
+    // to the pre-sync LWW target state; per-user state folds are
+    // commutative (max on (us, event_id) + count), so the FINAL emission
+    // per user equals the batch report under any arrival order. Selection
+    // from the Update-mode sink: n_delta is STRICTLY increasing across a
+    // user's emissions (a batch only emits users it contains ≥1 row for),
+    // so the final row is argmax(n_delta) — one row_number window over
+    // the user-sized sink table.
+    "i11b_sync_stream" -> ((s, d) => {
+      val wm = lit("2024-01-15 00:00:00").cast("timestamp")
+      val lww = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val target = Tables.events(s, d)
+        .filter(col("ts") <= wm)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(lww)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("old_type"))
+      val delta = Tables.tableStream(s, d, "events").filter(col("ts") > wm)
+      val changes = StreamingOps.syncChanges(delta, target)
+      val sink = "i11b_sync_sink"
+      drainStateful(s) {
+        changes.toDF.writeStream.format("memory").queryName(sink)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      }
+      val last = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_delta").desc)
+      s.table(sink)
+        .withColumn("rn", row_number().over(last)).filter(col("rn") === 1)
+        .select(col("user_id"), col("new_type"), col("change"), col("n_delta"))
+        .orderBy("user_id")
+    }),
+
+    // E13b promoted to the gate: the streaming volume-anomaly twin. Each
+    // batch re-emits the full evaluable alarm matrix per event type from
+    // state, and only the LAST batch's emission is the converged answer —
+    // but unlike i11b there is no monotone column to argmax on (a late
+    // EARLIER day can shuffle which 7 days-with-data precede a later day,
+    // so base7 is not monotone across batches). So the drain goes through
+    // foreachBatch to a parquet spool with an explicit batch_seq column,
+    // and the graded read-back takes each (type, day)'s row from its
+    // newest batch — the general last-emission selector any Update-mode
+    // consumer (a KV store, a compacted log) implements natively. Fixture
+    // days-with-data ≈30 per type ≪ the 64-day state horizon.
+    "e13b_volume_stream" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("e13b_vol").toString
+      val alarms = StreamingOps.volumeAlarms(Tables.tableStream(s, d, "events"))
+      drainStateful(s) {
+        alarms.toDF.writeStream
+          .foreachBatch { (df: DataFrame, id: Long) =>
+            df.withColumn("batch_seq", lit(id))
+              .write.mode("append").parquet(s"$tmp/spool")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      }
+      val last = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type", "day").orderBy(col("batch_seq").desc)
+      s.read.parquet(s"$tmp/spool")
+        .withColumn("rn", row_number().over(last)).filter(col("rn") === 1)
+        .select(col("event_type"), col("day"), col("n"), col("base7"),
+          col("spike"), col("slump"))
+        .orderBy("event_type", "day")
+    }),
+
     // The versioned-table upsert sink (L15 / i7's production form) driven
     // end-to-end: the event feed streams through foreachBatch into a
     // `_VERSION`-pointered parquet table, and the graded result is the
@@ -196,6 +325,91 @@ object StreamingGraded {
                                        AND c.click_ts + INTERVAL 30 MINUTE))
          SELECT * FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
          ORDER BY click_id, coalesce(purchase_id, -1)""",
+
+    // the summed retraction log must equal the batch cohort matrix —
+    // e8_retention's oracle verbatim (that is the IVM contract)
+    "e8b_retention_stream" ->
+      """WITH wk AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (
+           SELECT user_id, wk,
+                  min(wk) OVER (PARTITION BY user_id) AS cohort_week
+           FROM wk)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, wk) // 7 AS INT) AS week_offset,
+                count(*) AS active_users
+         FROM c GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    // the batch min-ts funnel ladder's per-user stage — what the greedy
+    // arrival-time scan must converge to
+    "e7b_funnel_stream" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS ts_min FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts > v.ts_min GROUP BY 1),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS ts_min FROM events e
+           JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c.ts_min GROUP BY 1),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+                CAST(v.user_id IS NOT NULL AS INT)
+                  + CAST(c.user_id IS NOT NULL AS INT)
+                  + CAST(p.user_id IS NOT NULL AS INT) AS stage
+         FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                LEFT JOIN p USING (user_id)
+         ORDER BY user_id""",
+
+    // i11_sync_pipeline's oracle verbatim — the batch sync report the
+    // streaming twin's final per-user emission must equal
+    "i11b_sync_stream" ->
+      """WITH target AS (
+           SELECT user_id AS tu, event_type AS old_type
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         delta AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'),
+         vol AS (
+           SELECT user_id, count(*) AS n_delta FROM delta GROUP BY user_id),
+         dlww AS (
+           SELECT user_id, event_type AS new_type FROM delta
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY us DESC, event_id DESC) = 1)
+         SELECT d.user_id, d.new_type,
+                CASE WHEN t.tu IS NULL THEN 'inserted'
+                     WHEN t.old_type <> d.new_type THEN 'updated'
+                     ELSE 'unchanged' END AS change,
+                v.n_delta
+         FROM dlww d
+         JOIN vol v ON d.user_id = v.user_id
+         LEFT JOIN target t ON d.user_id = t.tu
+         ORDER BY d.user_id""",
+
+    // e13_volume_monitor's oracle verbatim — the batch alarm matrix the
+    // final emission per (type, day) must equal
+    "e13b_volume_stream" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  CAST(sum(n) OVER tw AS BIGINT) AS base7,
+                  count(n) OVER tw AS nprior
+           FROM daily
+           WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, day, n, base7,
+                CAST(n*14 > base7*3 AS INT) AS spike,
+                CAST(n*14 < base7 AS INT) AS slump
+         FROM w WHERE nprior = 7
+         ORDER BY event_type, day""",
 
     // global last-writer-wins per user — what the published snapshot
     // must equal after the full feed drains through the sink

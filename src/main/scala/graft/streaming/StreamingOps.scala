@@ -530,37 +530,9 @@ object StreamingOps {
   def upsertTableAt(spark: SparkSession, target: String, version: Long): DataFrame =
     spark.read.parquet(s"$target/v$version")
 
-  /** I7 stream form: last-writer-wins upsert into a driver-side store via
-    * foreachBatch — the DynamoDB-style merge sink. Returns the store.
-    * (In production the merge target would be a table/ external KV; the
-    * merge logic per micro-batch — reduce batch to latest per key, then
-    * overwrite — is the part this demonstrates; [[runUpsertSinkToParquet]]
-    * is the table-target form.)
-    */
-  def runUpsertSink(spark: SparkSession, events: Dataset[_], checkpoint: String)
-      : scala.collection.concurrent.Map[Long, (Long, String)] = {
-    val store = new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
-    import scala.jdk.CollectionConverters._
-    val q = events.toDF()
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // reduce the micro-batch to its latest row per key, then upsert
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        batch
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id"), col("event_type"))
-          .collect() // bounded: one row per key per micro-batch
-          .foreach(r => store.put(r.getLong(0), (r.getLong(1), r.getString(2))))
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    store.asScala
-  }
+  // (A driver-side KV-map upsert-sink demo used to live here; it was
+  // removed once the table-target form above became driver-graded — its
+  // per-batch collect() was bounded only by "keys per micro-batch", which
+  // is not a bound at 100 TB/day, and src/main now carries no collect()
+  // on any path.)
 }

@@ -529,17 +529,6 @@ class StreamingSpec extends AnyFunSuite {
     intercept[Exception] { StreamingOps.upsertTableAt(spark, target, 0L).collect() }
   }
 
-  test("foreachBatch upsert sink converges to last-writer-wins state") {
-    import spark.implicits._
-    implicit val ctx = spark.sqlContext
-    val mem = MemoryStream[Ev]
-    mem.addData(evs: _*)
-    val dir = java.nio.file.Files.createTempDirectory("ck").toString
-    val store = StreamingOps.runUpsertSink(spark, mem.toDS(), dir)
-    assert(store(1L) == ((3L, "click")))    // user 1 latest = event 3
-    assert(store(2L) == ((6L, "purchase"))) // user 2 latest = event 6
-  }
-
   test("stream weekly quantiles over the real feed equal the graded e9 twin") {
     // Monday-aligned tumbling windows must reproduce the batch
     // date_trunc('week') frame exactly — same week starts, same counts,
@@ -647,6 +636,66 @@ class StreamingSpec extends AnyFunSuite {
     val total = spark.table("resume").agg(sum("n")).head().getLong(0)
     assert(total == evs.size,
       s"restart broke exactly-once: $total events counted for ${evs.size}")
+  }
+
+  /** Write `rows` in the fixture layout (one FILE named events.parquet in
+    * the dir) so the graded tableStream path reads it verbatim — the glob
+    * filter matches data-file names, so a normal parquet DIRECTORY named
+    * events.parquet would hide its part-files from the stream. */
+  private def writeEventsFixture(rows: Seq[Ev]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evfix")
+    val stage = tmp.resolve("stage").toString
+    rows.toDF().coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.move(part.toPath, tmp.resolve("events.parquet"))
+    tmp.toString
+  }
+
+  test("i4 boundary: max ts exactly on an hour edge pins the INCLUSIVE " +
+      "window-end frontier the oracle encodes") {
+    // The graded oracle emits windows with end <= max(ts) − 1 h. Spark's
+    // state-eviction boundary (<= vs <) is an implementation detail the
+    // real fixture never lands on exactly; this fixture puts max(ts) ON an
+    // hour edge so the final watermark (11:00:00) EQUALS the [10:00,11:00)
+    // window's end — if either engine treated the frontier strictly, that
+    // window would flip out of one side's row set and the sets diverge.
+    val rows = Seq(
+      Ev(1, t("2024-01-01 08:30:00"), 1, "view", 1.0, "{}"),
+      Ev(2, t("2024-01-01 09:30:00"), 1, "view", 1.0, "{}"),
+      Ev(3, t("2024-01-01 10:15:00"), 2, "view", 1.0, "{}"),
+      Ev(4, t("2024-01-01 12:00:00"), 2, "view", 1.0, "{}")) // max ON the edge
+    val dir = writeEventsFixture(rows)
+    val got = SparkEntry.queries("i4_watermark_stream")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 08:00:00", "view", 1L),
+      ("2024-01-01 09:00:00", "view", 1L),
+      ("2024-01-01 10:00:00", "view", 1L)), s"frontier boundary moved: $got")
+  }
+
+  test("i14 boundary: a click whose join window ends exactly ON the final " +
+      "min-of-sides watermark pins the STRICT null-row frontier") {
+    // The graded oracle's unmatched-click predicate is STRICT
+    // (click_ts + 30 min < watermark). Fixture: global watermark =
+    // min(max click 12:10, max purchase 12:15) − 10 min = 12:00:00
+    // exactly; click 1's window ends exactly there (11:30 + 30 min) and
+    // must be WITHHELD, click 2's one second earlier and must be EMITTED
+    // as a null row, click 3 matches purchase 4 inside the interval.
+    val rows = Seq(
+      Ev(1, t("2024-01-01 11:30:00"), 1, "click", 1.0, "{}"),
+      Ev(2, t("2024-01-01 11:29:59"), 2, "click", 1.0, "{}"),
+      Ev(3, t("2024-01-01 11:00:00"), 3, "click", 1.0, "{}"),
+      Ev(4, t("2024-01-01 11:20:00"), 3, "purchase", 1.0, "{}"),
+      Ev(5, t("2024-01-01 12:10:00"), 9, "click", 1.0, "{}"),
+      Ev(6, t("2024-01-01 12:15:00"), 8, "purchase", 1.0, "{}"))
+    val dir = writeEventsFixture(rows)
+    val got = SparkEntry.queries("i14_stream_join")(spark, dir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set((3L, 4L), (2L, -1L)),
+      s"stream-stream boundary moved: $got")
   }
 
   test("i4_watermark_stream emits exactly the closed-window frontier") {

@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// Temporary profiling harness (not part of the graded surface).
-// Times a query subset under candidate session configs.
+// Dev-only profiling harness, kept OUTSIDE src/ so the library tree carries
+// no hardcoded local[32] config — copy into src/main/scala/graft/ to run:
+//   SCRATCH_VARIANT=B sbt "runMain graft.Scratch"
+// Times a query subset under candidate session configs (A..G below).
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
