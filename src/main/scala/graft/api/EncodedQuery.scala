@@ -244,7 +244,7 @@ object EncodedQuery {
     refs.foldLeft(df) { (acc, r) =>
       val dimR = resolveRefs(r.dim, r.refs)
       val packed = dimR.select(col(r.parentKey).as("__graft_pk"),
-        struct(dimR.columns.map(col): _*).as(r.name))
+        struct(dimR.columns.toIndexedSeq.map(col): _*).as(r.name))
       acc.join(org.apache.spark.sql.functions.broadcast(packed),
           acc(r.childKey) === packed("__graft_pk"), "left")
         .drop("__graft_pk")

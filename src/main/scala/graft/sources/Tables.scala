@@ -41,18 +41,26 @@ object Tables {
     * stream, with the same timestamp folding. File streams require an
     * explicit schema, so it is pinned from a batch scan of the same path —
     * at scale the file source incrementally lists and processes new files
-    * under the directory, which is exactly the landing-zone ingest shape. */
+    * under the directory, which is exactly the landing-zone ingest shape.
+    *
+    * Layout-robust: the fixture has historically been ONE FILE named
+    * `<name>.parquet` per table (monitor the shared dir, glob-filtered to
+    * that file), but a writer-produced table is a DIRECTORY of part files
+    * (monitor the directory itself — a name glob there would hide every
+    * part-*.parquet and the stream would silently drain zero rows, turning
+    * every graded streaming query red on a fixture regeneration). */
   def tableStream(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The file stream source requires a DIRECTORY to monitor (basePath);
-    // the fixture is one file per table in a shared dir, so monitor the
-    // dir with the listing filtered to this table's file — the same shape
-    // as a per-table landing zone.
-    val sch = s.read.parquet(s"$dir/$name.parquet").schema
-    normTs(s.readStream.schema(sch)
-      .option("pathGlobFilter", s"$name.parquet")
-      .parquet(dir))
+    val path = s"$dir/$name.parquet"
+    val sch = s.read.parquet(path).schema
+    val reader = s.readStream.schema(sch)
+    val src =
+      if (new java.io.File(path).isDirectory)
+        reader.option("pathGlobFilter", "*.parquet").parquet(path)
+      else
+        reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    normTs(src)
   }
 
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {

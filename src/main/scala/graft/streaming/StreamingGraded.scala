@@ -46,7 +46,13 @@ object StreamingGraded {
     // guarantee instead of a convention, at zero cost when uncontended.
     s.synchronized {
       val old = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // SPARK_GRAFT_DRAIN_WIDTH is the per-deployment sizing knob (at
+      // 100 TB/day this is sized UP for state volume); widths 1/2/4 were
+      // measured within run-to-run noise at the graded SFs (the width-32
+      // penalty r5 fixed came from 8× more state-store instances, and 4
+      // is already past the knee), so the default stays 4.
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_DRAIN_WIDTH", "4"))
       try start.awaitTermination()
       finally s.conf.set("spark.sql.shuffle.partitions", old)
     }
@@ -144,7 +150,7 @@ object StreamingGraded {
       val deltas = StreamingOps.retentionDeltas(Tables.tableStream(s, d, "events"))
       val sink = "e8b_retention_sink"
       drainStateful(s) {
-        deltas.toDF.writeStream.format("memory").queryName(sink)
+        deltas.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
       }
       s.table(sink)
@@ -177,7 +183,7 @@ object StreamingGraded {
       val prog = StreamingOps.funnelStages(ev, Seq("view", "click", "purchase"))
       val sink = "e7b_funnel_sink"
       drainStateful(s) {
-        prog.toDF.writeStream.format("memory").queryName(sink)
+        prog.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
       }
       s.table(sink).groupBy("user_id")
@@ -208,7 +214,7 @@ object StreamingGraded {
       val changes = StreamingOps.syncChanges(delta, target)
       val sink = "i11b_sync_sink"
       drainStateful(s) {
-        changes.toDF.writeStream.format("memory").queryName(sink)
+        changes.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("update").trigger(Trigger.AvailableNow()).start()
       }
       val last = org.apache.spark.sql.expressions.Window
@@ -234,7 +240,7 @@ object StreamingGraded {
       val tmp = java.nio.file.Files.createTempDirectory("e13b_vol").toString
       val alarms = StreamingOps.volumeAlarms(Tables.tableStream(s, d, "events"))
       drainStateful(s) {
-        alarms.toDF.writeStream
+        alarms.toDF().writeStream
           .foreachBatch { (df: DataFrame, id: Long) =>
             df.withColumn("batch_seq", lit(id))
               .write.mode("append").parquet(s"$tmp/spool")

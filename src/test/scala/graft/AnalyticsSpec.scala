@@ -518,6 +518,17 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("gr_node_sim cap: reported degrees never exceed the cap on the real " +
+      "graph — the wedge-key bound holds where it matters") {
+    val rows = run("gr_node_sim").collect()
+    assert(rows.nonEmpty)
+    // da/db ARE the capped symmetrized degrees; ≤ 10 everywhere means the
+    // wedge join's per-shared-neighbor fan-in is bounded at 10 → Σ deg²
+    // ≤ 100·|V| at any corpus size
+    assert(rows.forall(r => r.getLong(3) <= 10 && r.getLong(4) <= 10),
+      "a capped degree exceeded the cap")
+  }
+
   test("gr_node_sim cap: below the cap, capped equals uncapped exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -698,6 +698,30 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-stream boundary moved: $got")
   }
 
+  test("tableStream drains a directory-per-table fixture identically to the " +
+      "single-file layout") {
+    // Insurance against a fixture regeneration that writes tables as
+    // parquet DIRECTORIES: the stream source must monitor the directory
+    // (glob *.parquet inside) instead of glob-filtering the parent — the
+    // old single-layout glob would list zero part files and silently
+    // drain nothing.
+    import spark.implicits._
+    val rows = Seq(
+      Ev(1, t("2024-01-01 08:30:00"), 1, "view", 1.0, "{}"),
+      Ev(2, t("2024-01-01 09:30:00"), 1, "view", 1.0, "{}"),
+      Ev(3, t("2024-01-01 10:15:00"), 2, "view", 1.0, "{}"),
+      Ev(4, t("2024-01-01 12:00:00"), 2, "view", 1.0, "{}"))
+    val singleFile = writeEventsFixture(rows)
+    val dirLayout = java.nio.file.Files.createTempDirectory("evdir").toString
+    rows.toDF().repartition(3)
+      .write.parquet(s"$dirLayout/events.parquet")
+    def run(d: String) = SparkEntry.queries("i4_watermark_stream")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val a = run(singleFile)
+    val b = run(dirLayout)
+    assert(a.nonEmpty && a == b, s"layouts diverged: file=$a dir=$b")
+  }
+
   test("i4_watermark_stream emits exactly the closed-window frontier") {
     val got = SparkEntry.queries("i4_watermark_stream")(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
