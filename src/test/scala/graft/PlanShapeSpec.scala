@@ -14,14 +14,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanShapeSpec extends AnyFunSuite {
   import TestSpark._
 
-  // One executed (AQE-finalized) plan string per graded query. collect() on
-  // the same QueryExecution is required — count() would plan separately.
-  private lazy val plans: Map[String, String] =
+  // One executed (AQE-finalized) plan string + output schema per graded
+  // query. collect() on the same QueryExecution is required — count()
+  // would plan separately.
+  private lazy val built: Map[String, (String, org.apache.spark.sql.types.StructType)] =
     SparkEntry.queries.map { case (name, fn) =>
       val df = fn(spark, sf)
       df.collect()
-      name -> df.queryExecution.executedPlan.toString
+      name -> ((df.queryExecution.executedPlan.toString, df.schema))
     }
+  private lazy val plans: Map[String, String] =
+    built.view.mapValues(_._1).toMap
 
   // Nested-loop joins that are *intentional*: each broadcasts a provably
   // tiny side (a dim grid, the k-NN query set, a single-row corpus count,
@@ -249,5 +252,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(winLines.length == 2, // gram lead-chain + diagonal islands
       s"dd_substr_spans has ${winLines.length} distinct window nodes " +
         s"(expected gram+island = 2):\n${winLines.mkString("\n")}")
+  }
+
+  test("graded-output type contract holds for EVERY registry query " +
+      "(SURVEY.md §7.4 #10)") {
+    // The d14 lesson, enforced rather than documented: graded outputs may
+    // use only the five type classes with proven cross-engine hashing.
+    // DECIMAL, arrays, maps, structs, booleans, floats etc. must stay in
+    // spec-proven twins — any engine-inferred representation detail in a
+    // graded column is a latent driver-side hash failure. tc_type_canary
+    // checks the classes' hashing; this test checks the CLOSURE (no query
+    // can drift outside the contract unnoticed).
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] =
+      Set(StringType, LongType, IntegerType, DoubleType, TimestampType)
+    val violations = built.toSeq.sortBy(_._1).flatMap { case (name, (_, sch)) =>
+      sch.fields.collect {
+        case f if !allowed.contains(f.dataType) =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(violations.isEmpty,
+      s"graded outputs outside the §7.4 #10 type contract:\n" +
+        violations.mkString("\n"))
   }
 }
