@@ -160,4 +160,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF-PQ recall vs exact in-cell L2 collapsed: $recall")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("IVF-PQ refine: exact re-rank of the ADC pool dominates pure ADC — " +
+      "the guaranteed inequality, plus the measured fixture recall") {
+    // exact within-cell L2 top-5 (the truth both variants chase)
+    val assigned = graft.operators.Lsh.ivfAssignments(spark, d, nlist = 10, nprobe = 1)
+      .filter(col("rnk") === 1)
+    val qs = assigned.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cell"))
+    val exact = assigned.join(qs, Seq("cell"))
+      .withColumn("d2",
+        graft.plans.VectorExpressions.squared_distance(col("q"), col("v")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = hits(graft.operators.Lsh.ivfpqTopK(spark, d,
+      nlist = 10, m = 4, k = 8, topk = 5, nq = 5, refine = 2))
+    val refined = hits(graft.operators.Lsh.ivfpqRefined(spark, d,
+      nlist = 10, m = 4, k = 8, topk = 5, nq = 5, refine = 2, candK = 15))
+    def recall(got: Set[(Long, Long)]) =
+      (got intersect exact).size.toDouble / exact.size
+    // GUARANTEED: ADC-top5 ⊆ ADC-top15, and any true neighbor inside the
+    // pool survives an exact re-rank (at most 5 true neighbors exist, so
+    // none can be displaced from an exact top-5) → refined recall can
+    // never be below pure-ADC recall, deterministically.
+    assert(recall(refined) >= recall(adc),
+      s"exact re-rank lost recall: adc=${recall(adc)} refined=${recall(refined)}")
+    // and on this fixture the pool is deep enough that the re-rank must
+    // actually BUY something, not just tie
+    assert(recall(refined) > recall(adc),
+      s"re-rank bought nothing: adc=${recall(adc)} refined=${recall(refined)}")
+    graft.CacheRegistry.releaseAll()
+  }
 }

@@ -47,8 +47,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // cross-combines the langs-sized weight frame with its one total row
       "tp_temperature_mix",
       // broadcasts the nq-sized query set (and the m·k-row ADC table) —
-      // the same bounded-query-set shape as lsh_ivf_topk
-      "lsh_ivfpq_topk",
+      // the same bounded-query-set shape as lsh_ivf_topk; the refined
+      // variant additionally broadcasts the nq·candK candidate pool
+      "lsh_ivfpq_topk", "lsh_ivfpq_refined",
       // cross-combines the single-row total-token-mass aggregate with the
       // ≤ k Misra–Gries candidates — both sides provably tiny
       "d13_heavy_hitters",
@@ -119,7 +120,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // the candidate scoring join rides the corpus-sized code table on
       // the vec_id pk — a co-partitioned equi join at scale; broadcasting
       // a 100 TB corpus's codes would be wrong
-      "lsh_ivfpq_topk",
+      "lsh_ivfpq_topk", "lsh_ivfpq_refined",
       // the POINT of the query: a bucketed sort-merge join with zero
       // exchange below it (its own test pins the no-reshuffle property)
       "c15_bucket_join")
