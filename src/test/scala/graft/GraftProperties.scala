@@ -467,4 +467,88 @@ object GraftProperties extends Properties("graft") {
       }.toSet
       cands.size <= k && heavy.subsetOf(cands)
     }
+
+  // Capped neighbor similarity vs a sequential model on RANDOM weighted
+  // graphs and cap values — generalizes AnalyticsSpec's two fixed-seed
+  // fixtures. The model re-derives the operator definition independently:
+  // symmetrize, keep each vertex's capM strongest partners (w desc, id
+  // asc), count common capped neighbors, Jaccard over capped degrees,
+  // drop common < 2.
+  private val graphGen: Gen[(List[(Long, Long, Long)], Int)] = for {
+    n <- Gen.choose(4, 10)
+    capM <- Gen.choose(2, 6)
+    raw <- Gen.listOfN(20, for {
+      a <- Gen.choose(0L, n - 1L)
+      b <- Gen.choose(0L, n - 1L)
+      w <- Gen.choose(1L, 5L)
+    } yield (math.min(a, b), math.max(a, b), w))
+  } yield (raw.filter { case (a, b, _) => a != b }
+    .groupBy { case (a, b, _) => (a, b) }
+    .map { case ((a, b), es) => (a, b, es.map(_._3).max) }.toList, capM)
+
+  property("capped neighbor similarity equals its sequential model on random graphs") =
+    forAll(graphGen) { case (edges, capM) =>
+      import spark.implicits._
+      if (edges.isEmpty) true
+      else {
+        val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
+        val adj = sym.groupBy(_._1).map { case (u, es) =>
+          u -> es.sortBy(e => (-e._3, e._2)).take(capM).map(_._2).toSet
+        }
+        val verts = adj.keys.toSeq.sorted
+        val model = (for {
+          a <- verts; b <- verts if a < b
+          c = (adj(a) intersect adj(b)).size.toLong if c >= 2
+        } yield {
+          val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
+          (a, b) -> (c, da, db,
+            math.round(c.toDouble / (da + db - c) * 10000) / 10000.0)
+        }).toMap
+        val got = graft.operators.CoreRelational
+          .neighborSimOf(edges.toDF("src", "dst", "w"), capM).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+        got == model
+      }
+    }
+
+  // The decimal money ledger vs an exact BigDecimal fold on RANDOM
+  // ≤2-decimal inputs — random prices hit round-half boundaries and
+  // degenerate groups that the fixture can't; the distributed decimal
+  // sums must equal a driver-side exact fold bit-for-bit (this is the
+  // invariant the graded integer-unit d14 descales from).
+  private val ledgerGen: Gen[List[(String, Long, Long, Long)]] =
+    Gen.listOfN(30, for {
+      f <- Gen.oneOf("A", "N", "R")
+      pc <- Gen.choose(0L, 10000000L) // price cents
+      dc <- Gen.choose(0L, 99L)       // discount cents
+      tc <- Gen.choose(0L, 99L)       // tax cents
+    } yield (f, pc, dc, tc))
+
+  property("decimal ledger equals an exact BigDecimal fold on random money") =
+    forAll(ledgerGen) { rows =>
+      import spark.implicits._
+      if (rows.isEmpty) true
+      else {
+        val df = rows.toDF("l_returnflag", "pc", "dc", "tc")
+          .select(col("l_returnflag"),
+            (col("pc") / 100.0).as("l_extendedprice"),
+            (col("dc") / 100.0).as("l_discount"),
+            (col("tc") / 100.0).as("l_tax"))
+        def d2(c: Long) = BigDecimal(c) * BigDecimal("0.01")
+        val model = rows.groupBy(_._1).map { case (f, g) =>
+          val px = g.map(r => d2(r._2)).sum
+          val dp = g.map(r => d2(r._2) * (1 - d2(r._3))).sum
+          val ch = g.map(r => d2(r._2) * (1 - d2(r._3)) * (1 + d2(r._4))).sum
+          f -> (px, dp, ch)
+        }
+        val got = graft.operators.CoreRelational.decimalLedgerOf(df).collect()
+        got.length == model.size && got.forall { r =>
+          val (px, dp, ch) = model(r.getString(0))
+          BigDecimal(r.getDecimal(1)) == px &&
+            BigDecimal(r.getDecimal(2)) == dp &&
+            BigDecimal(r.getDecimal(3)) == ch
+        }
+      }
+    }
 }
