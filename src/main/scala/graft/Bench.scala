@@ -34,7 +34,7 @@ object Bench {
     val eagerBuilders = Set("dd_components", "dd_keep_one",
       "dd_admit_stream", "i7b_upsert_stream", "i4_watermark_stream",
       "i14_stream_join", "e8b_retention_stream", "e7b_funnel_stream",
-      "i11b_sync_stream", "e13b_volume_stream")
+      "i11b_sync_stream", "e13b_volume_stream", "e9b_quantiles_stream")
     // A failed query records -1 (never a tiny elapsed time) so a regression
     // that breaks a query can't lower the bench total; `fail` counts them.
     def timedPass(): Map[String, Double] = dfs.map { case (name, df0) =>

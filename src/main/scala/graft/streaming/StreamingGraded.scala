@@ -257,6 +257,25 @@ object StreamingGraded {
         .orderBy("event_type", "day")
     }),
 
+    // E9b promoted to the gate: weekly exact quantiles as a streaming
+    // aggregation in COMPLETE mode — the memory sink holds the final
+    // trigger's full state, which equals the batch aggregate for ANY
+    // batching (count and exact percentile are order-independent
+    // multiset aggregates; complete mode never evicts, so the watermark
+    // plays no role in the graded output). The 96-hour startTime shifts
+    // the epoch's Thursday window anchor onto Mondays so w.start
+    // coincides exactly with the oracle's date_trunc('week') — grading
+    // the alignment itself, which the spec could only assert in-JVM.
+    "e9b_quantiles_stream" -> ((s, d) => {
+      val q = StreamingOps.weeklyValueQuantiles(Tables.tableStream(s, d, "events"))
+      val sink = "e9b_quantiles_sink"
+      drainStateful(s) {
+        q.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
+      s.table(sink).orderBy("wk", "event_type")
+    }),
+
     // The versioned-table upsert sink (L15 / i7's production form) driven
     // end-to-end: the event feed streams through foreachBatch into a
     // `_VERSION`-pointered parquet table, and the graded result is the
@@ -416,6 +435,15 @@ object StreamingGraded {
                 CAST(n*14 < base7 AS INT) AS slump
          FROM w WHERE nprior = 7
          ORDER BY event_type, day""",
+
+    // e9_latency_trend's oracle verbatim — Monday-aligned streaming
+    // windows must reproduce the batch date_trunc('week') frame exactly
+    "e9b_quantiles_stream" ->
+      s"""SELECT date_trunc('week', ts) AS wk, event_type, count(*) AS n,
+                 ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.5)")} AS p50,
+                 ${graft.functions.ExactNum.sqlRound4("quantile_cont(value, 0.95)")} AS p95
+          FROM events GROUP BY wk, event_type
+          ORDER BY wk, event_type""",
 
     // global last-writer-wins per user — what the published snapshot
     // must equal after the full feed drains through the sink
