@@ -248,8 +248,15 @@ object CoreRelational {
     // same pass runs per partition-directory, embarrassingly parallel
     // across them.
     "a12_compaction_roundtrip" -> ((s, d) => {
+      // basename + full-path hash, the bucket-table discipline: distinct
+      // data dirs sharing a basename must never share the scratch dir
+      // (the lazy graded read would race the other run's eager overwrite)
+      val dirHash = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(d).getAbsolutePath
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-        new java.io.File(d).getName
+        new java.io.File(d).getName + "_" + dirHash
       val src = customer(s, d)
       src.repartition(32).write.mode("overwrite").parquet(s"$base/small")
       graft.sources.Maintenance.compactParquet(
@@ -1017,10 +1024,11 @@ object CoreRelational {
     // tax application are pure integer multiplies (px·(100−dc) is exact in
     // 1e-4 units, ·(100+tx) exact in 1e-6); integer sums are associative →
     // identical under any partitioning, engine, or parallelism. Long
-    // headroom: max |charge_e6| ≈ 1e11, so ~9×10⁷ max-priced rows per
-    // group before the e6 sum overflows — fine through the graded SFs and
-    // ~sf200; the DecimalType twin below (decimalLedgerOf, int128-backed
-    // sums) is the form a >sf200 deployment grades internally.
+    // headroom: avg charge_e6 ≈ 3.6×10¹⁰, so ~2.5×10⁸ average rows per
+    // group before the e6 sum overflows — fine through the graded SFs,
+    // exhausted around sf~80 (the 'N' flag holds ~half of lineitem); the
+    // DecimalType twin below (decimalLedgerOf, int128-backed sums) is the
+    // form a larger deployment grades internally.
     "d14_decimal_money" -> ((s, d) => {
       val li = lineitem(s, d).select(
         col("l_returnflag"),

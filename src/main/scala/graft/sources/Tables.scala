@@ -55,11 +55,16 @@ object Tables {
     val path = s"$dir/$name.parquet"
     val sch = s.read.parquet(path).schema
     val reader = s.readStream.schema(sch)
+    // layout detection through the Hadoop FS API (java.io.File.isDirectory
+    // is false for any file:///hdfs:// URI and would silently fall back to
+    // the single-file glob — the zero-row drain this branch exists to
+    // prevent); same portability rule as Maintenance.compactParquet
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val isDir = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(hp).isDirectory
     val src =
-      if (new java.io.File(path).isDirectory)
-        reader.option("pathGlobFilter", "*.parquet").parquet(path)
-      else
-        reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
+      if (isDir) reader.option("pathGlobFilter", "*.parquet").parquet(path)
+      else reader.option("pathGlobFilter", s"$name.parquet").parquet(dir)
     normTs(src)
   }
 

@@ -38,12 +38,14 @@ object StreamingGraded {
     * registry query still plan at the session's width. */
   private def drainStateful(s: SparkSession)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    // synchronized on the session: the temporary width rewrite below is a
-    // session-global conf, so a CONCURRENT planner on the same session
-    // would otherwise race it (plan an unrelated query at width 4, or pin
-    // the wrong width into a streaming checkpoint). The current Verify/
-    // Bench drivers are sequential; the lock makes the non-reentrancy a
-    // guarantee instead of a convention, at zero cost when uncontended.
+    // synchronized on the session: serializes concurrent DRAINS (two
+    // drains interleaving would restore each other's width or pin the
+    // wrong width into a checkpoint). It does NOT fence arbitrary
+    // concurrent planning — a planner thread reads the conf without
+    // taking this monitor — so the session-global width rewrite remains
+    // safe only under the sequential Verify/Bench drivers this registry
+    // runs in; a future concurrent driver must schedule drains onto a
+    // dedicated session (cloned confs) instead of sharing this one.
     s.synchronized {
       val old = s.conf.get("spark.sql.shuffle.partitions")
       // SPARK_GRAFT_DRAIN_WIDTH is the per-deployment sizing knob (at

@@ -471,26 +471,11 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 3L) -> (2L, 3L, 3L, 0.5)))
   }
 
-  /** Sequential model of the CAPPED neighbor similarity: each vertex keeps
-    * its m strongest partners (w desc, partner asc) of the symmetrized
-    * adjacency; common = |capped(a) ∩ capped(b)|, jaccard from the capped
-    * degrees, pairs with common < 2 dropped. */
-  private def nodeSimModel(edges: Seq[(Long, Long, Long)], m: Int)
-      : Map[(Long, Long), (Long, Long, Long, Double)] = {
-    val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
-    val adj = sym.groupBy(_._1).map { case (u, es) =>
-      u -> es.sortBy(e => (-e._3, e._2)).take(m).map(_._2).toSet
-    }
-    val verts = adj.keys.toSeq.sorted
-    (for {
-      a <- verts; b <- verts if a < b
-      c = (adj(a) intersect adj(b)).size.toLong if c >= 2
-    } yield {
-      val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
-      (a, b) -> (c, da, db,
-        math.round(c.toDouble / (da + db - c) * 10000) / 10000.0)
-    }).toMap
-  }
+  // sequential model of the capped neighbor similarity — shared with the
+  // random-input property in GraftProperties so the two suites can never
+  // assert divergent definitions
+  private def nodeSimModel(edges: Seq[(Long, Long, Long)], m: Int) =
+    TestModels.nodeSim(edges, m)
 
   test("gr_node_sim cap: capped similarity matches a sequential model on a " +
       "weighted hub graph where the cap binds") {

@@ -468,12 +468,10 @@ object GraftProperties extends Properties("graft") {
       cands.size <= k && heavy.subsetOf(cands)
     }
 
-  // Capped neighbor similarity vs a sequential model on RANDOM weighted
-  // graphs and cap values — generalizes AnalyticsSpec's two fixed-seed
-  // fixtures. The model re-derives the operator definition independently:
-  // symmetrize, keep each vertex's capM strongest partners (w desc, id
-  // asc), count common capped neighbors, Jaccard over capped degrees,
-  // drop common < 2.
+  // Capped neighbor similarity vs the shared sequential model
+  // (TestModels.nodeSim — one definition across suites) on RANDOM
+  // weighted graphs and cap values, generalizing AnalyticsSpec's two
+  // fixed-seed fixtures.
   private val graphGen: Gen[(List[(Long, Long, Long)], Int)] = for {
     n <- Gen.choose(4, 10)
     capM <- Gen.choose(2, 6)
@@ -491,19 +489,7 @@ object GraftProperties extends Properties("graft") {
       import spark.implicits._
       if (edges.isEmpty) true
       else {
-        val sym = edges.flatMap { case (s, d, w) => Seq((s, d, w), (d, s, w)) }
-        val adj = sym.groupBy(_._1).map { case (u, es) =>
-          u -> es.sortBy(e => (-e._3, e._2)).take(capM).map(_._2).toSet
-        }
-        val verts = adj.keys.toSeq.sorted
-        val model = (for {
-          a <- verts; b <- verts if a < b
-          c = (adj(a) intersect adj(b)).size.toLong if c >= 2
-        } yield {
-          val (da, db) = (adj(a).size.toLong, adj(b).size.toLong)
-          (a, b) -> (c, da, db,
-            math.round(c.toDouble / (da + db - c) * 10000) / 10000.0)
-        }).toMap
+        val model = TestModels.nodeSim(edges, capM)
         val got = graft.operators.CoreRelational
           .neighborSimOf(edges.toDF("src", "dst", "w"), capM).collect()
           .map(r => (r.getLong(0), r.getLong(1)) ->
