@@ -24,21 +24,16 @@ object Bench {
     dfs.foreach { case (_, df) =>
       try df.foreach(_.count()) catch { case _: Throwable => () }
     }
-    // Builders that run driver-side control jobs at plan-construction time
-    // (the components fixpoint loop) are REBUILT inside the timing, so the
-    // reported seconds include the work the builder actually does — a
-    // pre-built plan would time only a cached-RDD read for them.
-    // The streaming-graded entries DRAIN their stream at plan-construction
-    // time and return the sink's table — rebuild them too, so the timing
-    // covers the actual stream run, not a cached-sink read.
-    val eagerBuilders = Set("dd_components", "dd_keep_one",
-      "dd_admit_stream", "i7b_upsert_stream", "i4_watermark_stream",
-      "i14_stream_join", "e8b_retention_stream", "e7b_funnel_stream",
-      "i11b_sync_stream", "e13b_volume_stream", "e9b_quantiles_stream",
-      // the compaction roundtrip's graded work (explode + compact) runs at
-      // plan construction — rebuild it or the timing covers only the
-      // 4-file read-back
-      "a12_compaction_roundtrip")
+    // Builders whose graded work runs at plan-construction time (streaming
+    // drains, write-then-read roundtrips, driver-side fixpoint control) are
+    // REBUILT inside the timing, so the reported seconds include the work
+    // the builder actually does — a pre-built plan would time only a
+    // cached-RDD/sink read for them. The set is DERIVED at the registries
+    // (every StreamingGraded entry + per-module `eager` tags), never
+    // hand-maintained here: the hand list silently mis-timed a new
+    // side-effecting query three rounds in a row (dd_components r4,
+    // a12 r6), and PlanShapeSpec's job audit now enforces membership.
+    val eagerBuilders = SparkEntry.eagerQueries
     // A failed query records -1 (never a tiny elapsed time) so a regression
     // that breaks a query can't lower the bench total; `fail` counts them.
     def timedPass(): Map[String, Double] = dfs.map { case (name, df0) =>

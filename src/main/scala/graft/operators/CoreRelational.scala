@@ -27,6 +27,30 @@ object CoreRelational {
 
   private val discPrice = "l_extendedprice*(1.0-l_discount)"
 
+  /** Side-effecting-at-build tag (consumed by `SparkEntry.eagerQueries`):
+    * a12's graded WORK — the explode into small files + the compaction
+    * rewrite — runs at plan construction, so Bench must rebuild it inside
+    * the timed pass or the timing covers only the 4-file read-back.
+    * gr_kcore/gr_lpa are the audit's first catch (occurrences 4 and 5 of
+    * the mis-timing class): their per-round `localCheckpoint(eager=false)`
+    * still calls `toRdd`, and under AQE that EXECUTES every intermediate
+    * shuffle stage of the round at plan-build time — a pre-built plan then
+    * times only the final stage over reusable shuffle files. */
+  val eager: Set[String] =
+    Set("a12_compaction_roundtrip", "gr_kcore", "gr_lpa")
+
+  /** Builders that write a scratch FIXTURE at plan build: the roundtrip
+    * sources (a7 orc / a8 jsonl / a9 evolution / a10 binary corpus /
+    * a11 partitioned layout) and c15's bucketed catalog tables. For these
+    * the write is PREP and the graded artifact is the read-back — each
+    * site documents that Bench deliberately times the read, which is the
+    * operator under test (the scan of that format/layout). PlanShapeSpec's
+    * job audit allowlists exactly this set; an UNDOCUMENTED build-time
+    * writer fails that test instead of silently mis-timing. */
+  val buildTimeFixtures: Set[String] = Set(
+    "a7_orc_roundtrip", "a8_jsonl_roundtrip", "a9_schema_evolution",
+    "a10_binary_ingest", "a11_partitioned_sink", "c15_bucket_join")
+
   val queries: Map[String, Q] = Map(
     // ---------------------------------------------------------------- A
     // A1: plain parquet scan with pruned projection.
@@ -119,8 +143,7 @@ object CoreRelational {
     // bit-for-bit. The write runs once at plan build; the graded scan is
     // the ORC read.
     "a7_orc_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        new java.io.File(d).getName
+      val out = graft.sources.ScratchDirs.dirFor(d, "orc")
       supplier(s, d).write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("s_suppkey")
     }),
@@ -134,8 +157,7 @@ object CoreRelational {
     // proves write+read preserved every value including full double
     // precision (Spark serializes doubles round-trip-exact).
     "a8_jsonl_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        new java.io.File(d).getName
+      val out = graft.sources.ScratchDirs.dirFor(d, "jsonl")
       val src = customer(s, d)
       src.write.mode("overwrite").json(out)
       s.read.schema(src.schema).json(out).orderBy("c_custkey")
@@ -152,8 +174,7 @@ object CoreRelational {
     // (rewriting history per schema change is a full-corpus pass).
     // The oracle reproduces the same union-with-nulls relationally.
     "a9_schema_evolution" -> ((s, d) => {
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
-        new java.io.File(d).getName
+      val base = graft.sources.ScratchDirs.dirFor(d, "evo")
       val sup = supplier(s, d)
       sup.select(lit(1).as("gen"), col("s_suppkey"), col("s_name"), col("s_nationkey"))
         .write.mode("overwrite").parquet(s"$base/gen1")
@@ -181,8 +202,8 @@ object CoreRelational {
     "a10_binary_ingest" -> ((s, d) => {
       val docs = documents(s, d).select(col("doc_id"), col("text"))
       val n = docs.count()
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bin_" +
-        new java.io.File(d).getName + s"_n$n"
+      // the row-count tag self-invalidates the fixture if the table grows
+      val dir = graft.sources.ScratchDirs.dirFor(d, s"bin_n$n")
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(dirPath, "_BUILT")
@@ -221,8 +242,7 @@ object CoreRelational {
     // lossless — including the partition column itself, which parquet
     // stores only in the path and the reader re-materializes.
     "a11_partitioned_sink" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-        new java.io.File(d).getName
+      val out = graft.sources.ScratchDirs.dirFor(d, "part")
       orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -248,15 +268,10 @@ object CoreRelational {
     // same pass runs per partition-directory, embarrassingly parallel
     // across them.
     "a12_compaction_roundtrip" -> ((s, d) => {
-      // basename + full-path hash, the bucket-table discipline: distinct
-      // data dirs sharing a basename must never share the scratch dir
+      // ScratchDirs carries the basename + full-path-hash discipline:
+      // distinct data dirs sharing a basename must never share the scratch
       // (the lazy graded read would race the other run's eager overwrite)
-      val dirHash = java.security.MessageDigest.getInstance("MD5")
-        .digest(new java.io.File(d).getAbsolutePath
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        .take(4).map(b => f"$b%02x").mkString
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact_" +
-        new java.io.File(d).getName + "_" + dirHash
+      val base = graft.sources.ScratchDirs.dirFor(d, "compact")
       val src = customer(s, d)
       src.repartition(32).write.mode("overwrite").parquet(s"$base/small")
       graft.sources.Maintenance.compactParquet(

@@ -393,6 +393,16 @@ object LlmOps {
         (col("dup_frac") <= 0.2 && col("top_frac") <= 0.2).cast("int"))
   }
 
+  /** Side-effecting-at-build tag (consumed by `SparkEntry.eagerQueries`):
+    * these builders run the driver-side components FIXPOINT loop (isEmpty
+    * per round) at plan-construction time, so Bench must REBUILD them
+    * inside the timed pass — a pre-built plan would time only a cached-RDD
+    * read. Registered here, next to the queries map, so adding a builder
+    * with build-time control work means tagging it in the same edit;
+    * PlanShapeSpec's plan-build job audit fails the build if an untagged
+    * registry query still runs jobs at warm plan build. */
+  val eager: Set[String] = Set("dd_components", "dd_keep_one")
+
   val queries: Map[String, Q] = Map(
     // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
     // each duplicate group. (Fixtures plant exact dups at sf0.1.)

@@ -78,7 +78,7 @@ object Lsh {
         / 1e7).as("raw"))
 
   // DuckDB-side shared fragments.
-  private val toksSql = "string_split(text, ' ')"
+  private[graft] val toksSql = "string_split(text, ' ')"
   private val shSql =
     s"""list_distinct(list_transform(range(1, len($toksSql) - 1),
         i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))"""
@@ -765,7 +765,7 @@ object Lsh {
   }
 
   // Oracle-side simhash term list, generated to mirror the Spark bit loop.
-  private val simhashTermsSql: String = (0 until 32).map { k =>
+  private[graft] val simhashTermsSql: String = (0 until 32).map { k =>
     s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1)*2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
   }.mkString(" + ")
 

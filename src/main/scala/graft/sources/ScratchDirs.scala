@@ -22,14 +22,21 @@ import org.apache.spark.sql.SparkSession
   */
 object ScratchDirs {
 
+  /** Path-component sanitizer: the tag and the data dir's basename are
+    * interpolated into a /tmp path, so anything outside [A-Za-z0-9._-]
+    * (a '/', a space) would silently nest or escape the scratch tree.
+    * Collapsed to '_' — the full-path hash keeps sanitized collisions
+    * (e.g. "a/b" vs "a_b" basenames) in distinct trees anyway. */
+  private def safe(c: String): String = c.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** The stable scratch root for (`tag`, data dir `d`). */
   def dirFor(d: String, tag: String): String = {
     val dirHash = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(d).getAbsolutePath
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map(b => f"$b%02x").mkString
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      new java.io.File(d).getName + "_" + dirHash
+    s"${System.getProperty("java.io.tmpdir")}/graft_${safe(tag)}_" +
+      safe(new java.io.File(d).getName) + "_" + dirHash
   }
 
   /** [[dirFor]], with the tree deleted first — for builders that must start

@@ -34,8 +34,23 @@ object Tables {
       }
     }
 
+  // One DataFrame per (session, dir, table), built once: spark.read.parquet
+  // runs a schema-inference job per call (one footer-read task), so an
+  // unmemoized read taxes EVERY plan build with one job per referenced
+  // table — ~300 pointless jobs across a 190-query registry build, and the
+  // reason PlanShapeSpec's job audit couldn't tell a pure builder from a
+  // side-effecting one. A DataFrame is an immutable lazy plan, so sharing
+  // one per table is semantics-free; the file LISTING pins at first build
+  // (the same documented contract as the streaming admission gate's static
+  // side — fixtures are immutable within a driver run). Cleared with the
+  // cache registry so a releaseAll() really ends a build generation.
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => tableMemo.clear())
+
   def table(s: SparkSession, dir: String, name: String): DataFrame =
-    normTs(s.read.parquet(s"$dir/$name.parquet"))
+    tableMemo.computeIfAbsent((s, dir, name),
+      _ => normTs(s.read.parquet(s"$dir/$name.parquet")))
 
   /** Streaming form of [[table]]: the same parquet read as a file-source
     * stream, with the same timestamp folding. File streams require an
@@ -68,10 +83,11 @@ object Tables {
     normTs(src)
   }
 
-  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normTs(s.read.parquet(s"$d/events.parquet"))
-  }
+  private def eventsRaw(s: SparkSession, d: String): DataFrame =
+    tableMemo.computeIfAbsent((s, d, "events"), { _ =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normTs(s.read.parquet(s"$d/events.parquet"))
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -239,7 +239,11 @@ object StreamingGraded {
     // consumer (a KV store, a compacted log) implements natively. Fixture
     // days-with-data ≈30 per type ≪ the 64-day state horizon.
     "e13b_volume_stream" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("e13b_vol").toString
+      // stable scratch, wiped per invocation: the spool is append-mode and
+      // a stale checkpoint would turn the drain into a no-op, so the tree
+      // must start empty — but at a STABLE path, or 5 bench passes × the
+      // spooling queries leave an unbounded trail of temp trees in /tmp
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "e13b_vol")
       val alarms = StreamingOps.volumeAlarms(Tables.tableStream(s, d, "events"))
       drainStateful(s) {
         alarms.toDF().writeStream
@@ -285,7 +289,9 @@ object StreamingGraded {
     // target ∪ delta merge because last-writer-wins is associative across
     // the cutoff split.
     "i7b_upsert_stream" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("i7b_upsert").toString
+      // same fresh-at-a-stable-path contract as e13b: the versioned table's
+      // pointer/version count must start from nothing each invocation
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "i7b_upsert")
       val ev = Tables.tableStream(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       StreamingOps.runUpsertSinkToParquet(s, ev, s"$tmp/ckpt", s"$tmp/table")
@@ -293,6 +299,68 @@ object StreamingGraded {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("us").as("last_us"))
         .orderBy("user_id")
+    }),
+
+    // A13/L-maintenance: the retention (VACUUM) pass graded as a roundtrip —
+    // a12's compaction pattern applied to Maintenance.vacuumVersions, the
+    // job that ends old snapshots' readability on the `_VERSION`-pointer
+    // table the upsert sink maintains. The feed is spooled into 4 files and
+    // drained at maxFilesPerTrigger=1 so the sink publishes one version per
+    // micro-batch — several immutable snapshots for vacuum to actually
+    // prune (the builder REQUIRES a nonempty prune, so a vacuum no-op can
+    // never hash green by accident). The graded read is the published
+    // snapshot through the pointer AFTER the prune: a hash match against
+    // the batch global-LWW oracle proves retention deleted only
+    // out-of-window history and left the current version bit-intact —
+    // the entire contract of VACUUM. Version-count/AS-OF-fails assertions
+    // stay in MaintenanceSpec (those are layout, not data). At 100 TB this
+    // pass is one directory listing + k directory deletes per table —
+    // metadata-cost maintenance, same as a real table format's VACUUM.
+    "a13_vacuum_roundtrip" -> ((s, d) => {
+      val base = graft.sources.ScratchDirs.freshDirFor(s, d, "a13_vac")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$base/spool")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/spool")
+      StreamingOps.runUpsertSinkToParquet(s, stream, s"$base/ckpt", s"$base/table")
+      val pruned = graft.sources.Maintenance
+        .vacuumVersions(s, s"$base/table", keep = 2)
+      require(pruned.nonEmpty,
+        s"a13: vacuum pruned nothing — expected >2 published versions under $base/table")
+      StreamingOps.currentUpsertTable(s, s"$base/table")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    // L28b closed with an ORDER-INDEPENDENT projection: the streaming
+    // simhash near-dup dedup (dropDuplicatesWithinWatermark on the 32-bit
+    // bigram fingerprint) drained end-to-end, graded as survivors per
+    // fingerprint. The doc-level keep set is arrival-order-dependent (the
+    // operator keeps FIRST arrival — grading doc ids would pin a file-
+    // -listing accident, the documented reason L28b stayed spec-only), but
+    // the survivor COUNT per fingerprint is not: every doc carries the
+    // same constant event time, so no fingerprint's state can ever expire
+    // (watermark = maxEvent − 10 min < eventTime + 10 min always) and
+    // exactly one survivor emerges per distinct fingerprint under ANY
+    // batching or arrival order. The oracle computes the same bigram
+    // simhash relationally — so the graded row proves the streaming dedup
+    // operator's keep-exactly-one contract, which is precisely the part
+    // that is semantics rather than accident.
+    "dd_simhash_stream" -> ((s, d) => {
+      val docs = Tables.tableStream(s, d, "documents")
+        .withColumn("ts", lit("2024-01-01 10:00:00").cast("timestamp"))
+      val kept = StreamingOps.dedupBySimhash(docs)
+      val sink = "dd_simhash_sink"
+      drainStateful(s) {
+        kept.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      s.table(sink)
+        .groupBy("simhash")
+        .agg(count(lit(1)).as("survivors"))
+        .orderBy("simhash")
     })
   )
 
@@ -455,6 +523,36 @@ object StreamingGraded {
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
-         ORDER BY user_id"""
+         ORDER BY user_id""",
+
+    // i7b's oracle verbatim: the vacuumed table's published snapshot must
+    // STILL equal the batch global LWW — retention may only delete
+    // out-of-window history, never the current version's bytes
+    "a13_vacuum_roundtrip" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                epoch_us(ts) AS last_us
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    // exactly one survivor per distinct bigram-simhash fingerprint — the
+    // keep-exactly-one dedup contract, on the same relational fingerprint
+    // the batch lsh_simhash_pairs oracle uses (bit-identity of the
+    // streaming HOF form to this SQL is pinned in StreamingSpec)
+    "dd_simhash_stream" -> {
+      import graft.operators.Lsh.{simhashTermsSql, toksSql}
+      s"""WITH sigs AS (
+            SELECT doc_id, CAST($simhashTermsSql AS BIGINT) AS simhash
+            FROM (SELECT doc_id,
+                    list_transform(list_distinct(list_transform(
+                      range(1, len($toksSql)),
+                      i -> $toksSql[i] || ' ' || $toksSql[i+1])),
+                      t -> ('0x'||substr(md5(t),1,8))::BIGINT) AS hs
+                  FROM documents))
+          SELECT simhash, CAST(1 AS BIGINT) AS survivors
+          FROM sigs GROUP BY simhash
+          ORDER BY simhash"""
+    }
   )
 }

@@ -277,4 +277,53 @@ class PlanShapeSpec extends AnyFunSuite {
       s"graded outputs outside the §7.4 #10 type contract:\n" +
         violations.mkString("\n"))
   }
+
+  test("plan-build job audit: a builder that runs jobs at warm plan build " +
+      "must be tagged eager or fixture-writer (Bench timing honesty)") {
+    // The a12/dd_components mis-timing bug class, enforced rather than
+    // remembered: Bench pre-builds every plan once and times only count();
+    // a builder whose graded work happens at CONSTRUCTION (a write, a
+    // drain, a driver-side fixpoint) must therefore be in
+    // SparkEntry.eagerQueries (rebuilt inside the timing) or be a
+    // documented buildTimeFixtureWriter (write is prep, the graded artifact
+    // is the read-back). Everything else must construct its plan without
+    // running a single Spark job. The first build of a query may pay a
+    // shared memoized index (components/kNN/IVF frames — whoever builds
+    // first pays, the documented serving shape), so the audit counts jobs
+    // on a SECOND, warm build only.
+    val audited = (SparkEntry.queries.keySet --
+      SparkEntry.eagerQueries -- SparkEntry.buildTimeFixtureWriters).toSeq.sorted
+    audited.foreach(n => SparkEntry.queries(n)(spark, sf)) // warm pass
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.GraftBusAccess.drain(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val violations = audited.flatMap { n =>
+        jobs.set(0)
+        SparkEntry.queries(n)(spark, sf)
+        org.apache.spark.GraftBusAccess.drain(spark.sparkContext)
+        val k = jobs.get()
+        if (k > 0) Some(s"$n ran $k job(s) at warm plan build") else None
+      }
+      assert(violations.isEmpty,
+        "untagged side-effecting builders (add to the module's `eager` tag " +
+          "or, if the write is documented fixture prep, to " +
+          s"buildTimeFixtures):\n${violations.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("every streaming-graded query is eager by construction, and the " +
+      "tags reference real registry entries") {
+    val eager = SparkEntry.eagerQueries
+    assert(graft.streaming.StreamingGraded.queries.keySet.subsetOf(eager))
+    val ghosts = (eager ++ SparkEntry.buildTimeFixtureWriters) --
+      SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"eager/fixture tags without a registry entry: $ghosts")
+  }
 }
