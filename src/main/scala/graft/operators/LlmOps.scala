@@ -403,6 +403,20 @@ object LlmOps {
     * registry query still runs jobs at warm plan build. */
   val eager: Set[String] = Set("dd_components", "dd_keep_one")
 
+  /** The (doc_id, dlen, word, cnt) posting frame — one row per (doc, word)
+    * with the doc length carried alongside — shared by ta_tfidf and
+    * ta_bm25 (the two heaviest text queries). ONE builder, so both
+    * consumers produce byte-identical canonical plans and Spark's
+    * CacheManager serves them from a single storage copy (the second
+    * materialize is a no-op by canonical-plan lookup; LlmOpsSpec asserts
+    * the single-copy property via RDD storage info). */
+  private def termFrame(docs: DataFrame): DataFrame =
+    graft.CacheRegistry.materialize(docs
+      .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "dlen", "word")
+      .agg(count(lit(1)).as("cnt")))
+
   val queries: Map[String, Q] = Map(
     // J1: exact dedup — hash of normalized text, keep the lowest doc_id of
     // each duplicate group. (Fixtures plant exact dups at sf0.1.)
@@ -659,11 +673,7 @@ object LlmOps {
       // referenced subtrees), aggregate the tiny per-word docfreq, and
       // broadcast it back. Avoids a vocabulary-keyed window shuffle, which
       // skews badly when the vocabulary is small relative to the corpus.
-      val terms = graft.CacheRegistry.materialize(docs
-        .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
-          explode(split(col("text"), " ")).as("word"))
-        .groupBy("doc_id", "dlen", "word")
-        .agg(count(lit(1)).as("cnt")))
+      val terms = termFrame(docs)
       val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
       val scored = terms
         .join(broadcast(df_), "word")
@@ -736,11 +746,7 @@ object LlmOps {
       val nAvg = docs.agg(count(lit(1)).cast("double").as("n_total"),
         (sum(size(split(col("text"), " "))).cast("double") /
           count(lit(1))).as("avgdl"))
-      val terms = graft.CacheRegistry.materialize(docs
-        .select(col("doc_id"), size(split(col("text"), " ")).as("dlen"),
-          explode(split(col("text"), " ")).as("word"))
-        .groupBy("doc_id", "dlen", "word")
-        .agg(count(lit(1)).as("cnt")))
+      val terms = termFrame(docs)
       val df_ = terms.groupBy("word").agg(count(lit(1)).as("docfreq"))
       val q = terms.groupBy("word").agg(sum(col("cnt")).as("ctot"))
         .orderBy(col("ctot").desc, col("word").asc).limit(3)

@@ -16,3 +16,11 @@ object VectorExpressions {
   def squared_norm(a: Column): Column =
     org.apache.spark.sql.graftexpr.VectorExpressions.squared_norm(a)
 }
+
+/** graft-facing API for the custom Catalyst text expressions (same bridge
+  * rationale as [[VectorExpressions]]). */
+object TextExpressions {
+  /** 32-bit bigram simhash — see org.apache.spark.sql.graftexpr.SimhashBigrams. */
+  def simhash_bigrams(text: Column): Column =
+    org.apache.spark.sql.graftexpr.TextExpressions.simhash_bigrams(text)
+}

@@ -47,16 +47,39 @@ object StreamingGraded {
     // runs in; a future concurrent driver must schedule drains onto a
     // dedicated session (cloned confs) instead of sharing this one.
     s.synchronized {
-      val old = s.conf.get("spark.sql.shuffle.partitions")
+      val widthKey = "spark.sql.shuffle.partitions"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val old = s.conf.get(widthKey)
+      val oldProv = s.conf.getOption(provKey)
       // SPARK_GRAFT_DRAIN_WIDTH is the per-deployment sizing knob (at
       // 100 TB/day this is sized UP for state volume); widths 1/2/4 were
       // measured within run-to-run noise at the graded SFs (the width-32
       // penalty r5 fixed came from 8× more state-store instances, and 4
       // is already past the knee), so the default stays 4.
-      s.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_DRAIN_WIDTH", "4"))
+      s.conf.set(widthKey, sys.env.getOrElse("SPARK_GRAFT_DRAIN_WIDTH", "4"))
+      // State-store provider, the production knob at 100 TB/day: rocksdb
+      // moves state off-heap (no GC pressure, changelog checkpointing) but
+      // pays a JNI + per-batch snapshot floor per store instance. Measured
+      // on these bounded drains (BASELINE.md r8): HDFS-backed wins at the
+      // graded SFs — the drains are state-store-FLOOR-dominated, so the
+      // in-memory provider's zero setup cost beats rocksdb's machinery;
+      // rocksdb becomes right when per-instance state outgrows executor
+      // heap, which is a deployment decision this env var flips without a
+      // code change (A/B'd oracle-green both ways).
+      sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach {
+        case "rocksdb" => s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        case other => s.conf.set(provKey, other)
+      }
       try start.awaitTermination()
-      finally s.conf.set("spark.sql.shuffle.partitions", old)
+      finally {
+        s.conf.set(widthKey, old)
+        if (sys.env.contains("SPARK_GRAFT_STATE_PROVIDER"))
+          oldProv match {
+            case Some(p) => s.conf.set(provKey, p)
+            case None    => s.conf.unset(provKey)
+          }
+      }
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

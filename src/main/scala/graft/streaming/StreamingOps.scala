@@ -85,29 +85,15 @@ object StreamingOps {
   /** Per-row 32-bit bigram simhash as a COLUMN expression — the streaming
     * form of Lsh.simhashBigramSigs. A stream cannot run that builder's
     * lead() window (no ordered per-key shuffle over an unbounded feed), so
-    * the bigram set is built row-locally with array higher-order functions
-    * and proven bit-identical to the batch relational form in
-    * StreamingSpec. The HOF lambdas are interpreted, which is the right
-    * trade HERE: cost is per-row with no shuffle, and the stream form
-    * exists for arrival-time dedup, not corpus-scan throughput (the batch
-    * path keeps the codegen'd relational shape). Docs with < 2 tokens have
-    * no bigrams and sign to 0. */
-  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = split(text, " ")
-    val n1 = greatest(size(toks) - 1, lit(0))
-    val grams = array_distinct(zip_with(
-      slice(toks, lit(1), n1), slice(toks, lit(2), n1),
-      (a, b) => concat_ws(" ", a, b)))
-    val hs = transform(grams,
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { k =>
-      aggregate(hs, lit(0L),
-        (acc, h) => acc + (shiftright(h, k).bitwiseAND(lit(1L)) * 2 - 1))
-    }
-    bitSums.zipWithIndex
-      .map { case (sc, k) => when(sc > 0, lit(1L << k)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-  }
+    * the fingerprint is computed row-locally by the custom codegen'd
+    * Catalyst expression (graft.plans.TextExpressions — one static-call
+    * kernel pass per row, inside whole-stage codegen) and proven
+    * bit-identical to the batch relational form in StreamingSpec. The
+    * earlier higher-order-function form paid 32 interpreted `aggregate`
+    * passes per row — 13.5 s for the 5k-doc graded drain at sf0.1 vs ~1 s
+    * for the kernel. Docs with < 2 tokens have no bigrams and sign to 0. */
+  def simhashCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.plans.TextExpressions.simhash_bigrams(text)
 
   /** Streaming near-dup dedup: fingerprint each arriving doc with
     * [[simhashCol]] and keep the first per fingerprint inside the

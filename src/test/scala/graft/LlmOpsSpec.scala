@@ -426,6 +426,26 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ta_tfidf and ta_bm25 share ONE storage copy of the posting frame") {
+    // The two heaviest batch text queries both materialize the
+    // (doc, dlen, word, cnt) posting frame through the shared termFrame
+    // builder; Spark's CacheManager keys on the canonical plan, so the
+    // second materialize must be a storage no-op. The proof is at the
+    // BlockManager level: after ta_tfidf executes, running ta_bm25 must
+    // not add a single new cached RDD (a second copy of a corpus-sized
+    // posting frame would be ~the most expensive silent duplication in
+    // the registry).
+    SparkEntry.queries("ta_tfidf")(spark, sf).collect()
+    val before = spark.sparkContext.getRDDStorageInfo
+      .filter(_.isCached).map(_.id).toSet
+    SparkEntry.queries("ta_bm25")(spark, sf).collect()
+    val after = spark.sparkContext.getRDDStorageInfo
+      .filter(_.isCached).map(_.id).toSet
+    assert((after -- before).isEmpty,
+      s"ta_bm25 materialized a second posting-frame copy: new cached " +
+        s"RDD ids ${(after -- before).mkString(",")}")
+  }
+
   test("ta_pmi: a perfect collocation outranks chance pairs, values exact") {
     import spark.implicits._
     // "xq yq" is a pure collocation (xq only ever precedes yq); the
