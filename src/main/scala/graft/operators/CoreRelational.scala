@@ -576,7 +576,11 @@ object CoreRelational {
     // frames are materialized per round so the unrolled tree never
     // re-executes earlier rounds. Output: survivors with their degree in
     // the final surviving subgraph — all integers, hash-exact.
-    "gr_kcore" -> ((s, d) => {
+    // wrapped in withFixpointWidth: the rounds EXECUTE here (the lazy
+    // localCheckpoint's toRdd materializes each round's stages under AQE),
+    // and survivor frames are |V|-sized — batch width 32 was pure stage
+    // overhead (4.8 s → 1.5 s at sf0.1, see GraphOps.withFixpointWidth)
+    "gr_kcore" -> ((s, d) => GraphOps.withFixpointWidth(s) {
       val e = knnEdges(s, d)
       val ed = graft.CacheRegistry.materialize(
         e.select(col("src").as("u"), col("dst").as("v"))
@@ -617,7 +621,9 @@ object CoreRelational {
     // Bounded rounds are the point: community assignment stabilizes in
     // O(1) rounds on degree-capped graphs, and a bounded unroll is
     // oracle-mirrorable CTE by CTE.
-    "gr_lpa" -> ((s, d) => {
+    // wrapped in withFixpointWidth like gr_kcore: the two synchronous LPA
+    // rounds execute at build over |V|-sized label frames
+    "gr_lpa" -> ((s, d) => GraphOps.withFixpointWidth(s) {
       val e = knnEdges(s, d)
       val ed = graft.CacheRegistry.materialize(
         e.select(col("src").as("u"), col("dst").as("v"))

@@ -26,6 +26,30 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Run `body` (an iterative-fixpoint BUILD: kcore/LPA rounds, the
+    * components loop) with the shuffle width right-sized for vertex-sized
+    * frames — the `drainStateful` rationale applied to graph fixpoints.
+    * Each round's survivor/label frame is |V|-sized however big the
+    * corpus, and every round pays per-partition stage orchestration: at
+    * the batch session's width 32 that overhead dominated (gr_kcore
+    * 4.8 s → 1.5 s, gr_lpa 1.3 s → 0.7 s, components 1.3 s → 0.9 s at
+    * sf0.1; width 8 is past the knee, 4 measured equal). The env knob is
+    * the per-deployment sizing lever — at 100 TB this is sized UP with
+    * |V|, independent of the batch width. Synchronized on the session and
+    * restored before returning (same single-driver contract as
+    * StreamingGraded.drainStateful); results are width-independent by
+    * design — min-label, ±votes and integer ranks are order-free
+    * aggregates, pinned by the oracle gate at two widths (tests run at 4,
+    * Verify/Bench at this knob).
+    */
+  private[graft] def withFixpointWidth[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = s.synchronized {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_FIXPOINT_WIDTH", "8"))
+    try body finally s.conf.set(key, old)
+  }
+
   /** @param vertices one column `id`; @param edges columns `src`, `dst`
     *  (directed; pass both directions for an undirected graph).
     * @return (id, comp) where comp = min vertex id reachable. */

@@ -265,11 +265,16 @@ object LlmOps {
 
   private[graft] def componentsOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     componentsMemo.getOrElseUpdate((s, d),
-      GraphOps.minLabelComponents(
-        documents(s, d).select(col("doc_id").as("id")),
-        jaccardPairs(s, d, 0.3)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")),
-        rounds = None))
+      // withFixpointWidth: the verified-fixpoint rounds run HERE (label
+      // frames are |V|-sized; measured 1.3 s → 0.9 s at sf0.1 — see
+      // GraphOps.withFixpointWidth)
+      GraphOps.withFixpointWidth(s) {
+        GraphOps.minLabelComponents(
+          documents(s, d).select(col("doc_id").as("id")),
+          jaccardPairs(s, d, 0.3)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst")),
+          rounds = None)
+      })
 
   private[graft] def clearComponentsMemo(): Unit = componentsMemo.clear()
 
