@@ -184,6 +184,18 @@ object LlmOps {
     * the materialized index — partial+final, so the skewed key is combined
     * map-side) is tiny by construction and broadcast into a left-anti join;
     * no shuffle keys on the skewed shingle itself. */
+  /** The hot-shingle (df > maxDf) stop list of `df` — the capping artifact
+    * [[shingleIndex]] subtracts. Exposed separately for the streaming
+    * admission gate: a stored corpus index SHIPS its stop-shingle list, and
+    * arriving batches must drop the same shingles or their signatures
+    * drift from the index they are checked against. The materialize here
+    * resolves to the same storage copy as shingleIndex's (canonical-plan
+    * keyed). */
+  private[graft] def hotShingles(df: DataFrame, maxDf: Int = MaxShingleDf): DataFrame =
+    graft.CacheRegistry.materialize(shingleRows(df))
+      .groupBy("h").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDf).select("h")
+
   private[graft] def shingleIndex(df: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     val full = graft.CacheRegistry.materialize(shingleRows(df))
     val hot = full.groupBy("h").agg(count(lit(1)).as("df_"))

@@ -49,6 +49,34 @@ object Lsh {
   private def mdHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** (doc_id, band_idx, band_val) LSH band rows of a shingle-hash frame
+    * (`doc_id`, `h` columns): 16 affine min-hashes folded by ONE hash
+    * aggregate, banded 8×2. Shared by the batch pair miner
+    * (`lsh_minhash_pairs`) and the streaming near-dup admission gate
+    * (`dd_admit_near_stream`) — one definition, so the stored corpus index
+    * and a per-batch signature computation can never drift. */
+  private[graft] def minhashBandRows(shingles: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigs = shingles.groupBy("doc_id").agg(
+      min((col("h") * A(0) + B(0)) % P).as("mh0"),
+      (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until nBands).map(b =>
+        concat(col(s"mh${2 * b}").cast("string"), lit("_"),
+          col(s"mh${2 * b + 1}").cast("string"))): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** DuckDB twin of [[minhashBandRows]]'s signature aggregate: the 16
+    * min-hash columns over a capped inverted-index CTE. */
+  private[graft] def minColsSql: String = (0 until nHashes)
+    .map(i => s"min((h * ${A(i)} + ${B(i)}) % $P) AS mh$i")
+    .mkString(",\n                   ")
+
+  /** DuckDB twin of the band explode over a `sigs`-shaped CTE `from`. */
+  private[graft] def bandSelectsSql(from: String): String = (0 until nBands)
+    .map(b => s"SELECT doc_id, $b AS band_idx, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS band_val FROM $from")
+    .mkString("\n            UNION ALL ")
+
   private def dot(a: Column, b: Column): Column =
     graft.plans.VectorExpressions.dot_product(a, b)
 
@@ -79,7 +107,7 @@ object Lsh {
 
   // DuckDB-side shared fragments.
   private[graft] val toksSql = "string_split(text, ' ')"
-  private val shSql =
+  private[graft] val shSql =
     s"""list_distinct(list_transform(range(1, len($toksSql) - 1),
         i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2]))"""
   private def dotSql(a: String, b: String): String =
@@ -95,17 +123,10 @@ object Lsh {
     // codegen'd, partial+final aggregable, one shuffle on doc_id.
     "lsh_minhash_pairs" -> ((s, d) => {
       val inv = LlmOps.shingleIndex(documents(s, d)).select("doc_id", "h", "nsh")
-      val sigs = inv.groupBy("doc_id").agg(
-        min((col("h") * A(0) + B(0)) % P).as("mh0"),
-        (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*)
       // both sides of the candidate self-join reference `bands` — materialize
       // it (8 small rows per doc) or the signature aggregate + band explode
       // run twice; at cluster scale this is the stored LSH band index
-      val bands = graft.CacheRegistry.materialize(sigs.select(col("doc_id"),
-        posexplode(array((0 until nBands).map(b =>
-          concat(col(s"mh${2 * b}").cast("string"), lit("_"),
-            col(s"mh${2 * b + 1}").cast("string"))): _*))
-          .as(Seq("band_idx", "band_val"))))
+      val bands = graft.CacheRegistry.materialize(minhashBandRows(inv))
       val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
         .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
           Seq("band_idx", "band_val"))
@@ -771,11 +792,8 @@ object Lsh {
 
   val oracle: Map[String, String] = Map(
     "lsh_minhash_pairs" -> {
-      val minCols = (0 until nHashes)
-        .map(i => s"min((h * ${A(i)} + ${B(i)}) % $P) AS mh$i").mkString(",\n                   ")
-      val bandSelects = (0 until nBands)
-        .map(b => s"SELECT doc_id, $b AS band_idx, CAST(mh${2 * b} AS VARCHAR)||'_'||CAST(mh${2 * b + 1} AS VARCHAR) AS band_val FROM sigs")
-        .mkString("\n            UNION ALL ")
+      val minCols = minColsSql
+      val bandSelects = bandSelectsSql("sigs")
       s"""WITH docs AS (
             SELECT doc_id, list_distinct(list_transform($shSql,
               s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS hs

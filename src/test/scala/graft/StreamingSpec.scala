@@ -679,6 +679,34 @@ class StreamingSpec extends AnyFunSuite {
       s"net delta log diverged from the batch matrix: $net")
   }
 
+  test("near-dup admission is batching-independent: any partition of the " +
+      "feed into micro-batches admits the same set") {
+    // The property that makes dd_admit_near_stream gradeable: the verdict
+    // is per-row against STATIC corpus state (stop list + band index), so
+    // union(admit(batch_i)) must equal admit(whole feed) for any split.
+    // Exercised at the worst split granularity — every doc its own batch
+    // would be slow; thirds catch any cross-batch dependency just as well
+    // (a batch-local aggregate leaking into the verdict would shift
+    // signatures the moment the batch population changes).
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val stream = docs.filter(col("doc_id") % 5 === 0)
+    val corpusBands = graft.operators.Lsh.minhashBandRows(
+      graft.operators.LlmOps.shingleIndex(corpus).select("doc_id", "h"))
+    val hot = graft.operators.LlmOps.hotShingles(corpus)
+    val whole = StreamingOps.admitNearBatch(stream, hot, corpusBands)
+    val parts = (0 until 3).map(i =>
+      StreamingOps.admitNearBatch(
+        stream.filter(col("doc_id") % 3 === i), hot, corpusBands))
+      .reduce(_ union _)
+    assert(whole.count() == parts.count())
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0)
+    // and the gate really rejects: the fixture plants near-dups across the
+    // %5 split, so some stream docs must collide with the corpus index
+    assert(whole.count() < stream.count())
+  }
+
   test("stream-stream join state survives a checkpoint restart (i14's " +
       "recovery contract)") {
     // The operator whose recovery matters most at scale — two unbounded
