@@ -444,12 +444,33 @@ object Lsh {
     * → every vector ranked by distance to its `nprobe` nearest cells. The
     * returned frame (vec_id, v, cell, rnk, nrm) is materialized once — at
     * cluster scale this is the stored IVF index the registry owns. */
-  private[graft] def ivfAssignments(s: org.apache.spark.sql.SparkSession,
-      d: String, nlist: Int, nprobe: Int, refine: Int = 0)
+  /** Assign arbitrary (vec_id, v) vectors to their `nprobe` nearest
+    * centroids of the `cents` grid (clabel, cent): one broadcast join +
+    * one per-vector rank window. Factored out of [[ivfAssignments]] so
+    * the streaming ANN serving gate can assign ARRIVING query vectors
+    * against the same stored grid with the identical distance/tie rule. */
+  private[graft] def assignVectors(vectors: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame, nprobe: Int)
       : org.apache.spark.sql.DataFrame = {
+    val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
+    vectors
+      .join(broadcast(cents))
+      .withColumn("dist2",
+        graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
+      .withColumn("rnk", row_number().over(assignW))
+      .filter(col("rnk") <= math.max(1, nprobe))
+      .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm"),
+        col("dist2"))
+  }
+
+  /** The IVF coarse-quantizer grid (clabel, cent) over the corpus:
+    * hash-seeded cells + `refine` Lloyd rounds — the model artifact a
+    * serving path stores next to the assignment index. */
+  private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String, nlist: Int, refine: Int = 0): org.apache.spark.sql.DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("clabel").asc)
     // per-cell mean vectors, rounded so both engines build identical cells
     def centroidsOf(assigned: org.apache.spark.sql.DataFrame) = assigned
       .select(col("cell0").as("clabel"), posexplode(col("v")).as(Seq("pos", "e")))
@@ -457,26 +478,25 @@ object Lsh {
       .groupBy("clabel")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cent"))
-    def nearestCell(cents: org.apache.spark.sql.DataFrame) = emb
-      .join(broadcast(cents))
-      .withColumn("dist2",
-        graft.plans.VectorExpressions.squared_distance(col("v"), col("cent")))
-      .withColumn("rnk", row_number().over(assignW))
     val seeded = emb.withColumn("cell0",
       (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % nlist).cast("int"))
     // optional Lloyd rounds: reassign to the nearest centroid, recompute
     // means — each round is one broadcast-join + one aggregate, the same
     // pipeline shape at any scale (empty cells simply drop out)
-    val cents = (0 until refine).foldLeft(centroidsOf(seeded)) { (c, _) =>
-      centroidsOf(nearestCell(c).filter(col("rnk") === 1)
-        .select(col("clabel").as("cell0"), col("v")))
+    (0 until refine).foldLeft(centroidsOf(seeded)) { (c, _) =>
+      centroidsOf(assignVectors(emb, c, 1)
+        .select(col("cell").as("cell0"), col("v")))
     }
-    graft.CacheRegistry.materialize(nearestCell(cents)
-      .filter(col("rnk") <= math.max(1, nprobe))
-      .select(col("vec_id"), col("v"), col("clabel").as("cell"), col("rnk"),
-        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))).as("nrm"),
-        col("dist2")))
+  }
+
+  private[graft] def ivfAssignments(s: org.apache.spark.sql.SparkSession,
+      d: String, nlist: Int, nprobe: Int, refine: Int = 0)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    graft.CacheRegistry.materialize(
+      assignVectors(emb, ivfCentroids(s, d, nlist, refine), math.max(1, nprobe)))
   }
 
   private[graft] def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
@@ -750,7 +770,7 @@ object Lsh {
         i -> ($e[$sub*16 + i]::DOUBLE - $cent[i])
            * ($e[$sub*16 + i]::DOUBLE - $cent[i]))), (acc, x) -> acc + x)"""
 
-  private def ivfAssignSql(nlist: Int, refine: Int = 0): String = {
+  private[graft] def ivfAssignSql(nlist: Int, refine: Int = 0): String = {
     def centsOf(src: String, cname: String): String =
       s"""$cname AS (
             SELECT clabel, list(c ORDER BY pos) AS cent FROM (

@@ -32,11 +32,11 @@ object TrainingPipeline {
   /** Portable deterministic hash in [0,100): same value in Spark and DuckDB
     * (md5 hex prefix → int), salted so different pipeline stages draw
     * independent assignments from the same key. */
-  private def pct(salt: String, key: org.apache.spark.sql.Column) =
+  private[graft] def pct(salt: String, key: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") % 100
 
-  private val sqlPct =
+  private[graft] val sqlPct =
     (salt: String, key: String) =>
       s"('0x'||substr(md5('$salt'||CAST($key AS VARCHAR)),1,15))::BIGINT % 100"
 

@@ -393,6 +393,73 @@ object StreamingGraded {
       s.read.parquet(s"$tmp/spool").orderBy("doc_id")
     }),
 
+    // SG12: streaming DECONTAMINATION at ingest — tp_decontaminate's
+    // arrival-time form, the gate a training pipeline actually runs while
+    // data lands (leakage found at ingest is dropped before it ever
+    // reaches a shard; the batch query is the retrospective audit). The
+    // eval set (split bucket ≥ 90) is static: its capped inverted index
+    // and its stop-shingle list are the stored artifacts every arriving
+    // batch is checked against. Per-doc overlap counts depend only on the
+    // doc's own shingles and that static state ⇒ batching-independent and
+    // gradeable. At 100 TB the eval index is tiny (eval sets are), so this
+    // is a broadcast-or-small-shuffle join per batch — the cheapest gate
+    // in the ingest path.
+    "tp_decontaminate_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "decon_stream")
+      import graft.operators.{LlmOps, TrainingPipeline}
+      val docs = Tables.documents(s, d)
+      val testDocs = docs.filter(TrainingPipeline.pct("split:", col("doc_id")) >= 90)
+      val hot = LlmOps.hotShingles(testDocs)
+      val testIndex = graft.CacheRegistry.materialize(
+        LlmOps.shingleRows(testDocs)
+          .select(col("doc_id").as("test_id"), col("h"))
+          .join(broadcast(hot), Seq("h"), "left_anti"))
+      val incoming = Tables.tableStream(s, d, "documents")
+        .filter(TrainingPipeline.pct("split:", col("doc_id")) < 80)
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingOps.decontaminateBatch(batch, hot, testIndex)
+            .write.mode("append").parquet(s"$tmp/spool")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool").orderBy("train_id")
+    }),
+
+    // SG13: streaming ANN SERVING — the lookup half of the IVF family
+    // (lsh_ivf_topk grades the self-search audit; this grades the serving
+    // path a vector index actually exists for): query vectors ARRIVE as a
+    // stream and each is answered top-5-by-cosine from the static
+    // IVF-indexed corpus. The stored artifacts are the centroid grid and
+    // the cell-partitioned assignment index; an arriving query is assigned
+    // to its coarse cell by the SAME shared assignVectors (distance and
+    // tie rule can never drift from the index build), then scored only
+    // against its cell — per-query cost is |cell|, never |corpus|. The
+    // verdict is per-row against static state ⇒ batching-independent and
+    // gradeable. At 100 TB the batch×cell scoring join shuffles by cell
+    // id against the cell-partitioned index — the standard distributed
+    // vector-serving shape (queries stream in; nprobe and k are the
+    // recall/latency knobs).
+    "lsh_ivf_serve_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "ivf_serve")
+      import graft.operators.Lsh
+      val cents = graft.CacheRegistry.materialize(Lsh.ivfCentroids(s, d, nlist = 10))
+      val corpus = graft.CacheRegistry.materialize(
+        Lsh.ivfAssignments(s, d, nlist = 10, nprobe = 1).filter(col("rnk") === 1))
+      val queries = Tables.tableStream(s, d, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+      val q = queries.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingOps.annServeBatch(batch, cents, corpus)
+            .write.mode("append").parquet(s"$tmp/spool")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool").orderBy("query_id", "rank")
+    }),
+
     // L28b closed with an ORDER-INDEPENDENT projection: the streaming
     // simhash near-dup dedup (dropDuplicatesWithinWatermark on the 32-bit
     // bigram fingerprint) drained end-to-end, graded as survivors per
@@ -626,6 +693,59 @@ object StreamingGraded {
               ON sb.band_idx = cb.band_idx AND sb.band_val = cb.band_val
             WHERE sb.doc_id = i.doc_id)
           ORDER BY doc_id"""
+    },
+
+    // the batch mirror of the ingest gate: train-bucket docs whose
+    // shingle overlap with the EVAL-capped index reaches the threshold.
+    // Unlike the batch tp_decontaminate audit (whole-corpus df cap), the
+    // stop list here is the EVAL index's own artifact — the one a stored
+    // index ships — so the oracle caps both sides with the test-side hot
+    // set
+    "tp_decontaminate_stream" -> {
+      import graft.operators.{Lsh, LlmOps, TrainingPipeline}
+      s"""WITH docs AS (
+            SELECT doc_id,
+                   ${TrainingPipeline.sqlPct("split:", "doc_id")} AS bucket,
+                   list_distinct(list_transform(${Lsh.shSql},
+                     s -> ('0x'||substr(md5(s),1,15))::BIGINT % ${Lsh.P})) AS hs
+            FROM documents),
+          inv AS (SELECT doc_id, bucket, unnest(hs) AS h FROM docs),
+          tinv AS (SELECT doc_id AS test_id, h FROM inv WHERE bucket >= 90),
+          hot AS (SELECT h FROM tinv GROUP BY h
+                  HAVING count(*) > ${LlmOps.MaxShingleDf}),
+          tcapped AS (SELECT tinv.test_id, tinv.h FROM tinv ANTI JOIN hot USING (h)),
+          strain AS (SELECT doc_id AS train_id, h FROM inv WHERE bucket < 80),
+          scapped AS (SELECT strain.train_id, strain.h FROM strain ANTI JOIN hot USING (h))
+          SELECT train_id, count(DISTINCT h) AS n_shared,
+                 count(DISTINCT test_id) AS n_test_docs
+          FROM scapped JOIN tcapped USING (h)
+          GROUP BY train_id
+          HAVING count(DISTINCT h) >= 5
+          ORDER BY train_id"""
+    },
+
+    // lsh_ivf_topk's oracle with the query set = the streamed ids (every
+    // 50th vector) instead of the 5 lowest — same assignment CTE, same
+    // in-cell scoring, same top-5 rank rule
+    "lsh_ivf_serve_stream" -> {
+      import graft.operators.Lsh
+      import graft.functions.ExactNum.sqlRound4
+      val dotSql =
+        """list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+            i -> (qs.q[i]::DOUBLE) * (a.embedding[i]::DOUBLE))), (acc, x) -> acc + x)"""
+      s"""WITH ${Lsh.ivfAssignSql(10)},
+          qs AS (SELECT vec_id AS query_id, embedding AS q, cell, nrm AS qn
+                 FROM normed WHERE vec_id % 50 = 0),
+          scored AS (
+            SELECT qs.query_id, a.vec_id,
+                   $dotSql / (qs.qn * a.nrm) AS cos_raw
+            FROM normed a JOIN qs ON a.cell = qs.cell)
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 ${sqlRound4("cos_raw")} AS cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank"""
     },
 
     // exactly one survivor per distinct bigram-simhash fingerprint — the

@@ -149,6 +149,53 @@ object StreamingOps {
     batch.select("doc_id").join(colliding, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-micro-batch decontamination verdict (the tp_decontaminate_stream
+    * core): flag every arriving training doc whose shingle overlap with the
+    * STATIC eval index reaches the leakage threshold. `hot` is the eval
+    * index's shipped stop-shingle list (the arriving side must cap with the
+    * index's artifact, not its own df — same contract as
+    * [[admitNearBatch]]); `testIndex` is the capped (test_id, h) inverted
+    * index. The per-doc counts depend only on the doc's own shingles and
+    * static state ⇒ batching-independent (StreamingSpec). */
+  def decontaminateBatch(batch: DataFrame, hot: DataFrame,
+      testIndex: DataFrame, minShared: Int = 5): DataFrame = {
+    val capped = graft.operators.LlmOps.shingleRows(batch)
+      .select("doc_id", "h")
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    capped.join(testIndex, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("h")).as("n_shared"),
+        count_distinct(col("test_id")).as("n_test_docs"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id").as("train_id"), col("n_shared"), col("n_test_docs"))
+  }
+
+  /** Per-micro-batch ANN serving verdict (the lsh_ivf_serve_stream core):
+    * top-`k` cosine neighbors from the STATIC IVF-indexed corpus for every
+    * query vector in `batch`. Queries are assigned to their coarse cell
+    * with the same stored centroid grid / distance / tie rule as the index
+    * build (`Lsh.assignVectors` — one shared assignment), then scored only
+    * against their cell's corpus vectors. Per-query results depend only on
+    * the query vector and static state ⇒ batching-independent. */
+  def annServeBatch(batch: DataFrame, cents: DataFrame, corpus: DataFrame,
+      k: Int = 5): DataFrame = {
+    val qv = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val qs = graft.operators.Lsh.assignVectors(qv, cents, 1)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("cell"), col("nrm").as("qn"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id").asc)
+    corpus.join(broadcast(qs), "cell")
+      .withColumn("cos_raw",
+        graft.plans.VectorExpressions.dot_product(col("q"), col("v")) /
+          (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), graft.functions.ExactNum.round4(col("cos_raw")).as("cos"))
+  }
+
   /** Event shape for the custom-state operator. */
   case class UserEvent(user_id: Long, event_type: String, us: Long)
 

@@ -707,6 +707,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(whole.count() < stream.count())
   }
 
+  test("streaming decontamination is batching-independent and agrees with " +
+      "a sequential overlap model on flagged docs") {
+    import graft.operators.{LlmOps, TrainingPipeline}
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val testDocs = docs.filter(TrainingPipeline.pct("split:", col("doc_id")) >= 90)
+    val train = docs.filter(TrainingPipeline.pct("split:", col("doc_id")) < 80)
+    val hot = LlmOps.hotShingles(testDocs)
+    val testIndex = LlmOps.shingleRows(testDocs)
+      .select(col("doc_id").as("test_id"), col("h"))
+      .join(broadcast(hot), Seq("h"), "left_anti")
+    val whole = StreamingOps.decontaminateBatch(train, hot, testIndex)
+    val parts = (0 until 3).map(i =>
+      StreamingOps.decontaminateBatch(
+        train.filter(col("doc_id") % 3 === i), hot, testIndex))
+      .reduce(_ union _)
+    assert(whole.count() == parts.count())
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0)
+    // spot-check one flagged doc against a sequential shingle-overlap model
+    val flagged = whole.orderBy("train_id").limit(1).collect()
+    assert(flagged.nonEmpty, "fixture should contain leakage at this threshold")
+    val tid = flagged(0).getLong(0)
+    def shingleSet(text: String): Set[String] =
+      text.split(" ", -1).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val testTexts = testDocs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+    val trainText = train.filter(col("doc_id") === tid)
+      .select("text").head().getString(0)
+    // the capped h-space maps 1:1 to shingle strings in the fixture (no
+    // md5 collisions — the graded oracles already rely on that), so a
+    // string-level overlap count must match n_shared when no hot shingles
+    // intersect this doc; allow <= for the hot-capped case
+    val overlap = testTexts.map(_._2).reduce(_ union _)
+      .intersect(shingleSet(trainText)).size
+    assert(flagged(0).getLong(1) <= overlap,
+      s"n_shared ${flagged(0).getLong(1)} exceeds string-level overlap $overlap")
+    assert(overlap >= 5, "flagged doc must genuinely share >= threshold shingles")
+  }
+
+  test("ANN serving is batching-independent and each answer stays in the " +
+      "query's coarse cell") {
+    import graft.operators.Lsh
+    val cents = Lsh.ivfCentroids(spark, sf, nlist = 10)
+    val corpus = Lsh.ivfAssignments(spark, sf, nlist = 10, nprobe = 1)
+      .filter(col("rnk") === 1)
+    val queries = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 50 === 0)
+    val whole = StreamingOps.annServeBatch(queries, cents, corpus)
+    val parts = (0 until 3).map(i =>
+      StreamingOps.annServeBatch(
+        queries.filter(col("vec_id") % 3 === i), cents, corpus))
+      .reduce(_ union _)
+    assert(whole.count() == parts.count())
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0)
+    // structural pins: 5 answers per query, rank 1 is the query itself
+    // (it is indexed in its own cell, cosine 1.0 beats every tie)
+    val k = whole.groupBy("query_id").count().select("count").distinct().collect()
+    assert(k.map(_.getLong(0)).toSet == Set(5L))
+    assert(whole.filter(col("rank") === 1)
+      .filter(col("query_id") =!= col("vec_id")).count() == 0)
+  }
+
   test("stream-stream join state survives a checkpoint restart (i14's " +
       "recovery contract)") {
     // The operator whose recovery matters most at scale — two unbounded
