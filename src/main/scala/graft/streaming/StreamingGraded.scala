@@ -427,6 +427,37 @@ object StreamingGraded {
       s.read.parquet(s"$tmp/spool").orderBy("train_id")
     }),
 
+    // SG14/I3b: SESSION WINDOWS promoted to the gate — the data-aligned
+    // window family (i4 grades the time-aligned tumbling form; sessions
+    // are the one whose boundaries come from the DATA, which is why they
+    // need dedicated merge-on-overlap state). Append mode emits exactly
+    // the sessions CLOSED by the final watermark: a session's end is
+    // last-event + gap, and the frontier rule is the same INCLUSIVE
+    // (end ≤ watermark) contract i4 pinned — re-pinned for session state
+    // in StreamingSpec's boundary test, since session windows go through
+    // a different state store path than tumbling windows. Deterministic
+    // under AvailableNow: interval-union sessionization is set-wise (the
+    // same sessions form under any batching inside the watermark), and
+    // the final watermark depends only on max(ts). The batch oracle is
+    // i3's lag-gap sessionization (≥ gap starts a new session — exactly
+    // the exclusive-end interval-union rule) plus the frontier filter.
+    "i3b_session_stream" -> ((s, d) => {
+      val sess = Tables.tableStream(s, d, "events")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"))
+      val sink = "i3b_session_sink"
+      drainStateful(s) {
+        sess.writeStream.format("memory").queryName(sink)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
+      s.table(sink).orderBy("user_id", "start_us")
+    }),
+
     // SG13: streaming ANN SERVING — the lookup half of the IVF family
     // (lsh_ivf_topk grades the self-search audit; this grades the serving
     // path a vector index actually exists for): query vectors ARRIVE as a
@@ -723,6 +754,32 @@ object StreamingGraded {
           HAVING count(DISTINCT h) >= 5
           ORDER BY train_id"""
     },
+
+    // i3's lag-gap sessionization + the emitted-session frontier: every
+    // session whose end (last event + 30 min gap) is at or before the
+    // final watermark (max ts − 10 min), and no other
+    "i3b_session_stream" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         s AS (
+           SELECT user_id, event_id, us,
+                  CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         g AS (
+           SELECT user_id, us,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM s),
+         agg AS (
+           SELECT user_id, min(us) AS start_us,
+                  max(us) + 1800000000 AS end_us, count(*) AS n_events
+           FROM g GROUP BY user_id, sid)
+         SELECT user_id, start_us, end_us, n_events
+         FROM agg
+         WHERE end_us <= (SELECT max(epoch_us(ts)) - 600000000 FROM events)
+         ORDER BY user_id, start_us""",
 
     // lsh_ivf_topk's oracle with the query set = the streamed ids (every
     // 50th vector) instead of the 5 lowest — same assignment CTE, same

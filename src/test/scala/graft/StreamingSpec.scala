@@ -873,6 +873,29 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 10:00:00", "view", 1L)), s"frontier boundary moved: $got")
   }
 
+  test("i3b boundary: a session whose end lands exactly ON the final " +
+      "watermark pins the INCLUSIVE session-emission frontier") {
+    // Session state goes through a different store path than tumbling
+    // windows, so i4's inclusive pin does not automatically transfer —
+    // this fixture lands a session end EXACTLY on the final watermark.
+    // user 1: single event 10:00 → session [10:00, 10:30); user 9's event
+    // at 10:40 sets the final watermark to exactly 10:30 (its own session
+    // ends 11:10 and must be withheld); user 2's session ends 10:29:59,
+    // strictly inside. If emission were strict (< watermark), user 1's
+    // row would vanish and the graded oracle's ≤ would be wrong.
+    val rows = Seq(
+      Ev(1, t("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(2, t("2024-01-01 09:59:59"), 2, "view", 1.0, "{}"),
+      Ev(3, t("2024-01-01 10:40:00"), 9, "view", 1.0, "{}"))
+    val dir = writeEventsFixture(rows)
+    val got = SparkEntry.queries("i3b_session_stream")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, t("2024-01-01 10:00:00").getTime * 1000L, 1L),
+      (2L, t("2024-01-01 09:59:59").getTime * 1000L, 1L)),
+      s"session frontier boundary moved: $got")
+  }
+
   test("i14 boundary: a click whose join window ends exactly ON the final " +
       "min-of-sides watermark pins the STRICT null-row frontier") {
     // The graded oracle's unmatched-click predicate is STRICT
