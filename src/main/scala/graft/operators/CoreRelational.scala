@@ -37,7 +37,40 @@ object CoreRelational {
     * shuffle stage of the round at plan-build time — a pre-built plan then
     * times only the final stage over reusable shuffle files. */
   val eager: Set[String] =
-    Set("a12_compaction_roundtrip", "gr_kcore", "gr_lpa")
+    Set("a12_compaction_roundtrip", "a14_asof_read", "a15_change_feed",
+      "gr_kcore", "gr_lpa")
+
+  /** Deterministic versioned-table fixture for the a14/a15 lake reads:
+    * wipes `tag`'s scratch, then applies three upsert batches through the
+    * shared [[graft.streaming.StreamingOps.applyUpsertBatch]] kernel,
+    * publishing v0/v1/v2. Batches are defined by DATA predicates (fixed ts
+    * cutoffs, plus a late-onboarding cohort `user_id % 7 == 0` whose rows
+    * all arrive in the final batch — every fixture user has day-1 events,
+    * so without a modeled cohort the change feed could never contain an
+    * `insert`), never by file-listing order — version k's content is a
+    * pure function of the table, which is what makes an INTERMEDIATE
+    * version oracle-gradeable at all. The wipe keeps the build idempotent:
+    * versions otherwise append forever across bench passes and "v1" would
+    * drift. */
+  private def versionedEventsTable(s: org.apache.spark.sql.SparkSession,
+      d: String, tag: String): String = {
+    val base = graft.sources.ScratchDirs.dirFor(d, tag)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
+    val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
+    val late = col("user_id") % 7 === 0
+    Seq(!late && col("ts") < t1,
+        !late && col("ts") >= t1 && col("ts") < t2,
+        late || col("ts") >= t2)
+      .foreach { pred =>
+        graft.streaming.StreamingOps.applyUpsertBatch(
+          s, ev.filter(pred), s"$base/table")
+      }
+    s"$base/table"
+  }
 
   /** Builders that write a scratch FIXTURE at plan build: the roundtrip
     * sources (a7 orc / a8 jsonl / a9 evolution / a10 binary corpus /
@@ -277,6 +310,43 @@ object CoreRelational {
       graft.sources.Maintenance.compactParquet(
         s, s"$base/small", s"$base/compacted", targetBytes = 256L * 1024)
       s.read.parquet(s"$base/compacted").orderBy("c_custkey")
+    }),
+
+    // A14: TIME-TRAVEL (AS OF) read — the read half of the versioned-table
+    // contract a13 grades the retention half of. The builder applies three
+    // explicit, DETERMINISTIC upsert batches (events split by fixed ts
+    // cutoffs, 2024-01-10 / 2024-01-20) through the SAME
+    // `applyUpsertBatch` kernel the streaming sink runs per micro-batch —
+    // batch split by data predicate, not by file-listing order, so version
+    // k's content is a pure function of the table (the a13 drain grades
+    // the stream path; grading an INTERMEDIATE version there would pin the
+    // file-arrival accident). The graded read is AS OF v1, which must
+    // equal global LWW over exactly the first two batches' rows — because
+    // sequential LWW merges are associative, precisely what makes
+    // time-travel semantics well-defined. At 100 TB this read is a plain
+    // scan of one immutable snapshot directory: no log replay, no merge.
+    "a14_asof_read" -> ((s, d) => {
+      val t = versionedEventsTable(s, d, "a14_tt")
+      graft.streaming.StreamingOps.upsertTableAt(s, t, 1L)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    // A15: CHANGE FEED (CDC) between two published versions — what an
+    // incremental downstream consumer replays instead of re-scanning the
+    // snapshot (a real table format's CDF on the same layout). Built on
+    // its OWN versioned table (same deterministic three-batch build as
+    // a14, separate scratch — each graded query is self-contained), the
+    // feed is the v1→v2 key-level delta: `insert` rows (key absent at v1)
+    // and `update` rows (winning row changed); deletes are impossible by
+    // construction in an LWW-upsert-only table and the feed says so by
+    // omission. One shuffle join of two key-unique snapshots — O(keys),
+    // never O(events).
+    "a15_change_feed" -> ((s, d) => {
+      val t = versionedEventsTable(s, d, "a15_cdc")
+      graft.streaming.StreamingOps.upsertChangeFeed(s, t, 1L, 2L)
+        .orderBy("user_id")
     }),
 
     // ---------------------------------------------------------------- B
@@ -1316,6 +1386,47 @@ object CoreRelational {
     "a12_compaction_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          FROM customer ORDER BY c_custkey""",
+
+    // AS OF v1 ≡ global LWW over exactly the first two deterministic
+    // batches (non-late-cohort rows with ts < 2024-01-20) — sequential
+    // LWW merges are associative
+    "a14_asof_read" ->
+      """SELECT user_id, event_id AS last_event_id,
+                event_type AS last_type, epoch_us(ts) AS last_us
+         FROM events
+         WHERE user_id % 7 <> 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         QUALIFY row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    // v1→v2 key-level delta: LWW before (first two batches) full-keyed
+    // against LWW after (all three) — insert when the key is new (the
+    // late-onboarding user_id%7 cohort), update when the winning row
+    // changed; deletes impossible in LWW-upsert
+    "a15_change_feed" ->
+      """WITH before AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events
+           WHERE user_id % 7 <> 0 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         after AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts) DESC, event_id DESC) = 1),
+         feed AS (
+           SELECT a.user_id,
+                  CASE WHEN b.user_id IS NULL THEN 'insert'
+                       WHEN b.event_id <> a.event_id OR b.us <> a.us
+                            OR b.event_type <> a.event_type THEN 'update'
+                  END AS change_type,
+                  b.event_id AS old_event_id, b.us AS old_us,
+                  a.event_id AS new_event_id, a.event_type AS new_type,
+                  a.us AS new_us
+           FROM after a LEFT JOIN before b ON a.user_id = b.user_id)
+         SELECT * FROM feed WHERE change_type IS NOT NULL
+         ORDER BY user_id""",
 
     // mergeSchema's union-with-nulls, reproduced relationally: each
     // generation contributes its own columns, NULL elsewhere

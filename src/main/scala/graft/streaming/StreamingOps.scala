@@ -525,45 +525,60 @@ object StreamingOps {
     */
   def runUpsertSinkToParquet(spark: SparkSession, events: Dataset[_],
       checkpoint: String, target: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val q = events.toDF()
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id")
-          .orderBy(col("us").desc, col("event_id").desc)
-        val latest = batch
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        // next version = pointer + 1 (not batchId: a restart with a fresh
-        // checkpoint must never overwrite the snapshot it is reading from)
-        val verPtr = Paths.get(target, "_VERSION")
-        val (prev, next) =
-          if (Files.exists(verPtr)) {
-            val cur = Files.readString(verPtr).trim
-            (Some(spark.read.parquet(s"$target/$cur")),
-              s"v${cur.stripPrefix("v").toLong + 1}")
-          } else (None, "v0")
-        val merged = prev
-          .map(_.unionByName(latest)
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn"))
-          .getOrElse(latest)
-        merged.write.mode("overwrite").parquet(s"$target/$next")
-        // publish: write-then-atomic-move so a reader never sees a torn pointer
-        val tmp = Paths.get(target, "_VERSION.tmp")
-        Files.writeString(tmp, next)
-        Files.move(tmp, verPtr, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyUpsertBatch(spark, batch, target)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One LWW merge-and-publish step of the versioned upsert table — THE
+    * shared kernel: the streaming sink above calls it per micro-batch and
+    * the batch time-travel/change-feed builders (a14/a15) call it with
+    * explicit deterministic batches, so the merge rule (latest per key by
+    * `us` desc, `event_id` desc tiebreak) can never drift between the
+    * stream and batch forms. Expects `batch` with columns
+    * (user_id, event_id, event_type, ts). Everything stays distributed:
+    * batch-local LWW window, union with the current snapshot, winner per
+    * key, write the next immutable version, atomically move the pointer.
+    */
+  def applyUpsertBatch(spark: SparkSession, batch: DataFrame,
+      target: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val latest = batch
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // next version = pointer + 1 (not batchId: a restart with a fresh
+    // checkpoint must never overwrite the snapshot it is reading from)
+    val verPtr = Paths.get(target, "_VERSION")
+    val (prev, next) =
+      if (Files.exists(verPtr)) {
+        val cur = Files.readString(verPtr).trim
+        (Some(spark.read.parquet(s"$target/$cur")),
+          s"v${cur.stripPrefix("v").toLong + 1}")
+      } else (None, "v0")
+    val merged = prev
+      .map(_.unionByName(latest)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn"))
+      .getOrElse(latest)
+    merged.write.mode("overwrite").parquet(s"$target/$next")
+    // publish: write-then-atomic-move so a reader never sees a torn pointer
+    val tmp = Paths.get(target, "_VERSION.tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, verPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   /** Read the current snapshot of a [[runUpsertSinkToParquet]] target. */
@@ -581,6 +596,38 @@ object StreamingOps {
     * dirs is the only thing that ends a version's readability). */
   def upsertTableAt(spark: SparkSession, target: String, version: Long): DataFrame =
     spark.read.parquet(s"$target/v$version")
+
+  /** CHANGE FEED (CDC read) between two published versions of a
+    * [[runUpsertSinkToParquet]]/[[applyUpsertBatch]] target: the row-level
+    * delta a downstream incremental consumer replays instead of re-reading
+    * the whole snapshot — a real table format's CDF on the same layout.
+    * Because the table is LWW-upsert-only, the possible change types are
+    * exactly `insert` (key absent at `fromV`) and `update` (key present,
+    * winning row changed); a tombstone-delete would need a delete marker
+    * the merge rule deliberately doesn't have, so `delete` rows are
+    * impossible by construction and the feed says so by omission.
+    * Distributed shape: one shuffle join of two key-unique snapshots —
+    * O(keys), never O(events); at 100 TB both sides are the compacted
+    * per-key table, orders of magnitude smaller than the raw feed. */
+  def upsertChangeFeed(spark: SparkSession, target: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"change feed needs fromV < toV, got $fromV..$toV")
+    val before = upsertTableAt(spark, target, fromV)
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("event_type").as("old_type"), col("us").as("old_us"))
+    val after = upsertTableAt(spark, target, toV)
+      .select(col("user_id"), col("event_id").as("new_event_id"),
+        col("event_type").as("new_type"), col("us").as("new_us"))
+    after.join(before, Seq("user_id"), "left")
+      .withColumn("change_type",
+        when(col("old_event_id").isNull, lit("insert"))
+          .when(col("old_event_id") =!= col("new_event_id") ||
+            col("old_us") =!= col("new_us") ||
+            col("old_type") =!= col("new_type"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select("user_id", "change_type", "old_event_id", "old_us",
+        "new_event_id", "new_type", "new_us")
+  }
 
   // (A driver-side KV-map upsert-sink demo used to live here; it was
   // removed once the table-target form above became driver-graded — its

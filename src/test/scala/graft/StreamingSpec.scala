@@ -529,6 +529,50 @@ class StreamingSpec extends AnyFunSuite {
     intercept[Exception] { StreamingOps.upsertTableAt(spark, target, 0L).collect() }
   }
 
+  test("upsert change feed: insert for new keys, update for changed winners, " +
+      "NO row for keys whose winner is unchanged (at-least-once redelivery)") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("cdc_tbl").toString
+    val b0 = Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(11, t("2024-01-01 11:00:00"), 2, "view", 1.0, "{}"))
+    val b1 = Seq(
+      // user 1: later event wins → update
+      Ev(12, t("2024-01-02 09:00:00"), 1, "click", 1.0, "{}"),
+      // user 2: the SAME event redelivered (at-least-once) → winner
+      // unchanged → the feed must omit the key entirely
+      Ev(11, t("2024-01-01 11:00:00"), 2, "view", 1.0, "{}"),
+      // user 3: first appearance → insert
+      Ev(13, t("2024-01-02 10:00:00"), 3, "view", 1.0, "{}"))
+    Seq(b0, b1).foreach(ch =>
+      StreamingOps.applyUpsertBatch(spark, ch.toDF(), target))
+    val feed = StreamingOps.upsertChangeFeed(spark, target, 0L, 1L)
+      .orderBy("user_id").collect()
+    assert(feed.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "update"), (3L, "insert")), feed.mkString("; "))
+    val upd = feed(0)
+    assert(upd.getLong(2) == 10L && upd.getLong(4) == 12L &&
+      upd.getString(5) == "click")
+    val ins = feed(1)
+    assert(ins.isNullAt(2) && ins.isNullAt(3) && ins.getLong(4) == 13L)
+    // the kernel IS the streaming sink's per-micro-batch step: the same two
+    // batches pushed through the real sink publish bit-identical versions
+    implicit val ctx = spark.sqlContext
+    val target2 = java.nio.file.Files.createTempDirectory("cdc_tbl2").toString
+    Seq(b0, b1).foreach { chunk =>
+      val mem = MemoryStream[Ev]
+      mem.addData(chunk: _*)
+      val ck = java.nio.file.Files.createTempDirectory("ck").toString
+      StreamingOps.runUpsertSinkToParquet(spark, mem.toDS(), ck, target2)
+    }
+    (0L to 1L).foreach { v =>
+      val a = StreamingOps.upsertTableAt(spark, target, v)
+      val b = StreamingOps.upsertTableAt(spark, target2, v)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"stream/batch kernel drift at v$v")
+    }
+  }
+
   test("stream weekly quantiles over the real feed equal the graded e9 twin") {
     // Monday-aligned tumbling windows must reproduce the batch
     // date_trunc('week') frame exactly — same week starts, same counts,
