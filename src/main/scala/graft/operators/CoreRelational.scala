@@ -635,6 +635,33 @@ object CoreRelational {
         .orderBy("s_suppkey")
     }),
 
+    // GR8: multi-source bounded-hop WEIGHTED shortest paths over the same
+    // kNN graph — "how far is each supplier from its nearest hub", the
+    // distance-to-nearest-facility operator (dd_blast_radius is the
+    // unweighted first-touch special case). Edge length is the integer
+    // inverse of tie strength (`greatest(1, 1000 div w)` — strong
+    // co-supply = short distance; floored at 1 so a mega-weight edge can't
+    // go free), seeds are every 10th supplier, and 4 Bellman-Ford rounds
+    // give the cheapest ≤4-hop path — bounded rounds, like the BFS,
+    // because impact horizons are short by design; unbounded reach is the
+    // components fixpoint's job. All-integer min-plus arithmetic is
+    // bit-deterministic under any partitioning (hash-exact across engines,
+    // restartable mid-iteration); each round is one |E|⋈|V| equi-join +
+    // a partial-aggregable min — O(|E|) shuffled rows per round at any
+    // corpus size, never frontier-squared.
+    "gr_sssp" -> ((s, d) => {
+      val e = knnEdges(s, d)
+      val ew = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+        .union(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+        .withColumn("cost", greatest(lit(1L), expr("1000 div w")))
+        .drop("w")
+      val seeds = supplier(s, d).filter(col("s_suppkey") % 10 === 1)
+        .select(col("s_suppkey").as("id"))
+      GraphOps.shortestPathRounds(seeds, ew, rounds = 4)
+        .select(col("id").as("s_suppkey"), col("dist").as("dist_fixed"))
+        .orderBy("s_suppkey")
+    }),
+
     // GR3: bounded-round k-core peel (k=2, 3 rounds) — "which vertices
     // survive when the periphery is stripped": each round drops vertices
     // whose degree WITHIN the surviving subgraph falls below k, the
@@ -1691,6 +1718,52 @@ object CoreRelational {
                   GROUP BY 1, 2)
           SELECT id AS s_suppkey, pr AS pr_fixed
           FROM pr3 ORDER BY s_suppkey""",
+
+    // same knn edge CTE carrying the weight; four unrolled Bellman-Ford
+    // union+min rounds from the every-10th-supplier seed set
+    "gr_sssp" ->
+      """WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr, cnt FROM (
+                    SELECT s, pr, cnt, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst,
+                       cnt AS w
+                FROM knn),
+          ew AS (SELECT src AS u, dst AS v,
+                        greatest(1, 1000 // w) AS cost FROM e
+                 UNION ALL
+                 SELECT dst, src, greatest(1, 1000 // w) FROM e),
+          d0 AS (SELECT s_suppkey AS id, CAST(0 AS BIGINT) AS dist
+                 FROM supplier WHERE s_suppkey % 10 = 1),
+          d1 AS (SELECT id, min(dist) AS dist FROM (
+                   SELECT id, dist FROM d0
+                   UNION ALL
+                   SELECT ew.v, d0.dist + ew.cost FROM d0 JOIN ew ON d0.id = ew.u
+                 ) GROUP BY id),
+          d2 AS (SELECT id, min(dist) AS dist FROM (
+                   SELECT id, dist FROM d1
+                   UNION ALL
+                   SELECT ew.v, d1.dist + ew.cost FROM d1 JOIN ew ON d1.id = ew.u
+                 ) GROUP BY id),
+          d3 AS (SELECT id, min(dist) AS dist FROM (
+                   SELECT id, dist FROM d2
+                   UNION ALL
+                   SELECT ew.v, d2.dist + ew.cost FROM d2 JOIN ew ON d2.id = ew.u
+                 ) GROUP BY id),
+          d4 AS (SELECT id, min(dist) AS dist FROM (
+                   SELECT id, dist FROM d3
+                   UNION ALL
+                   SELECT ew.v, d3.dist + ew.cost FROM d3 JOIN ew ON d3.id = ew.u
+                 ) GROUP BY id)
+          SELECT id AS s_suppkey, dist AS dist_fixed
+          FROM d4 ORDER BY s_suppkey""",
 
     // same knn edge CTE; three unrolled peel rounds (k=2), then the final
     // in-subgraph degree

@@ -155,6 +155,40 @@ object GraphOps {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source bounded-hop shortest paths — Bellman-Ford relaxation
+    * rounds in the union+min form: each round unions the current distance
+    * frame with every one-hop relaxation (dist ⋈ edges on the source
+    * vertex) and takes min(dist) per vertex. After k rounds a vertex's
+    * row is the cheapest path from ANY seed using ≤ k edges — the
+    * distance-to-nearest-facility operator (impact cost, escalation
+    * routing) with the same bounded-round discipline as [[bfsDepths]]
+    * (which is this with cost ≡ 1 and first-touch instead of min).
+    *
+    * Shape: per round ONE equi-join (edges hash-partitioned on `u`,
+    * distances on `id`) + a union + a partial-aggregable min — no
+    * full-outer reconciliation, no driver data, distance frames |V|-sized
+    * and materialized per round so the unrolled tree never re-executes its
+    * prefix. Integer costs make every round bit-deterministic under any
+    * partitioning (the pagerank restartability argument), so the frame
+    * checkpoints/resumes mid-iteration at scale.
+    *
+    * @param seeds one column `id`; @param edges columns `u`, `v`, `cost`
+    *   (directed; pass both directions for an undirected graph;
+    *   non-negative integer costs). */
+  def shortestPathRounds(seeds: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = seeds.select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges
+        .join(dist.select(col("id").as("uid"), col("dist").as("du")),
+          col("u") === col("uid"))
+        .select(col("v").as("id"), (col("du") + col("cost")).as("dist"))
+      dist = graft.CacheRegistry.materialize(
+        dist.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
+    }
+    dist
+  }
+
   /** Damped power-iteration PageRank rounds in scaled-integer arithmetic,
     * over a symmetrized edge list `ed` (columns `u`, `v`) starting from
     * `pr0` (columns `id`, `deg`, `pr`; rank in 1e-6 units). Each round is

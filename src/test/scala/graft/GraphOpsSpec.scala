@@ -140,6 +140,33 @@ object GraphOpsSpec extends Properties("graphops") {
   // rounds, a real checkpoint (the intermediate rank frame round-tripped
   // through parquet, losing cache and lineage), then b more rounds. Any
   // float arithmetic or partitioning-order dependence would falsify this.
+  property("shortestPathRounds(k) equals the ≤k-edge min-plus model " +
+      "(multi-seed, weighted, bounded-hop truncation)") =
+    forAll(graphGen, Gen.choose(1, 4)) { case ((n, edges), k) =>
+      import spark.implicits._
+      // deterministic weights 1..5 from the endpoints; symmetrize
+      val ew = edges.flatMap { case (a, b) =>
+        val c = ((a + b) % 5 + 1).toLong
+        Seq((a.toLong, b.toLong, c), (b.toLong, a.toLong, c))
+      }
+      val seeds = (0 until n).filter(_ % 3 == 0).map(_.toLong)
+      val es =
+        if (ew.isEmpty) Seq.empty[(Long, Long, Long)].toDF("u", "v", "cost")
+        else ew.toDF("u", "v", "cost")
+      val got = graft.operators.GraphOps
+        .shortestPathRounds(seeds.toDF("id"), es, rounds = k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // model: k relaxation rounds over the same directed edge list
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to k) {
+        val relaxed = ew.flatMap { case (u, v, c) =>
+          dist.get(u).map(du => v -> (du + c)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (v, ds) => v -> ds.map(_._2).min }
+      }
+      got == dist
+    }
+
   property("pagerank restarts from a persisted round without drift") =
     forAll(graphGen suchThat (_._2.nonEmpty)) { case (_, edges) =>
       import spark.implicits._

@@ -110,6 +110,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // corpus's edge list would be wrong. Locally the cached frames are
       // tiny and sometimes broadcast anyway — both shapes are legitimate.
       "gr_pagerank",
+      // same class: each Bellman-Ford round is dist ⋈ edges on the vertex
+      // id — vertex-sized × edge-set-sized co-keyed equi join
+      "gr_sssp",
       // the POINT of the query: the salted join is hinted shuffle_hash so
       // the hot-key sharding demonstrably shuffles instead of broadcasting
       // the test-SF dim (at scale the dim is too big to broadcast)
