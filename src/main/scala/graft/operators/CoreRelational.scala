@@ -1448,7 +1448,8 @@ object CoreRelational {
                        WHEN b.event_id <> a.event_id OR b.us <> a.us
                             OR b.event_type <> a.event_type THEN 'update'
                   END AS change_type,
-                  b.event_id AS old_event_id, b.us AS old_us,
+                  b.event_id AS old_event_id, b.event_type AS old_type,
+                  b.us AS old_us,
                   a.event_id AS new_event_id, a.event_type AS new_type,
                   a.us AS new_us
            FROM after a LEFT JOIN before b ON a.user_id = b.user_id)

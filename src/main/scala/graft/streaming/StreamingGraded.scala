@@ -357,6 +357,57 @@ object StreamingGraded {
         .orderBy("user_id")
     }),
 
+    // SG15: INCREMENTAL VIEW MAINTENANCE from the CDC feed — what the A15
+    // change feed exists FOR: a downstream aggregate (users per current
+    // event type) maintained from O(changes) per batch instead of
+    // re-scanning the O(keys) snapshot. Per micro-batch: apply the upsert
+    // through the shared kernel, read the v-1→v change feed (v0 = all
+    // inserts), and spool SIGNED deltas — +1 on the new type, −1 on the
+    // old (updates whose type is unchanged emit a cancelling pair). The
+    // graded read sums the spool per type: by TELESCOPING, the sum equals
+    // the final snapshot's group-by under ANY batching — the feed rows
+    // themselves depend on batch boundaries, but their sum never does,
+    // which is exactly the invariant that makes CDC-driven IVM correct.
+    // At 100 TB the spool is a compacted log and each batch's feed is
+    // O(changed keys) — the whole point vs. snapshot re-aggregation.
+    "cdc_ivm_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "cdc_ivm")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/spool_in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/spool_in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingOps.applyUpsertBatch(s, batch, s"$tmp/table")
+          val cur = java.nio.file.Files
+            .readString(java.nio.file.Paths.get(s"$tmp/table", "_VERSION"))
+            .trim.stripPrefix("v").toLong
+          val feed =
+            if (cur == 0L)
+              StreamingOps.upsertTableAt(s, s"$tmp/table", 0L)
+                .select(lit(null).cast("string").as("old_type"),
+                  col("event_type").as("new_type"))
+            else
+              StreamingOps.upsertChangeFeed(s, s"$tmp/table", cur - 1, cur)
+                .select(col("old_type"), col("new_type"))
+          feed
+            .select(explode(array(
+              struct(col("new_type").as("etype"), lit(1L).as("delta")),
+              struct(col("old_type").as("etype"), lit(-1L).as("delta")))).as("x"))
+            .select(col("x.etype").as("etype"), col("x.delta").as("delta"))
+            .filter(col("etype").isNotNull)
+            .write.mode("append").parquet(s"$tmp/spool_out")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool_out")
+        .groupBy("etype").agg(sum("delta").as("n_users"))
+        .filter(col("n_users") > 0)
+        .orderBy("etype")
+    }),
+
     // SG11: NEAR-DUP streaming admission — the LSH complement of
     // dd_admit_stream's exact-hash gate, and the arrival-time form of the
     // lsh_minhash_pairs miner: each arriving doc is signed with the SAME
@@ -692,6 +743,17 @@ object StreamingGraded {
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
          ORDER BY user_id""",
+
+    // the telescoped sum of the per-batch CDC deltas IS the final
+    // snapshot's group-by: users per current (LWW) event type
+    "cdc_ivm_stream" ->
+      """SELECT event_type AS etype, count(*) AS n_users
+         FROM (SELECT user_id, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1
+         GROUP BY 1 ORDER BY 1""",
 
     // the batch mirror of the admission verdict: a stream doc (doc_id%5=0)
     // is admitted iff NONE of its 8 band values (over corpus-stop-capped

@@ -625,7 +625,7 @@ object StreamingOps {
             col("old_us") =!= col("new_us") ||
             col("old_type") =!= col("new_type"), lit("update")))
       .filter(col("change_type").isNotNull)
-      .select("user_id", "change_type", "old_event_id", "old_us",
+      .select("user_id", "change_type", "old_event_id", "old_type", "old_us",
         "new_event_id", "new_type", "new_us")
   }
 

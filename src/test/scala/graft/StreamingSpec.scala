@@ -551,10 +551,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(feed.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "update"), (3L, "insert")), feed.mkString("; "))
     val upd = feed(0)
-    assert(upd.getLong(2) == 10L && upd.getLong(4) == 12L &&
-      upd.getString(5) == "click")
+    assert(upd.getLong(2) == 10L && upd.getString(3) == "view" &&
+      upd.getLong(5) == 12L && upd.getString(6) == "click")
     val ins = feed(1)
-    assert(ins.isNullAt(2) && ins.isNullAt(3) && ins.getLong(4) == 13L)
+    assert(ins.isNullAt(2) && ins.isNullAt(3) && ins.isNullAt(4) &&
+      ins.getLong(5) == 13L)
     // the kernel IS the streaming sink's per-micro-batch step: the same two
     // batches pushed through the real sink publish bit-identical versions
     implicit val ctx = spark.sqlContext
@@ -571,6 +572,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
         s"stream/batch kernel drift at v$v")
     }
+  }
+
+  test("cdc ivm: summed change-feed deltas telescope to the final snapshot " +
+      "group-by under ANY batch split or order") {
+    // the per-batch feed rows DEPEND on batch boundaries; their signed sum
+    // must not — that telescoping invariant is what the graded
+    // cdc_ivm_stream rides. Build the same table under three batchings
+    // (whole; thirds; thirds reversed) and sum each run's deltas.
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    def ivmCounts(batches: Seq[org.apache.spark.sql.DataFrame]): Map[String, Long] = {
+      val target = java.nio.file.Files.createTempDirectory("ivm_tbl").toString
+      val deltas = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      batches.zipWithIndex.foreach { case (b, _) =>
+        StreamingOps.applyUpsertBatch(spark, b, s"$target/t")
+        val cur = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$target/t", "_VERSION"))
+          .trim.stripPrefix("v").toLong
+        val feed =
+          if (cur == 0L) StreamingOps.upsertTableAt(spark, s"$target/t", 0L)
+            .select(lit(null).cast("string").as("old_type"),
+              col("event_type").as("new_type"))
+          else StreamingOps.upsertChangeFeed(spark, s"$target/t", cur - 1, cur)
+            .select(col("old_type"), col("new_type"))
+        feed.collect().foreach { r =>
+          if (!r.isNullAt(0)) deltas(r.getString(0)) -= 1
+          deltas(r.getString(1)) += 1
+        }
+      }
+      deltas.filter(_._2 != 0).toMap
+    }
+    val thirds = (0 to 2).map(i => ev.filter(col("user_id") % 3 === i))
+    val whole = ivmCounts(Seq(ev))
+    val split = ivmCounts(thirds)
+    val reversed = ivmCounts(thirds.reverse)
+    val truth = ev.withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(whole == truth, s"whole-batch IVM drifted: $whole vs $truth")
+    assert(split == truth && reversed == truth,
+      s"batching broke the telescoping: split=$split reversed=$reversed truth=$truth")
   }
 
   test("stream weekly quantiles over the real feed equal the graded e9 twin") {
