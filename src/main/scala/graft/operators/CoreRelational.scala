@@ -38,7 +38,7 @@ object CoreRelational {
     * times only the final stage over reusable shuffle files. */
   val eager: Set[String] =
     Set("a12_compaction_roundtrip", "a14_asof_read", "a15_change_feed",
-      "gr_kcore", "gr_lpa")
+      "a16_merge_delete", "a17_delete_feed", "gr_kcore", "gr_lpa")
 
   /** Deterministic versioned-table fixture for the a14/a15 lake reads:
     * wipes `tag`'s scratch, then applies three upsert batches through the
@@ -53,12 +53,18 @@ object CoreRelational {
     * versions otherwise append forever across bench passes and "v1" would
     * drift. */
   private def versionedEventsTable(s: org.apache.spark.sql.SparkSession,
-      d: String, tag: String): String = {
+      d: String, tag: String, withOps: Boolean = false): String = {
     val base = graft.sources.ScratchDirs.dirFor(d, tag)
     val p = new org.apache.hadoop.fs.Path(base)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    val ev = events(s, d)
+    val raw = events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    // op marker for the MERGE queries: an error event decommissions the
+    // key (tombstone); everything else upserts it
+    val ev = if (withOps)
+      raw.withColumn("op",
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+    else raw
     val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
     val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
     val late = col("user_id") % 7 === 0
@@ -346,6 +352,37 @@ object CoreRelational {
     "a15_change_feed" -> ((s, d) => {
       val t = versionedEventsTable(s, d, "a15_cdc")
       graft.streaming.StreamingOps.upsertChangeFeed(s, t, 1L, 2L)
+        .orderBy("user_id")
+    }),
+
+    // A16: MERGE with tombstone DELETES — the op an upsert-only table
+    // can't express (a retired CI must LEAVE the snapshot, not linger as
+    // its last state). Same deterministic three-batch build, rows carrying
+    // the "u"/"d" marker (an error event decommissions its key); the
+    // kernel STORES the winning tombstone instead of removing the key —
+    // removal would lose the delete's (us, event_id) high-watermark and a
+    // later batch redelivering an OLDER live row would silently resurrect
+    // it (spec-pinned) — and the graded read is the VISIBLE snapshot
+    // (tombstones filtered at read). Oracle: global LWW whose winner is
+    // not a tombstone — associativity again, now including deletes.
+    "a16_merge_delete" -> ((s, d) => {
+      val t = versionedEventsTable(s, d, "a16_del", withOps = true)
+      graft.streaming.StreamingOps.visibleMergeTable(s, t)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
+    // A17: the FULL CDC — insert/update/DELETE between two versions of
+    // the op-carrying MERGE table, as the diff of the two VISIBLE sets:
+    // `delete` = visible at v1, tombstoned at v2; `insert` = newly
+    // visible (including resurrect-after-tombstone); invisible both sides
+    // emits nothing (a key deleted before v1 and still deleted is not a
+    // change). The full-outer join is the i12_reconcile class — two
+    // key-unique snapshots, neither broadcastable at scale.
+    "a17_delete_feed" -> ((s, d) => {
+      val t = versionedEventsTable(s, d, "a17_feed", withOps = true)
+      graft.streaming.StreamingOps.mergeChangeFeed(s, t, 1L, 2L)
         .orderBy("user_id")
     }),
 
@@ -1453,6 +1490,53 @@ object CoreRelational {
                   a.event_id AS new_event_id, a.event_type AS new_type,
                   a.us AS new_us
            FROM after a LEFT JOIN before b ON a.user_id = b.user_id)
+         SELECT * FROM feed WHERE change_type IS NOT NULL
+         ORDER BY user_id""",
+
+    // visible MERGE snapshot: global LWW winner per key, keys whose
+    // winner is a tombstone (error event) dropped at read
+    "a16_merge_delete" ->
+      """SELECT user_id, event_id AS last_event_id,
+                event_type AS last_type, epoch_us(ts) AS last_us
+         FROM (SELECT user_id, event_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
+         ORDER BY user_id""",
+
+    // full CDC between the two visible sets: LWW-not-tombstoned before
+    // (first two deterministic batches) full-outer LWW-not-tombstoned
+    // after — insert / update / delete, nothing when invisible both sides
+    "a17_delete_feed" ->
+      """WITH before AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM (SELECT user_id, event_id, event_type, ts,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                 FROM events
+                 WHERE user_id % 7 <> 0
+                   AND ts < TIMESTAMP '2024-01-20 00:00:00')
+           WHERE rn = 1 AND event_type <> 'error'),
+         after AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM (SELECT user_id, event_id, event_type, ts,
+                        row_number() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+                 FROM events)
+           WHERE rn = 1 AND event_type <> 'error'),
+         feed AS (
+           SELECT coalesce(a.user_id, b.user_id) AS user_id,
+                  CASE WHEN b.user_id IS NULL THEN 'insert'
+                       WHEN a.user_id IS NULL THEN 'delete'
+                       WHEN b.event_id <> a.event_id OR b.us <> a.us
+                            OR b.event_type <> a.event_type THEN 'update'
+                  END AS change_type,
+                  b.event_id AS old_event_id, b.event_type AS old_type,
+                  b.us AS old_us,
+                  a.event_id AS new_event_id, a.event_type AS new_type,
+                  a.us AS new_us
+           FROM after a FULL OUTER JOIN before b ON a.user_id = b.user_id)
          SELECT * FROM feed WHERE change_type IS NOT NULL
          ORDER BY user_id""",
 

@@ -546,7 +546,15 @@ object StreamingOps {
     * (user_id, event_id, event_type, ts). Everything stays distributed:
     * batch-local LWW window, union with the current snapshot, winner per
     * key, write the next immutable version, atomically move the pointer.
-    */
+    *
+    * Columns beyond the (user_id, event_id, event_type, ts) contract ride
+    * along untouched — in particular an `op` MERGE marker ("u" upsert /
+    * "d" tombstone). Tombstones are STORED, not applied-by-removal: a
+    * removed key would lose the delete's (us, event_id) high-watermark
+    * and a later batch redelivering an OLDER live row would resurrect it;
+    * with the tombstone in the table the LWW rule handles out-of-order
+    * delivery for deletes exactly as for updates, and only READERS filter
+    * it ([[visibleMergeTable]]). */
   def applyUpsertBatch(spark: SparkSession, batch: DataFrame,
       target: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -554,8 +562,7 @@ object StreamingOps {
       .partitionBy("user_id")
       .orderBy(col("us").desc, col("event_id").desc)
     val latest = batch
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+      .withColumn("us", unix_micros(col("ts"))).drop("ts")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     // next version = pointer + 1 (not batchId: a restart with a fresh
@@ -621,6 +628,48 @@ object StreamingOps {
     after.join(before, Seq("user_id"), "left")
       .withColumn("change_type",
         when(col("old_event_id").isNull, lit("insert"))
+          .when(col("old_event_id") =!= col("new_event_id") ||
+            col("old_us") =!= col("new_us") ||
+            col("old_type") =!= col("new_type"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select("user_id", "change_type", "old_event_id", "old_type", "old_us",
+        "new_event_id", "new_type", "new_us")
+  }
+
+  /** The VISIBLE snapshot of an op-carrying MERGE table (a
+    * [[applyUpsertBatch]] target whose rows carry the "u"/"d" marker):
+    * stored tombstones filtered out at read — the reader half of the
+    * store-the-tombstone contract. */
+  def visibleMergeTable(spark: SparkSession, target: String): DataFrame =
+    currentUpsertTable(spark, target).filter(col("op") =!= "d")
+
+  /** CHANGE FEED between two versions of an op-carrying MERGE table — the
+    * full insert/update/DELETE CDC an LWW-upsert-only table can't have:
+    * diff the two VISIBLE sets (tombstones already filtered), so a key
+    * emits `delete` when it was visible at `fromV` and is tombstoned at
+    * `toV`, `insert` when newly visible (including a resurrect after a
+    * tombstone), `update` when visible both sides with a changed winner,
+    * and nothing when invisible both sides — a key deleted before `fromV`
+    * and still deleted carries no change. One full-outer join of two
+    * key-unique snapshots (the i12_reconcile class — neither side
+    * broadcastable at scale, co-partitioned on the key). */
+  def mergeChangeFeed(spark: SparkSession, target: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"change feed needs fromV < toV, got $fromV..$toV")
+    def visibleAt(v: Long) =
+      upsertTableAt(spark, target, v).filter(col("op") =!= "d")
+    val before = visibleAt(fromV)
+      .select(col("user_id"), col("event_id").as("old_event_id"),
+        col("event_type").as("old_type"), col("us").as("old_us"))
+    val after = visibleAt(toV)
+      .select(col("user_id"), col("event_id").as("new_event_id"),
+        col("event_type").as("new_type"), col("us").as("new_us"))
+    after.join(before, Seq("user_id"), "full")
+      .withColumn("change_type",
+        when(col("old_event_id").isNull && col("new_event_id").isNotNull,
+          lit("insert"))
+          .when(col("new_event_id").isNull && col("old_event_id").isNotNull,
+            lit("delete"))
           .when(col("old_event_id") =!= col("new_event_id") ||
             col("old_us") =!= col("new_us") ||
             col("old_type") =!= col("new_type"), lit("update")))

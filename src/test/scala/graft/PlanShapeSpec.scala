@@ -120,6 +120,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // full-outer reconciliations on the partition/entity key — neither
       // side broadcastable, same class as c4_join_full / i8_snapshot_diff
       "i12_reconcile", "i13_precedence_merge",
+      // the full-CDC visible-set diff is the same full-outer class (two
+      // key-unique snapshots on the pk)
+      "a17_delete_feed",
       // the candidate scoring join rides the corpus-sized code table on
       // the vec_id pk — a co-partitioned equi join at scale; broadcasting
       // a 100 TB corpus's codes would be wrong

@@ -574,6 +574,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("merge tombstones: a stored delete beats an OLDER row redelivered " +
+      "later; a newer live row resurrects; the feed reports both") {
+    import spark.implicits._
+    def withOp(rows: Seq[Ev]) = rows.toDF()
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("op",
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+    val target = java.nio.file.Files.createTempDirectory("merge_tbl").toString
+    val b0 = Seq(
+      Ev(10, t("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"),
+      Ev(20, t("2024-01-01 10:00:00"), 2, "error", 1.0, "{}"))
+    val b1 = Seq(
+      Ev(11, t("2024-01-01 12:00:00"), 1, "error", 1.0, "{}"), // delete user 1
+      Ev(21, t("2024-01-01 11:00:00"), 2, "view", 1.0, "{}"))  // resurrect user 2
+    val b2 = Seq(
+      // at-least-once: user 1's ORIGINAL live row redelivered AFTER its
+      // tombstone — if the delete had removed the key instead of storing
+      // the tombstone, this older row would silently resurrect the user
+      Ev(10, t("2024-01-01 10:00:00"), 1, "view", 1.0, "{}"))
+    Seq(b0, b1, b2).foreach(b =>
+      StreamingOps.applyUpsertBatch(spark, withOp(b), target))
+    val visible = StreamingOps.visibleMergeTable(spark, target)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(visible == Set(2L), s"tombstone lost to a redelivered older row: $visible")
+    // v0→v1 feed: user 1 visible→tombstoned = delete; user 2
+    // tombstoned→visible = insert (the resurrect IS an insert: the
+    // consumer's copy had no such key)
+    val feed01 = StreamingOps.mergeChangeFeed(spark, target, 0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed01 == Set((1L, "delete"), (2L, "insert")), feed01.toString)
+    // v1→v2: the redelivery changed NO visible state — empty feed
+    assert(StreamingOps.mergeChangeFeed(spark, target, 1L, 2L).isEmpty)
+  }
+
   test("cdc ivm: summed change-feed deltas telescope to the final snapshot " +
       "group-by under ANY batch split or order") {
     // the per-batch feed rows DEPEND on batch boundaries; their signed sum
