@@ -68,13 +68,15 @@ object CoreRelational {
     val t1 = lit("2024-01-10 00:00:00").cast("timestamp")
     val t2 = lit("2024-01-20 00:00:00").cast("timestamp")
     val late = col("user_id") % 7 === 0
-    Seq(!late && col("ts") < t1,
-        !late && col("ts") >= t1 && col("ts") < t2,
-        late || col("ts") >= t2)
-      .foreach { pred =>
-        graft.streaming.StreamingOps.applyUpsertBatch(
-          s, ev.filter(pred), s"$base/table")
-      }
+    graft.streaming.StreamingOps.withMergeWidth(s) {
+      Seq(!late && col("ts") < t1,
+          !late && col("ts") >= t1 && col("ts") < t2,
+          late || col("ts") >= t2)
+        .foreach { pred =>
+          graft.streaming.StreamingOps.applyUpsertBatch(
+            s, ev.filter(pred), s"$base/table")
+        }
+    }
     s"$base/table"
   }
 

@@ -377,6 +377,7 @@ object StreamingGraded {
       ev.repartition(4).write.mode("overwrite").parquet(s"$tmp/spool_in")
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$tmp/spool_in")
+      StreamingOps.withMergeWidth(s) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           StreamingOps.applyUpsertBatch(s, batch, s"$tmp/table")
@@ -402,6 +403,7 @@ object StreamingGraded {
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      }
       s.read.parquet(s"$tmp/spool_out")
         .groupBy("etype").agg(sum("delta").as("n_users"))
         .filter(col("n_users") > 0)
