@@ -38,7 +38,8 @@ object CoreRelational {
     * times only the final stage over reusable shuffle files. */
   val eager: Set[String] =
     Set("a12_compaction_roundtrip", "a14_asof_read", "a15_change_feed",
-      "a16_merge_delete", "a17_delete_feed", "gr_kcore", "gr_lpa")
+      "a16_merge_delete", "a17_delete_feed", "a18_zorder_roundtrip",
+      "gr_kcore", "gr_lpa")
 
   /** Deterministic versioned-table fixture for the a14/a15 lake reads:
     * wipes `tag`'s scratch, then applies three upsert batches through the
@@ -386,6 +387,35 @@ object CoreRelational {
       val t = versionedEventsTable(s, d, "a17_feed", withOps = true)
       graft.streaming.StreamingOps.mergeChangeFeed(s, t, 1L, 2L)
         .orderBy("user_id")
+    }),
+
+    // A18: Z-ORDER clustering rewrite — the multi-dimensional OPTIMIZE
+    // pass that completes the maintenance family (compaction fixes file
+    // COUNT, this fixes file CONTENT): rewrite lineitem range-partitioned
+    // and sorted by the Morton interleave of (l_partkey, l_suppkey), so
+    // file-level min-max stats can prune scans filtered on EITHER key —
+    // a single-column sort prunes only its own column. The z key is a
+    // codegen'd shift/and/or expression tree (graft.functions.ZOrder), the
+    // rewrite is one range shuffle + local sort (the standard distributed
+    // OPTIMIZE shape — embarrassingly parallel across partition dirs at
+    // 100 TB), and the graded read proves the rewrite value-and-type
+    // lossless (the a12 contract); the PRUNING property — a partkey band
+    // touches a bounded file fraction where a z-blind layout touches all —
+    // is pinned in the spec, since file census is layout, not data.
+    "a18_zorder_roundtrip" -> ((s, d) => {
+      val out = graft.sources.ScratchDirs.dirFor(d, "zorder")
+      lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
+        .withColumn("z",
+          graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity")
     }),
 
     // ---------------------------------------------------------------- B
@@ -1494,6 +1524,14 @@ object CoreRelational {
            FROM after a LEFT JOIN before b ON a.user_id = b.user_id)
          SELECT * FROM feed WHERE change_type IS NOT NULL
          ORDER BY user_id""",
+
+    // the ORIGINAL table — the z-order rewrite must be value-and-type
+    // lossless (lineitem has no pk: order by every output column)
+    "a18_zorder_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                  l_quantity""",
 
     // visible MERGE snapshot: global LWW winner per key, keys whose
     // winner is a tombstone (error event) dropped at read

@@ -324,6 +324,28 @@ object StreamingGraded {
         .orderBy("user_id")
     }),
 
+    // SG16: the MERGE sink with tombstone deletes driven end-to-end by the
+    // REAL stream — i7b's delete twin (a16 grades the kernel under explicit
+    // batches; this grades it under readStream batching): the op marker is
+    // computed IN the stream (error events decommission their key), every
+    // micro-batch merges through the shared kernel storing winning
+    // tombstones, and the graded read is the VISIBLE snapshot. Equals the
+    // batch LWW-minus-tombstones under any batching because the stored-
+    // tombstone rule makes delete-vs-update races a pure (us, event_id)
+    // argmax — same associativity as the upsert sink, now with deletes.
+    "i7c_merge_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "i7c_merge")
+      val ev = Tables.tableStream(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("d")).otherwise(lit("u")))
+      StreamingOps.runUpsertSinkToParquet(s, ev, s"$tmp/ckpt", s"$tmp/table")
+      StreamingOps.visibleMergeTable(s, s"$tmp/table")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"))
+        .orderBy("user_id")
+    }),
+
     // A13/L-maintenance: the retention (VACUUM) pass graded as a roundtrip —
     // a12's compaction pattern applied to Maintenance.vacuumVersions, the
     // job that ends old snapshots' readability on the `_VERSION`-pointer
@@ -744,6 +766,18 @@ object StreamingGraded {
          FROM events
          QUALIFY row_number() OVER (PARTITION BY user_id
                                     ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+
+    // batch mirror of the visible MERGE snapshot: global LWW winner per
+    // key, keys whose winner is a tombstone (error) dropped at read
+    "i7c_merge_stream" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+                epoch_us(ts) AS last_us
+         FROM (SELECT user_id, event_id, event_type, ts,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error'
          ORDER BY user_id""",
 
     // the telescoped sum of the per-batch CDC deltas IS the final

@@ -302,4 +302,53 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     SparkEntry.queries("a10_binary_ingest")(spark, sf).count()
     assert(marker.lastModified() == mtime)
   }
+
+  test("A18 z key: zValue equals the bit-interleave model") {
+    import spark.implicits._
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (123456L, 654321L), (2097151L, 2097151L), (1L, 2097151L),
+      (99999L, 7L))
+    def model(x: Long, y: Long): Long =
+      (0 until 21).map(i =>
+        (((x >>> i) & 1L) << (2 * i)) | (((y >>> i) & 1L) << (2 * i + 1))
+      ).reduce(_ | _)
+    val got = samples.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.ZOrder.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    samples.foreach { case (x, y) =>
+      assert(got((x, y)) == model(x, y), s"z mismatch at ($x,$y)")
+    }
+  }
+
+  test("A18 pruning: a partkey band touches a bounded file fraction of the " +
+      "z-ordered layout; a z-blind layout scatters it across every file") {
+    // layout properties live here, not in the oracle gate (file census is
+    // layout, not data). Build the graded layout, then compare the set of
+    // files a narrow l_partkey band lives in against a round-robin rewrite
+    // of the same table at the same file count.
+    SparkEntry.queries("a18_zorder_roundtrip")(spark, sf).count()
+    val zdir = graft.sources.ScratchDirs.dirFor(sf, "zorder")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val lo = 0L
+    val hi = li.agg(max("l_partkey")).collect()(0).getLong(0) / 8
+    def filesTouched(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+      val all = df.select("f").distinct().count()
+      val touched = df.filter(col("l_partkey").between(lo, hi))
+        .select("f").distinct().count()
+      (touched, all)
+    }
+    val (zTouched, zAll) = filesTouched(zdir)
+    val blind = java.nio.file.Files.createTempDirectory("zblind").toString
+    li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity")
+      .repartition(zAll.toInt).write.mode("overwrite").parquet(blind)
+    val (bTouched, bAll) = filesTouched(blind)
+    assert(bTouched == bAll, s"z-blind layout should scatter: $bTouched/$bAll")
+    assert(zTouched * 2 <= zAll,
+      s"z layout did not cluster the band: $zTouched of $zAll files " +
+        s"(blind: $bTouched/$bAll)")
+  }
 }
