@@ -392,6 +392,15 @@ object StreamingGraded {
     // which is exactly the invariant that makes CDC-driven IVM correct.
     // At 100 TB the spool is a compacted log and each batch's feed is
     // O(changed keys) — the whole point vs. snapshot re-aggregation.
+    // Replay honesty: deltas derive from the TABLE DIFF, not the batch
+    // rows, so replaying an already-merged batch re-merges to an
+    // identical snapshot and appends an EMPTY feed (the redelivery spec
+    // pins this) — idempotent for foreachBatch's ordinary at-least-once
+    // retry. The remaining window is a crash BETWEEN the version publish
+    // and the spool append (that batch's deltas are lost on replay);
+    // closing it needs the spool write and the pointer move in one
+    // transaction — a real table format's commit, out of scope for the
+    // parquet+pointer layout and stated here rather than papered over.
     "cdc_ivm_stream" -> ((s, d) => {
       val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "cdc_ivm")
       val ev = Tables.events(s, d)

@@ -498,7 +498,12 @@ class StreamingSpec extends AnyFunSuite {
       val mem = MemoryStream[Ev]
       mem.addData(chunk: _*)
       val ck = java.nio.file.Files.createTempDirectory("ck").toString
-      StreamingOps.runUpsertSinkToParquet(spark, mem.toDS(), ck, target)
+      // the kernel's column contract is caller-projected (extra columns
+      // ride along into the table — that's how the op-carrying MERGE
+      // works), so project to the upsert-table shape here
+      StreamingOps.runUpsertSinkToParquet(spark,
+        mem.toDS().select("user_id", "event_id", "event_type", "ts"),
+        ck, target)
     }
     val got = StreamingOps.currentUpsertTable(spark, target)
       .select(col("user_id"), col("event_id").as("last_event_id"),
