@@ -282,8 +282,7 @@ class SourcesAndApproxSpec extends AnyFunSuite {
     "build is skipped once the marker exists") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val n = docs.count()
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bin_" +
-      new java.io.File(sf).getName + s"_n$n"
+    val dir = graft.sources.ScratchDirs.dirFor(sf, s"bin_n$n")
     val first = SparkEntry.queries("a10_binary_ingest")(spark, sf)
     // file bytes are the UTF-8 text: md5 and byte length must agree with
     // a pure in-engine computation over the source table (multi-byte langs
