@@ -387,6 +387,51 @@ object LlmOps {
       .withColumn("pass", (col("avg_logprob") >= -3.45).cast("int"))
   }
 
+  /** Per-document interpolated Kneser–Ney bigram score — the standard
+    * LM-smoothing step up from [[bigramLogprobOf]]'s Laplace stand-in
+    * (Kneser & Ney 1995; Chen & Goodman 1999): absolute discounting with
+    * the CONTINUATION-count back-off,
+    * p_kn(w2|w1) = (c(w1w2) − D)/c(w1·) + (D·N1+(w1·)/c(w1·))·(N1+(·w2)/T),
+    * D = 0.75, where N1+(w1·)/N1+(·w2) count distinct bigram TYPES by
+    * context/continuation and T is the total distinct-bigram count. The
+    * continuation term is what separates KN from MLE/Laplace: a word seen
+    * often but only after one context ("Francisco") backs off LOW. Every
+    * count is a TYPE count off the model-sized `cb` frame — the corpus-
+    * sized occurrence frame shuffles once (the scoring join on bg), all
+    * model arithmetic happens on vocabulary-sized frames first, exactly
+    * the [[bigramLogprobOf]] shape; each ln snaps to the 1e-7 integer grid
+    * before the long sum, so any partitioning and both engines agree
+    * bit-for-bit. c(w1w2) ≥ 1 always here (the corpus is scored under its
+    * own model), so the max(·−D, 0) clamp is the identity and the ln
+    * argument is strictly positive. The −3.40 pass bar is fixture-tuned
+    * (quartile split at sf0.01) like [[BoilerplateDf]]. */
+  private[graft] def knBigramOf(docs: DataFrame): DataFrame = {
+    val occ = graft.CacheRegistry.materialize(
+      bigramRows(docs).groupBy("doc_id", "bg").agg(count(lit(1)).as("m")))
+    val cb = graft.CacheRegistry.materialize(
+      occ.groupBy("bg").agg(sum(col("m")).as("cb"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1)))
+    val ctx = cb.groupBy("w1")
+      .agg(sum(col("cb")).as("ca"), count(lit(1)).as("n1r"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n1l"))
+    val tt = cb.agg(count(lit(1)).cast("double").as("tt"))
+    val lp = cb
+      .join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(tt))
+      .select(col("bg"),
+        round(log((col("cb") - 0.75) / col("ca")
+          + lit(0.75) * col("n1r") / col("ca") * (col("n1l") / col("tt")))
+          * 1e7).cast("long").as("lp"))
+    occ.join(lp, "bg")
+      .select(col("doc_id"), col("m"), (col("m") * col("lp")).as("slp"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).as("n_bigrams"),
+        round4((sum(col("slp")) / 1e7) / sum(col("m"))).as("avg_logprob"))
+      .withColumn("pass", (col("avg_logprob") >= -3.40).cast("int"))
+  }
+
   /** Per-document repetition signals over any documents-shaped frame —
     * `n_bigrams`/`n_unique` token-bigram counts, the duplicate-bigram
     * fraction `1 - unique/total`, the top-bigram share `max(count)/total`,
@@ -976,6 +1021,14 @@ object LlmOps {
     // bigramLogprobOf for the model frames and grid-snap determinism.
     "ta_bigram_logprob" -> ((s, d) =>
       bigramLogprobOf(documents(s, d)).orderBy("doc_id")),
+
+    // Text analysis: interpolated Kneser–Ney bigram score — absolute
+    // discounting + continuation-count back-off, the smoothing real LM
+    // quality filters use (Laplace overweights unseen-context mass; KN's
+    // continuation term scores a word by how many DISTINCT contexts it
+    // follows). See knBigramOf for the model frames and determinism.
+    "ta_kn_bigram" -> ((s, d) =>
+      knBigramOf(documents(s, d)).orderBy("doc_id")),
 
     // Text analysis: Gopher-style repetition signals — the duplicate-bigram
     // fraction and the most-frequent-bigram share of each document, the two
@@ -1855,6 +1908,34 @@ object LlmOps {
             JOIN ca ON split_part(occ.bg, ' ', 1) = ca.w1 CROSS JOIN voc)
           SELECT doc_id, n_bigrams, avg_logprob,
                  CAST(avg_logprob >= -3.45 AS INT) AS pass
+          FROM (
+            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+                   ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
+            FROM slps GROUP BY doc_id)
+          ORDER BY doc_id""",
+
+    "ta_kn_bigram" ->
+      s"""WITH bg AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bg
+            FROM (SELECT doc_id, $toksSql AS t FROM documents)),
+          occ AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+          cb AS (SELECT bg, CAST(sum(m) AS BIGINT) AS cb,
+                        split_part(bg, ' ', 1) AS w1,
+                        split_part(bg, ' ', 2) AS w2
+                 FROM occ GROUP BY bg),
+          ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ca, count(*) AS n1r
+                  FROM cb GROUP BY 1),
+          cont AS (SELECT w2, count(*) AS n1l FROM cb GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM cb),
+          slps AS (
+            SELECT doc_id, m,
+                   m * CAST(round(ln((cb - 0.75)/ca
+                     + 0.75 * n1r / ca * (n1l / tt))*1e7) AS BIGINT) AS slp
+            FROM occ JOIN cb USING (bg)
+            JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt)
+          SELECT doc_id, n_bigrams, avg_logprob,
+                 CAST(avg_logprob >= -3.40 AS INT) AS pass
           FROM (
             SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
                    ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob

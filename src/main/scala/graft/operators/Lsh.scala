@@ -309,8 +309,107 @@ object Lsh {
     // bit_count(xor) verifies. Scale knobs are the standard simhash-dedup
     // ones: more/wider chunks trade candidate volume against the hamming
     // radius the pigeonhole argument covers.
-    "lsh_simhash_pairs" -> ((s, d) => simhashPairs(s, d, maxHamming = 2))
+    "lsh_simhash_pairs" -> ((s, d) => simhashPairs(s, d, maxHamming = 2)),
+
+    // Matryoshka truncation audit (Kusupati et al., NeurIPS 2022): rank by
+    // the first-16-dim PREFIX of each embedding (what an MRL-trained model
+    // serves at 4× less memory/compute), attach the full-64-dim cosine for
+    // every truncated-rank winner — the table that tells you what recall a
+    // dimension cut buys before you commit the serving index to it. Same
+    // bounded-query brute-force shape as j3 (nq=5 broadcast, corpus scan ×
+    // codegen'd 16-dim dot); the truncated frame is a row-local slice, the
+    // rank windows are per-query. Ties break on vec_id; raw doubles match
+    // engines bit-for-bit (the k4 left-to-right-fold argument), round4 only
+    // on display. MatryoshkaSpec pins the prefix-vs-full rank overlap.
+    "emb_matryoshka" -> ((s, d) =>
+      matryoshkaOf(embeddings(s, d), dims = 16, k = 5, nq = 5)),
+
+    // Binary-quantization ANN with exact re-rank — the 1-bit cousin of
+    // lsh_ivfpq_refined (the shape modern vector stores ship as "BQ +
+    // rescore"): each vector compresses to its 64 sign bits (two 32-bit
+    // halves — a BIGINT<<63 overflows the oracle engine), the corpus scan
+    // ranks by Hamming distance over CODES ONLY (8 bytes/vector, 32×
+    // compression; XOR+popcount, no floats), and exactly nq·candK raw
+    // vectors are gathered for the exact cosine re-rank to top-5.
+    // Candidate ranking is integer (hamming, vec_id) — deterministic by
+    // construction; the code build is a relational explode + integer hash
+    // aggregate (sum of distinct powers ≡ OR), fully codegen'd. At 100 TB
+    // the sign codes ride the same stored-index discipline as the PQ
+    // codes, and candK is the recall-vs-gather knob. BqRerankSpec pins
+    // recall ≥ the no-rerank hamming top-5.
+    "emb_bq_rerank" -> ((s, d) =>
+      bqRerank(embeddings(s, d), candK = 20, k = 5, nq = 5))
   )
+
+  /** Core of `emb_matryoshka` over any embeddings-shaped frame — rank by
+    * the `dims`-prefix cosine, attach the full cosine; queries are the
+    * `nq` lowest vec_ids. Separated so MatryoshkaSpec can drive it with
+    * synthetic prefix-dominant vectors. */
+  private[graft] def matryoshkaOf(embs: org.apache.spark.sql.DataFrame,
+      dims: Int, k: Int, nq: Int): org.apache.spark.sql.DataFrame = {
+    val emb = embs
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("t", slice(col("v"), 1, dims))
+      .withColumn("nrm",
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
+      .withColumn("tn",
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("t"))))
+    val qs = emb.orderBy("vec_id").limit(nq)
+      .select(col("vec_id").as("query_id"), col("t").as("qt"),
+        col("tn").as("qtn"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = emb.join(broadcast(qs))
+      .withColumn("cos_t_raw", dot(col("qt"), col("t")) / (col("qtn") * col("tn")))
+      .withColumn("cos_f_raw", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_t_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round4(col("cos_t_raw")).as("cos_t"), round4(col("cos_f_raw")).as("cos_f"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Core of `emb_bq_rerank` over any embeddings-shaped frame: 64 sign
+    * bits per vector (two 32-bit halves), Hamming candidate ranking over
+    * codes only to `candK`, exact cosine re-rank of the bounded gather to
+    * top `k`. Separated so BqRerankSpec can drive it synthetically and
+    * compare against the no-rerank Hamming ranking. */
+  private[graft] def bqRerank(embs: org.apache.spark.sql.DataFrame,
+      candK: Int, k: Int, nq: Int): org.apache.spark.sql.DataFrame = {
+    val emb = embs
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
+    val codes = emb
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("vec_id").agg(
+        sum(when(col("i") < 32 && col("x") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(lit(0L))).as("lo"),
+        sum(when(col("i") >= 32 && col("x") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), i - 32)")).otherwise(lit(0L))).as("hi"))
+    val qc = codes.orderBy("vec_id").limit(nq)
+      .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val cand = codes.join(broadcast(qc))
+      .withColumn("hamming",
+        bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+      .withColumn("crnk", row_number().over(wc))
+      .filter(col("crnk") <= candK)
+      .select("query_id", "vec_id", "hamming")
+    val qv = emb.orderBy("vec_id").limit(nq)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    cand.join(emb, "vec_id").join(broadcast(qv), "query_id")
+      .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("hamming").cast("int").as("hamming"), round4(col("cos_raw")).as("cos"))
+      .orderBy("query_id", "rank")
+  }
 
   /** Sign-bucket LSH near-dup over `embeddings` — the parameterized form of
     * `lsh_rp_near_dup`. `nBits` signed projections split into bands of
@@ -810,7 +909,73 @@ object Lsh {
     s"CASE WHEN list_sum(list_transform(hs, h -> ((h >> $k) & 1)*2 - 1)) > 0 THEN ${1L << k} ELSE 0 END"
   }.mkString(" + ")
 
+  /** Left-to-right double dot fold over dims [1, n] — the oracle twin of
+    * the codegen'd dot_product (same fold order, bit-identical). */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}),
+        i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE))), (acc, x) -> acc + x)"""
+
   val oracle: Map[String, String] = Map(
+    "emb_matryoshka" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding,
+                   sqrt(${dotSqlN("embedding", "embedding", 64)}) AS nrm,
+                   sqrt(${dotSqlN("embedding", "embedding", 16)}) AS tn
+            FROM embeddings),
+          qs AS (SELECT vec_id AS query_id, embedding AS q, nrm AS qn, tn AS qtn
+                 FROM corpus ORDER BY vec_id LIMIT 5),
+          scored AS (
+            SELECT query_id, vec_id,
+                   ${dotSqlN("q", "embedding", 16)} / (qtn * tn) AS cos_t_raw,
+                   ${dotSqlN("q", "embedding", 64)} / (qn * nrm) AS cos_f_raw
+            FROM corpus CROSS JOIN qs)
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 ${sqlRound4("cos_t_raw")} AS cos_t,
+                 ${sqlRound4("cos_f_raw")} AS cos_f
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_t_raw DESC, vec_id ASC) AS rank FROM scored)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
+    "emb_bq_rerank" ->
+      s"""WITH corpus AS (
+            SELECT vec_id, embedding,
+                   sqrt(${dotSqlN("embedding", "embedding", 64)}) AS nrm
+            FROM embeddings),
+          xs AS (SELECT vec_id, i, embedding[i] AS x
+                 FROM (SELECT vec_id, embedding, unnest(range(1, 65)) AS i
+                       FROM embeddings)),
+          codes AS (
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN i <= 32 AND x > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END) AS BIGINT) AS lo,
+                   CAST(sum(CASE WHEN i > 32 AND x > 0
+                     THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END) AS BIGINT) AS hi
+            FROM xs GROUP BY vec_id),
+          qc AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+                 FROM codes ORDER BY vec_id LIMIT 5),
+          cand AS (
+            SELECT query_id, vec_id, hamming FROM (
+              SELECT query_id, vec_id,
+                     bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS hamming,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) ASC,
+                                vec_id ASC) AS crnk
+              FROM codes CROSS JOIN qc)
+            WHERE crnk <= 20),
+          qv AS (SELECT vec_id AS query_id, embedding AS q, nrm AS qn
+                 FROM corpus ORDER BY vec_id LIMIT 5),
+          rer AS (
+            SELECT cand.query_id, cand.vec_id, cand.hamming,
+                   ${dotSqlN("q", "embedding", 64)} / (qn * nrm) AS cos_raw
+            FROM cand JOIN corpus USING (vec_id) JOIN qv USING (query_id))
+          SELECT query_id, CAST(rank AS INT) AS rank, vec_id,
+                 CAST(hamming AS INT) AS hamming, ${sqlRound4("cos_raw")} AS cos
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM rer)
+          WHERE rank <= 5
+          ORDER BY query_id, rank""",
+
     "lsh_minhash_pairs" -> {
       val minCols = minColsSql
       val bandSelects = bandSelectsSql("sigs")

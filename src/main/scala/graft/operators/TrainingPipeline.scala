@@ -448,7 +448,57 @@ object TrainingPipeline {
         .filter(col("cum_tok") <= col("budget"))
         .select("doc_id", "score_t", "n_tok", "cum_tok")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // tp_dsir: DSIR-style importance resampling (Xie et al., NeurIPS 2023)
+    // — the data-selection step that picks raw-pool docs distributionally
+    // CLOSE TO A TARGET domain without training a classifier: hashed
+    // unigram features (md5 → 256 buckets, the fixed-size model DSIR uses
+    // so the method scales past any vocabulary), Laplace-smoothed bucket
+    // distributions for target (lang='en', the best-populated fixture
+    // domain) and raw (the rest), per-doc importance weight = mean
+    // log-ratio Σ m·ln(p_t(b)/p_r(b)) / Σ m. Plan shape: the shared
+    // tokenCounts frame (one shuffle, reused by every ta_* consumer) maps
+    // to buckets row-locally; the bucket model is 256 rows — broadcast —
+    // so scoring is a broadcast join + one hash aggregate, and selection
+    // (weight > 0: "looks more target than raw") is a pure projection, no
+    // global sort at any corpus size. The fixture's languages share one
+    // synthetic vocabulary, so separation is faint here (en median above
+    // the rest; DsirSpec proves the mechanism sharply on disjoint-vocab
+    // corpora) — the plan, not the fixture, is what ships. Every ln snaps
+    // to the 1e-7 grid pre-sum; engines agree bit-for-bit.
+    "tp_dsir" -> ((s, d) => dsirOf(documents(s, d)).orderBy("doc_id")))
+
+  /** Core of `tp_dsir` over any documents-shaped frame (target = lang
+    * 'en') — separated so TrainingPipelineSpec can prove the mechanism on
+    * disjoint-vocabulary synthetic corpora where the separation is sharp. */
+  private[graft] def dsirOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val occ = LlmOps.tokenCounts(docs)
+      .withColumn("bkt",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 256)
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val cnt = occ.join(langs, "doc_id")
+      .groupBy("bkt").agg(
+        sum(when(col("lang") === "en", col("m")).otherwise(lit(0L))).as("ct"),
+        sum(when(col("lang") =!= "en", col("m")).otherwise(lit(0L))).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).cast("double").as("st"),
+      sum(col("cr")).cast("double").as("sr"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("bkt"),
+        round(log(((col("ct") + 1) / (col("st") + 256)) /
+          ((col("cr") + 1) / (col("sr") + 256))) * 1e7)
+          .cast("long").as("lr"))
+    occ.join(broadcast(lr), "bkt")
+      .groupBy("doc_id").agg(
+        sum(col("m")).as("n_tokens"),
+        round4((sum(col("m") * col("lr")) / 1e7) / sum(col("m")))
+          .as("dsir_score"))
+      .join(langs, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") > 0.0 && col("lang") =!= "en").cast("int")
+          .as("selected"))
+  }
 
   /** pp_end_to_end: the whole corpus-prep pipeline composed as ONE lazy
     * plan — quality gate → exact dedup (keep lowest doc_id per normalized
@@ -756,5 +806,32 @@ object TrainingPipeline {
                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
                 FROM t)
           SELECT doc_id, score_t, n_tok, cum_tok
-          FROM o, b WHERE cum_tok <= budget ORDER BY doc_id""")
+          FROM o, b WHERE cum_tok <= budget ORDER BY doc_id""",
+
+    "tp_dsir" ->
+      s"""WITH occ AS (
+            SELECT doc_id, tok, count(*) AS m
+            FROM (SELECT doc_id, unnest(${LlmOps.toksSql}) AS tok FROM documents)
+            GROUP BY 1, 2),
+          b AS (SELECT doc_id,
+                       ('0x'||substr(md5(tok),1,8))::BIGINT % 256 AS bkt, m
+                FROM occ),
+          cnt AS (SELECT bkt,
+                   CAST(sum(CASE WHEN lang = 'en' THEN m ELSE 0 END) AS BIGINT) AS ct,
+                   CAST(sum(CASE WHEN lang <> 'en' THEN m ELSE 0 END) AS BIGINT) AS cr
+                  FROM b JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+                  GROUP BY 1),
+          tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS st,
+                         CAST(sum(cr) AS DOUBLE) AS sr FROM cnt),
+          lr AS (SELECT bkt,
+                        CAST(round(ln(((ct + 1)/(st + 256))
+                          / ((cr + 1)/(sr + 256)))*1e7) AS BIGINT) AS lr
+                 FROM cnt CROSS JOIN tot),
+          sc AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                   ${sqlRound4("(CAST(sum(m*lr) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS dsir_score
+                 FROM b JOIN lr USING (bkt) GROUP BY 1)
+          SELECT doc_id, lang, n_tokens, dsir_score,
+                 CAST(dsir_score > 0.0 AND lang <> 'en' AS INT) AS selected
+          FROM sc JOIN (SELECT doc_id, lang FROM documents) USING (doc_id)
+          ORDER BY doc_id""")
 }

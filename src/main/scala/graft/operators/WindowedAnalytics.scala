@@ -437,6 +437,42 @@ object WindowedAnalytics {
         .orderBy("event_type", "day")
     }),
 
+    // E17: EWMA smoothing — the exponentially-weighted daily-value
+    // baseline (α = 1/2, truncated at 8 taps: the 2⁻⁸ tail is below the
+    // 1e-4 value grid, so truncation is exact at our precision, and the
+    // finite window makes the whole computation INTEGER — per-day tick
+    // sums, power-of-two weights, one division at the end; avg over
+    // doubles would be order-dependent in the low bits). Each day's
+    // smooth is Σ x_{t−i}·2^{7−i} / Σ 2^{7−i} over the available i ≤ 7
+    // (self-normalizing at series start, the standard adjusted-EWMA
+    // form), and `above` flags days beating their own smooth via integer
+    // cross-multiplication (no division, no zero-denominator edge). The
+    // weighted self-join runs on the DAILY AGGREGATE — |days × types|
+    // rows at any corpus size (the e13 argument), broadcast explicitly —
+    // never on raw events; raw data is touched exactly once by the
+    // groupBy.
+    "e17_ewma" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(tenK(col("value"))).as("xt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")))
+      val b = daily.select(col("event_type"), col("rn").as("brn"),
+        col("xt").as("bxt"))
+      daily.join(broadcast(b), Seq("event_type"))
+        .filter((col("rn") - col("brn")).between(0, 7))
+        .withColumn("w",
+          expr("shiftleft(CAST(1 AS BIGINT), 7 - (rn - brn))"))
+        .groupBy(col("event_type"), col("day"), col("xt"))
+        .agg(sum(col("bxt") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("event_type"), col("day"),
+          (col("xt") / 10000.0).as("x"),
+          round4((col("num") / col("den")) / 1e4).as("ewma"),
+          (col("xt") * col("den") > col("num")).cast("int").as("above"))
+        .orderBy("event_type", "day")
+    }),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -865,6 +901,26 @@ object WindowedAnalytics {
                 CAST(n*14 < base7 AS INT) AS slump
          FROM w WHERE nprior = 7
          ORDER BY event_type, day""",
+
+    "e17_ewma" ->
+      s"""WITH daily AS (
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS xt,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY strftime(date_trunc('day', ts), '%Y-%m-%d')) AS rn
+            FROM events GROUP BY 1, 2),
+          j AS (
+            SELECT a.event_type, a.day, a.xt,
+                   CAST(sum(b.xt * (CAST(1 AS BIGINT) << (7 - (a.rn - b.rn)))) AS BIGINT) AS num,
+                   CAST(sum(CAST(1 AS BIGINT) << (7 - (a.rn - b.rn))) AS BIGINT) AS den
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type
+             AND a.rn - b.rn BETWEEN 0 AND 7
+            GROUP BY 1, 2, 3)
+          SELECT event_type, day, xt/10000.0 AS x,
+                 ${sqlRound4("(num/den)/1e4")} AS ewma,
+                 CAST(xt * den > num AS INT) AS above
+          FROM j ORDER BY event_type, day""",
 
     // identical integer pipeline: tick-quantized weekly means, integer
     // week index, long moment sums, and the slope rounded with

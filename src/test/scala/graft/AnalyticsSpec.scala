@@ -573,4 +573,35 @@ class AnalyticsSpec extends AnyFunSuite {
       "view" -> (2L, 100.0),
       "direct" -> (2L, 70.0)))
   }
+
+  test("e17: ewma equals a sequential per-type model (integer taps), the " +
+    "first day self-normalizes to x, and `above` is the cross-multiplied " +
+    "comparison") {
+    val got = SparkEntry.queries("e17_ewma")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    // independent model: same daily tick sums (same tenK expression), then
+    // a sequential truncated-EWMA loop in plain Scala
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(graft.functions.ExactNum.tenK(col("value"))).as("xt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(daily.length == got.size)
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      series.indices.foreach { t =>
+        val (day, xt) = series(t)
+        val lo = math.max(0, t - 7)
+        val num = (lo to t).map { i => series(i)._2 << (7 - (t - i)) }.sum
+        val den = (lo to t).map { i => 1L << (7 - (t - i)) }.sum
+        val expEwma = math.round((num.toDouble / den) / 1e4 * 10000) / 10000.0
+        val (x, ewma, above) = got((tpe, day))
+        assert(x == xt / 10000.0, s"$tpe $day x")
+        assert(ewma == expEwma, s"$tpe $day ewma: got $ewma want $expEwma")
+        assert(above == (if (xt * den > num) 1 else 0), s"$tpe $day above")
+        if (t == 0) assert(ewma == math.round(x * 10000) / 10000.0,
+          s"$tpe first day must self-normalize")
+      }
+    }
+  }
 }

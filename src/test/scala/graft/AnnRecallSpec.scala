@@ -198,4 +198,45 @@ class AnnRecallSpec extends AnyFunSuite {
       s"re-rank bought nothing: adc=${recall(adc)} refined=${recall(refined)}")
     graft.CacheRegistry.releaseAll()
   }
+
+  test("matryoshka: rank-1 is the query itself at cos 1.0 both ways; " +
+    "prefix-only vectors rank identically under 16 and 64 dims") {
+    val m = SparkEntry.queries("emb_matryoshka")(spark, d)
+    val self = m.filter(col("rank") === 1)
+    assert(self.count() == 5)
+    assert(self.filter(col("query_id") =!= col("vec_id")).count() == 0)
+    assert(self.filter(abs(col("cos_t") - 1.0) > 1e-9 ||
+      abs(col("cos_f") - 1.0) > 1e-9).count() == 0)
+    // synthetic: all energy in the 16-prefix → the truncated and the full
+    // cosine are the SAME functional, so every reported pair must agree
+    import spark.implicits._
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, (0 until 64).map(j =>
+        if (j < 16) ((i * 7 + j * 3) % 11 - 5).toFloat / 10f else 0f).toArray)
+    }.toDF("vec_id", "embedding")
+    val r = graft.operators.Lsh.matryoshkaOf(vecs, dims = 16, k = 5, nq = 3)
+    assert(r.count() == 15)
+    assert(r.filter(abs(col("cos_t") - col("cos_f")) > 1e-9).count() == 0)
+  }
+
+  test("bq rerank: self-hit at hamming 0 and cos 1.0; a wider Hamming " +
+    "candidate pool never re-ranks worse (pointwise dominance)") {
+    val r = SparkEntry.queries("emb_bq_rerank")(spark, d)
+    val self = r.filter(col("rank") === 1)
+    assert(self.count() == 5)
+    assert(self.filter(col("query_id") =!= col("vec_id")).count() == 0)
+    assert(self.filter(col("hamming") =!= 0).count() == 0)
+    assert(self.filter(abs(col("cos") - 1.0) > 1e-9).count() == 0)
+    // candK=20's pool is a superset of candK=5's (same integer-ordered
+    // Hamming ranking), and an exact top-5 over a superset dominates
+    // pointwise — so the min reported cosine can never drop. Deterministic,
+    // the lsh_ivfpq_refined dominance argument in BQ form.
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val wide = graft.operators.Lsh.bqRerank(emb, candK = 20, k = 5, nq = 5)
+      .groupBy("query_id").agg(min(col("cos")).as("wide"))
+    val narrow = graft.operators.Lsh.bqRerank(emb, candK = 5, k = 5, nq = 5)
+      .groupBy("query_id").agg(min(col("cos")).as("narrow"))
+    assert(wide.join(narrow, "query_id")
+      .filter(col("wide") < col("narrow")).count() == 0)
+  }
 }

@@ -479,4 +479,43 @@ class LlmOpsSpec extends AnyFunSuite {
     val grid = got.filter(r => !Set("xq yq", "yq xq")(r._1)).map(_._3)
     assert(grid.nonEmpty && grid.max < got.head._3)
   }
+
+  test("ta_kn_bigram: hand-computed KN probabilities on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.knBigramOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // cb: "a b"→2, "b a"→1, "c b"→1; T=3; ca(a)=2 n1r(a)=1; ca(b)=ca(c)=1;
+    // continuation types: n1l(b)=2 ("a b","c b"), n1l(a)=1
+    val pAB = (2 - 0.75) / 2 + 0.75 * 1 / 2.0 * (2 / 3.0) // 0.875
+    val pBA = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * (1 / 3.0) // 0.5
+    val pCB = (1 - 0.75) / 1 + 0.75 * 1 / 1.0 * (2 / 3.0) // 0.75
+    val exp1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    val exp2 = math.log(pCB)
+    assert(r(1L)._1 == 3 && math.abs(r(1L)._2 - exp1) < 1e-3)
+    assert(r(2L)._1 == 1 && math.abs(r(2L)._2 - exp2) < 1e-3)
+  }
+
+  test("ta_kn_bigram: continuation counts separate what Laplace can't — " +
+    "a token seen after many contexts backs off higher than an equal-count " +
+    "token welded to one context") {
+    import spark.implicits._
+    // y and z both occur once after the shared context w with identical
+    // bigram counts, but y otherwise follows only x while z follows four
+    // distinct contexts: KN must score "w z" above "w y" (z's continuation
+    // set is bigger), while the Laplace model sees identical (cb, ca, V)
+    // and scores them equal.
+    val docs = Seq(
+      (1L, "x y x y x y x y"),
+      (2L, "a z b z c z d z"),
+      (3L, "w y"), (4L, "w z")).toDF("doc_id", "text")
+    val kn = graft.operators.LlmOps.knBigramOf(docs)
+      .filter(col("doc_id").isin(3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(kn(4L) > kn(3L), s"KN did not rank the diverse continuation higher: $kn")
+    val lap = graft.operators.LlmOps.bigramLogprobOf(docs)
+      .filter(col("doc_id").isin(3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lap(3L) == lap(4L), s"Laplace control broke: $lap")
+  }
 }

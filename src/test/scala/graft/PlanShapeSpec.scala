@@ -59,6 +59,15 @@ class PlanShapeSpec extends AnyFunSuite {
       // rides the IVF assignment build, which broadcasts the nlist-sized
       // centroid grid — same tiny side as lsh_ivf_refined
       "emb_kmeans_report",
+      // broadcasts the nq-sized query set against the corpus scan — the
+      // same bounded-query brute-force shape as j3_topk_cosine
+      "emb_matryoshka", "emb_bq_rerank",
+      // cross-combines the single-row total-bigram-types aggregate (the
+      // KN continuation denominator), like ta_bigram_logprob's voc row
+      "ta_kn_bigram",
+      // cross-combines the single-row target/raw mass totals with the
+      // 256-row bucket model
+      "tp_dsir",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",

