@@ -1200,6 +1200,40 @@ object CoreRelational {
     // v·20 ≤ n — no engine-divergent division).
     "d15_dq_report" -> ((s, d) => dqReportOf(orders(s, d), customer(s, d))),
 
+    // D16: exact weighted median per group — the order statistic the mean
+    // hides (a revenue-weighted "typical price" is robust to the long
+    // tail the average rides): lower weighted median = the smallest price
+    // whose cumulative weight reaches half the group's total. Exact and
+    // engine-identical because everything is integer: prices snap to
+    // BIGINT cents, quantities to centiweights, and the median condition
+    // is the cross-multiplied cum·2 ≥ tot (no division). Scale shape: the
+    // groupBy collapses lineitem to a (flag, cents) HISTOGRAM first —
+    // bounded by the price range in cents (≤ ~10⁷ rows) at ANY corpus
+    // size, the tp_token_budget tick-histogram argument — so the ordered
+    // cumulative window runs over histogram rows, never facts; a wider
+    // tick (whole currency units) is the knob if the range ever grows.
+    "d16_weighted_median" -> ((s, d) => {
+      val hist = lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          round(col("l_quantity") * 100).cast("long").as("wq"))
+        .groupBy("l_returnflag", "cents")
+        .agg(sum(col("wq")).as("wsum"))
+      val wcum = Window.partitionBy("l_returnflag").orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("wsum")).over(wcum))
+        .withColumn("tot",
+          sum(col("wsum")).over(Window.partitionBy("l_returnflag")))
+        .filter(col("cum") * 2 >= col("tot"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("cents")))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), (col("cents") / 100.0).as("w_median_price"),
+          col("tot").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // D14: exact money ledger — the fixed-point audit/billing path where
     // binary-float drift is not acceptable. GRADED IN EXACT INTEGER UNITS
     // end-to-end (BIGINT cents / 1e-4 / 1e-6 ticks — the proven e10/d12
@@ -2179,6 +2213,27 @@ object CoreRelational {
                  ${sqlSum2("coalesce(o_totalprice, 0.0)")} AS total_price
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // the (flag, cents) histogram, the same running windows, the same
+    // cross-multiplied median condition
+    "d16_weighted_median" ->
+      """WITH hist AS (
+           SELECT l_returnflag,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS wsum
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT l_returnflag, cents,
+                  CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                  CAST(sum(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+           FROM hist)
+         SELECT l_returnflag, cents/100.0 AS w_median_price, tot AS total_weight
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY cents) AS rn
+               FROM c WHERE cum * 2 >= tot)
+         WHERE rn = 1
+         ORDER BY l_returnflag""",
 
     // one conditional-aggregate pass + one NOT EXISTS, unpivoted per rule
     "d15_dq_report" ->

@@ -419,10 +419,64 @@ object TemporalOps {
             .when(col("old_type") =!= col("new_type"), "updated")
             .otherwise("unchanged").as("change"))
         .orderBy("user_id")
+    }),
+
+    // I15: calendar-spine backfill — the gap-filling pass every sync
+    // pipeline runs before time-series consumers (a day with no qualifying
+    // rows must surface as an explicit gap + a carried-forward value, not
+    // silently vanish): the high-value daily count series (value > 200 —
+    // sparse by construction, ~30% of cells are gaps at sf0.01) left-joins
+    // a generated (type × calendar-day) spine, `filled` carries the last
+    // observed count forward (leading gaps fill 0), `is_gap` marks
+    // spine-only rows. Scale shape: the spine is |types × days| rows —
+    // generated from a single-row min/max aggregate (broadcast) and a
+    // distinct-types frame, never data-sized; raw events are touched once
+    // by the filter+groupBy; the carry-forward window runs per type over
+    // the aggregate. Spark's sequence() and the oracle's generate_series
+    // produce the identical closed date range.
+    "i15_backfill" -> ((s, d) => {
+      val ev = events(s, d)
+      val daily = ev.filter(col("value") > 200)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(to_date(min(col("ts"))).as("lo"),
+        to_date(max(col("ts"))).as("hi"))
+      val spine = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("dt"))
+        .select(col("event_type"), date_format(col("dt"), "yyyy-MM-dd").as("day"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("event_type", "day"), "left")
+        .withColumn("filled",
+          coalesce(last(col("n"), ignoreNulls = true).over(w), lit(0L)))
+        .select(col("event_type"), col("day"), col("n"), col("filled"),
+          col("n").isNull.cast("int").as("is_gap"))
+        .orderBy("event_type", "day")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "i15_backfill" ->
+      """WITH daily AS (
+           SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                  count(*) AS n
+           FROM events WHERE value > 200 GROUP BY 1, 2),
+         spine AS (
+           SELECT t.event_type, strftime(CAST(g.dt AS DATE), '%Y-%m-%d') AS day
+           FROM (SELECT DISTINCT event_type FROM events) t
+           CROSS JOIN (
+             SELECT unnest(generate_series(CAST(min(ts) AS DATE),
+               CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS dt FROM events) g)
+         SELECT event_type, day, n,
+                coalesce(last_value(n IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY day
+                  ROWS UNBOUNDED PRECEDING), 0) AS filled,
+                CAST(n IS NULL AS INT) AS is_gap
+         FROM spine LEFT JOIN daily USING (event_type, day)
+         ORDER BY event_type, day""",
     "h1_string" ->
       """SELECT p_partkey,
                 upper(p_name) AS up,

@@ -473,6 +473,38 @@ object WindowedAnalytics {
         .orderBy("event_type", "day")
     }),
 
+    // E18: CUSUM change-point detection (Page 1954) — the sequential
+    // monitoring statistic that catches a SUSTAINED mean shift long before
+    // a per-day spike rule fires: s_t = max(0, s_{t-1} + (x_t − μ)). The
+    // recurrence looks inherently sequential, but with k=0 it has a
+    // closed window form — s_t = P_t − min(0, min_{i≤t} P_i) where
+    // P_t = Σ_{i≤t}(x_i − μ) — so two running windows (sum + min) over the
+    // per-type daily aggregate compute it exactly. INTEGER end-to-end:
+    // deviations are scaled by n (x_i·n − S with S = Σx, n = #days) to
+    // avoid dividing by n per row, so every prefix/min/compare is exact
+    // long arithmetic; the one double division (st/n, display grid) and
+    // the 1000-unit flag bar (fixture-tuned, an integer compare against
+    // n·10⁷ ticks — immune to display rounding) come last. Windows run
+    // over the |days × types| aggregate, never raw events.
+    "e18_cusum" -> ((s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(tenK(col("value"))).as("xt"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("xt")).as("s"))
+      val wseq = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("pf", sum(col("xt") * col("n") - col("s")).over(wseq))
+        .withColumn("st", col("pf") - least(min(col("pf")).over(wseq), lit(0L)))
+        .select(col("event_type"), col("day"),
+          (col("xt") / 10000.0).as("x"),
+          round4((col("st") / col("n")) / 1e4).as("excess"),
+          (col("st") > col("n") * 10000000L).cast("int").as("flag"))
+        .orderBy("event_type", "day")
+    }),
+
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
     // ±1, turning the range predicate into an equi-join on
@@ -921,6 +953,30 @@ object WindowedAnalytics {
                  ${sqlRound4("(num/den)/1e4")} AS ewma,
                  CAST(xt * den > num AS INT) AS above
           FROM j ORDER BY event_type, day""",
+
+    "e18_cusum" ->
+      s"""WITH daily AS (
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT) AS xt
+            FROM events GROUP BY 1, 2),
+          stats AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(xt) AS BIGINT) AS s
+                    FROM daily GROUP BY 1),
+          p AS (
+            SELECT daily.event_type, day, xt, n,
+                   CAST(sum(xt * n - s) OVER (PARTITION BY daily.event_type
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf
+            FROM daily JOIN stats USING (event_type)),
+          c AS (
+            SELECT event_type, day, xt, n,
+                   pf - least(CAST(min(pf) OVER (PARTITION BY event_type
+                     ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT),
+                     CAST(0 AS BIGINT)) AS st
+            FROM p)
+          SELECT event_type, day, xt/10000.0 AS x,
+                 ${sqlRound4("(st/n)/1e4")} AS excess,
+                 CAST(st > n * 10000000 AS INT) AS flag
+          FROM c ORDER BY event_type, day""",
 
     // identical integer pipeline: tick-quantized weekly means, integer
     // week index, long moment sums, and the slope rounded with

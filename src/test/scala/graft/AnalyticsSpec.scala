@@ -604,4 +604,83 @@ class AnalyticsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e18: the window closed form equals the literal CUSUM recurrence " +
+    "s_t = max(0, s_{t-1} + (x_t - mu)), and flags match the integer bar") {
+    val got = SparkEntry.queries("e18_cusum")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getInt(4)))).toMap
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(graft.functions.ExactNum.tenK(col("value"))).as("xt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val series = rows.sortBy(_._2).map(r => (r._2, r._3))
+      val n = series.length.toLong
+      val s = series.map(_._2).sum
+      var st = 0L // the recurrence, in the same n-scaled integer units
+      series.foreach { case (day, xt) =>
+        st = math.max(0L, st + (xt * n - s))
+        val (excess, flag) = got((tpe, day))
+        assert(excess == math.round(st.toDouble / n / 1e4 * 10000) / 10000.0,
+          s"$tpe $day excess")
+        assert(flag == (if (st > n * 10000000L) 1 else 0), s"$tpe $day flag")
+      }
+    }
+    // the fixture must exercise both flag values or the bar is vacuous
+    val flags = got.values.map(_._2).toSet
+    assert(flags == Set(0, 1), s"flag values seen: $flags")
+  }
+
+  test("i15: the spine is exactly types x days, gaps carry the last " +
+    "observed count forward, and leading gaps fill 0") {
+    val got = SparkEntry.queries("i15_backfill")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getInt(4)))
+    val types = got.map(_._1).distinct.sorted
+    val days = got.map(_._2).distinct.sorted
+    assert(got.length == types.length * days.length)
+    types.foreach { tpe =>
+      var carry = 0L
+      days.foreach { day =>
+        val Some((_, _, n, filled, isGap)) = got.find(r => r._1 == tpe && r._2 == day)
+        n match {
+          case Some(v) =>
+            assert(isGap == 0); carry = v
+            assert(filled == v, s"$tpe $day observed row must fill itself")
+          case None =>
+            assert(isGap == 1)
+            assert(filled == carry, s"$tpe $day gap must carry $carry")
+        }
+      }
+    }
+    // the fixture must actually contain gaps or the operator is vacuous
+    assert(got.exists(_._5 == 1), "no gaps in fixture series")
+    assert(got.exists(_._5 == 0), "no observed rows in fixture series")
+  }
+
+  test("d16: weighted median equals a sequential model and sits at the " +
+    "smallest price whose cumulative weight reaches half") {
+    val got = SparkEntry.queries("d16_weighted_median")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_quantity") * 100).cast("long").as("wq"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, g) =>
+      val hist = g.groupBy(_._2).map { case (c, h) => c -> h.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val tot = hist.map(_._2).sum
+      var cum = 0L
+      val med = hist.collectFirst {
+        case (c, w) if { cum += w; cum * 2 >= tot } => c
+      }.get
+      assert(got(flag) == ((med / 100.0, tot)), s"flag $flag")
+      // definitional check: weight strictly below the median is < half
+      val below = hist.takeWhile(_._1 < med).map(_._2).sum
+      assert(below * 2 < tot, s"flag $flag median not minimal")
+    }
+  }
 }

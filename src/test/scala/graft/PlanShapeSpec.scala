@@ -68,6 +68,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // cross-combines the single-row target/raw mass totals with the
       // 256-row bucket model
       "tp_dsir",
+      // cross-combines the single-row calendar min/max bounds with the
+      // distinct-types frame to generate the spine
+      "i15_backfill",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
