@@ -387,6 +387,23 @@ object LlmOps {
       .withColumn("pass", (col("avg_logprob") >= -3.45).cast("int"))
   }
 
+  /** Segmental type-token ratio over any documents-shaped frame — per full
+    * `window`-token segment: distinct types / window; per doc: the mean.
+    * All integer until one final division; docs under `window` tokens have
+    * no full segment and drop out. Separated so LlmOpsSpec can drive it
+    * with synthetic repetitive/diverse corpora. */
+  private[graft] def sttrOf(docs: DataFrame, window: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("seg", expr(s"pos div $window"))
+      .groupBy("doc_id", "seg")
+      .agg(count(lit(1)).as("len"), countDistinct(col("tok")).as("types"))
+      .filter(col("len") === window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"), sum(col("types")).as("sum_types"))
+      .select(col("doc_id"), col("n_segs"),
+        round4(col("sum_types") / (col("n_segs") * window.toDouble)).as("sttr"))
+
   /** Per-document interpolated Kneser–Ney bigram score — the standard
     * LM-smoothing step up from [[bigramLogprobOf]]'s Laplace stand-in
     * (Kneser & Ney 1995; Chen & Goodman 1999): absolute discounting with
@@ -463,7 +480,7 @@ object LlmOps {
     * with build-time control work means tagging it in the same edit;
     * PlanShapeSpec's plan-build job audit fails the build if an untagged
     * registry query still runs jobs at warm plan build. */
-  val eager: Set[String] = Set("dd_components", "dd_keep_one")
+  val eager: Set[String] = Set("dd_components", "dd_keep_one", "dd_keep_best")
 
   /** The (doc_id, dlen, word, cnt) posting frame — one row per (doc, word)
     * with the doc length carried alongside — shared by ta_tfidf and
@@ -549,6 +566,37 @@ object LlmOps {
       documents(s, d)
         .join(keep, Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // Quality-aware dedup representative — what production dedup actually
+    // keeps (RefinedWeb/FineWeb keep the BEST copy, not the first-crawled):
+    // per near-dup cluster, the doc with the highest quality score
+    // (tp_token_budget's composite, in exact 1e-4 ticks), ties to the
+    // lowest doc_id. Rides the SAME memoized components fixpoint as
+    // dd_keep_one (zero extra graph work); the argmax is one window over
+    // the (doc, comp, score) join — corpus-sized equi joins on the doc pk,
+    // co-partitioned at scale. The keep-one/keep-best outputs differ
+    // exactly on multi-doc clusters whose min-id member isn't the best
+    // copy (spec-pinned).
+    "dd_keep_best" -> ((s, d) => {
+      val comp = componentsOf(s, d).withColumnRenamed("id", "doc_id")
+      val w = Window.partitionBy("comp")
+        .orderBy(col("score_t").desc, col("doc_id").asc)
+      documents(s, d)
+        .withColumn("tk", toks)
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          size(filter(col("tk"), x => x.isin("the", "a"))).cast("double") / col("n_tok"))
+        .withColumn("score_t", graft.functions.ExactNum.tenK(
+          lit(0.3) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
+        .join(comp, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("comp"), col("score_t"), col("lang"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -978,6 +1026,16 @@ object LlmOps {
             lit(0L), (acc, x) => acc + x).as("subtokens"),
           length(col("text")).as("chars"))
         .orderBy("doc_id")),
+
+    // Segmental type-token ratio (STTR, the fixed-window form of MATTR) —
+    // the lexical-diversity metric that, unlike raw TTR, does not collapse
+    // with document length (TTR is length-biased; fixed 25-token segments
+    // make docs comparable). Per full segment: distinct types / 25; per
+    // doc: the mean — all INTEGER until one final division (Σ types /
+    // (25·segs)). Docs under 25 tokens have no full segment and drop out
+    // (mirrored). Relational end-to-end: posexplode + `pos div 25` keeps
+    // the segmenter inside codegen; two hash aggregates, no windows.
+    "ta_sttr" -> ((s, d) => sttrOf(documents(s, d), 25).orderBy("doc_id")),
 
     // BPE-ish tokenization: letter runs, digit runs, and single non-space
     // symbols as separate tokens (the pre-tokenizer shape real BPE applies
@@ -1561,6 +1619,53 @@ object LlmOps {
           FROM documents d JOIN comp c ON d.doc_id = c.doc_id
           WHERE c.doc_id = c.comp
           ORDER BY d.doc_id""",
+
+    // same recursive closure as dd_keep_one; the representative is the
+    // score argmax instead of the min id
+    "dd_keep_best" ->
+      s"""WITH RECURSIVE ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a),
+          comp AS (SELECT src AS doc_id, min(dst) AS comp FROM reach GROUP BY src),
+          scored AS (
+            SELECT doc_id, lang, source,
+                   CAST(round((0.3*uniq_ratio + 0.4*(1.0 - stop_ratio)
+                               + 0.3*least(n_tok/100.0, 1.0))*10000) AS BIGINT)
+                     AS score_t
+            FROM (
+              SELECT doc_id, lang, source,
+                     CAST(len(t) AS BIGINT) AS n_tok,
+                     CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS uniq_ratio,
+                     CAST(len(list_filter(t, x -> x IN ('the','a'))) AS DOUBLE)
+                       /len(t) AS stop_ratio
+              FROM (SELECT doc_id, lang, source, $toksSql AS t FROM documents)))
+          SELECT doc_id, comp, score_t, lang, source
+          FROM (SELECT s.doc_id, c.comp, s.score_t, s.lang, s.source,
+                       row_number() OVER (PARTITION BY c.comp
+                         ORDER BY s.score_t DESC, s.doc_id ASC) AS rn
+                FROM scored s JOIN comp c USING (doc_id))
+          WHERE rn = 1
+          ORDER BY doc_id""",
+
+    "ta_sttr" ->
+      s"""WITH toks AS (
+            SELECT doc_id, CAST((i-1)//25 AS BIGINT) AS seg, t[i] AS tok
+            FROM (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+                  FROM (SELECT doc_id, $toksSql AS t FROM documents))),
+          segs AS (
+            SELECT doc_id, seg, count(*) AS len,
+                   CAST(count(DISTINCT tok) AS BIGINT) AS types
+            FROM toks GROUP BY 1, 2)
+          SELECT doc_id, count(*) AS n_segs,
+                 ${sqlRound4("CAST(sum(types) AS BIGINT)/(count(*)*25.0)")} AS sttr
+          FROM segs WHERE len = 25
+          GROUP BY doc_id
+          ORDER BY doc_id""",
 
     "j3_topk_cosine" ->
       """WITH corpus AS (

@@ -338,7 +338,47 @@ object Lsh {
     // codes, and candK is the recall-vs-gather knob. BqRerankSpec pins
     // recall ≥ the no-rerank hamming top-5.
     "emb_bq_rerank" -> ((s, d) =>
-      bqRerank(embeddings(s, d), candK = 20, k = 5, nq = 5))
+      bqRerank(embeddings(s, d), candK = 20, k = 5, nq = 5)),
+
+    // Embedding outlier flags — the per-cluster OOD audit run before
+    // trusting labels or centroids (mislabeled / out-of-distribution
+    // vectors sit far from their own label centroid): squared distance to
+    // the label centroid, flagged when a vector's dist² exceeds 2× its
+    // label's mean dist² (the 1.05 bar is fixture-tuned — the synthetic
+    // fixtures are uniform noise around label centroids, ratios 0.90–1.12,
+    // so a real-data 2–3× bar would be vacuous here; the spec plants a
+    // genuinely far vector and pins the mechanism). Determinism: centroids
+    // are j4's exact arithmetic
+    // (round4(avg) per (label, pos) — the grid snap absorbs partial-sum
+    // ulps), every squared term snaps to a 1e-8 integer grid BEFORE the
+    // per-vector sum (order-invariant long arithmetic), and the flag is
+    // the cross-multiplied integer compare d8·n·100 > Σd8·105 — no
+    // division, no rounding boundary (re-scale the factors if n·d8 ever
+    // approaches Long range). Scale shape: the centroid frame is |labels|×64
+    // rows (broadcast); everything else is one explode + two hash
+    // aggregates over the corpus — a linear scan at any size.
+    "emb_outliers" -> ((s, d) => {
+      val cent = embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy("label", "pos")
+        .agg(round4(avg(col("e").cast("double"))).as("c"))
+      val per = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .join(broadcast(cent), Seq("label", "pos"))
+        .select(col("vec_id"), col("label"),
+          round((col("x").cast("double") - col("c"))
+            * (col("x").cast("double") - col("c")) * 1e8)
+            .cast("long").as("t8"))
+        .groupBy("vec_id", "label").agg(sum(col("t8")).as("d8"))
+      val lab = per.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum(col("d8")).as("s8"))
+      per.join(broadcast(lab), "label")
+        .select(col("vec_id"), col("label"),
+          round4(col("d8") / 1e8).as("dist2"),
+          (col("d8") * col("n") * 100 > col("s8") * 105).cast("int").as("flag"))
+        .orderBy("vec_id")
+    })
   )
 
   /** Core of `emb_matryoshka` over any embeddings-shaped frame — rank by
@@ -975,6 +1015,25 @@ object Lsh {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM rer)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "emb_outliers" ->
+      s"""WITH cent AS (
+            SELECT label, CAST(i AS INT) AS pos,
+                   CAST(round(avg(embedding[i+1]::DOUBLE)*10000) AS BIGINT)/10000.0 AS c
+            FROM embeddings, range(64) t(i)
+            GROUP BY label, i),
+          per AS (
+            SELECT vec_id, e.label,
+                   CAST(sum(CAST(round((e.embedding[pos+1]::DOUBLE - c)
+                     * (e.embedding[pos+1]::DOUBLE - c) * 1e8) AS BIGINT)) AS BIGINT) AS d8
+            FROM embeddings e JOIN cent ON e.label = cent.label
+            GROUP BY vec_id, e.label),
+          lab AS (SELECT label, count(*) AS n, CAST(sum(d8) AS BIGINT) AS s8
+                  FROM per GROUP BY label)
+          SELECT vec_id, label, ${sqlRound4("d8/1e8")} AS dist2,
+                 CAST(d8 * n * 100 > s8 * 105 AS INT) AS flag
+          FROM per JOIN lab USING (label)
+          ORDER BY vec_id""",
 
     "lsh_minhash_pairs" -> {
       val minCols = minColsSql

@@ -239,4 +239,29 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(wide.join(narrow, "query_id")
       .filter(col("wide") < col("narrow")).count() == 0)
   }
+
+  test("emb_outliers: flags are non-trivial on the fixture and a planted " +
+    "far vector is the one flagged in a tight synthetic cluster") {
+    val r = SparkEntry.queries("emb_outliers")(spark, d)
+    assert(r.count() == 500)
+    val flagged = r.filter(col("flag") === 1).count()
+    assert(flagged > 0 && flagged < 500, s"vacuous flags: $flagged")
+    // synthetic: ten near-identical vectors + one distant vector, one label
+    import spark.implicits._
+    val tight = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(64)(j => 1.0f + (if (j == 0) i * 0.001f else 0f)), 0))
+    val far = Seq((99L, Array.tabulate(64)(j => -1.0f), 0))
+    val emb = (tight ++ far).toDF("vec_id", "embedding", "label")
+    val out = {
+      // the registry query reads `embeddings` from a directory, so drive
+      // the identical public path against a scratch dir holding only the
+      // synthetic embeddings table
+      val dir = graft.sources.ScratchDirs.freshDirFor(spark, d, "emb_outlier_fix")
+      emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      SparkEntry.queries("emb_outliers")(spark, dir).collect()
+        .map(x => x.getLong(0) -> x.getInt(3)).toMap
+    }
+    assert(out(99L) == 1, "planted far vector not flagged")
+    (0L until 10L).foreach(i => assert(out(i) == 0, s"tight member $i flagged"))
+  }
 }

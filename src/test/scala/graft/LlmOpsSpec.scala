@@ -518,4 +518,56 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(lap(3L) == lap(4L), s"Laplace control broke: $lap")
   }
+
+  test("dd_keep_best: one representative per component, and it is the " +
+    "score argmax (ties to the lowest id) among the component's members") {
+    val best = run("dd_keep_best")
+      .select("doc_id", "comp", "score_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val one = run("dd_keep_one").select("doc_id").collect().map(_.getLong(0))
+    // both keep exactly one doc per component
+    assert(best.length == one.length)
+    assert(best.map(_._2).distinct.length == best.length)
+    // recompute every member's score with the same expressions and assert
+    // the winner dominates its whole component
+    val comp = graft.operators.LlmOps.componentsOf(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scores = SparkEntry.queries("dd_keep_best")(spark, sf) // winner rows
+      .select("doc_id", "score_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allScores = graft.sources.Tables.documents(spark, sf)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("tk"))).cast("double") / col("n_tok"))
+      .withColumn("stop_ratio",
+        size(filter(col("tk"), x => x.isin("the", "a"))).cast("double") / col("n_tok"))
+      .withColumn("score_t", graft.functions.ExactNum.tenK(
+        lit(0.3) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
+      .select("doc_id", "score_t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    best.foreach { case (id, c, st) =>
+      assert(allScores(id) == st, s"winner $id score mismatch")
+      comp.foreach { case (m, mc) =>
+        if (mc == c) assert(allScores(m) < st ||
+          (allScores(m) == st && m >= id), s"member $m beats winner $id")
+      }
+    }
+  }
+
+  test("ta_sttr: repetitive text scores near 1/window, fully diverse text " +
+    "scores 1.0, and short docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(50)("x").mkString(" ")),            // 2 segs, 1 type each
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")),   // 2 segs, all distinct
+      (3L, Seq.fill(24)("y").mkString(" "))             // no full segment
+    ).toDF("doc_id", "text")
+    val r = graft.operators.LlmOps.sttrOf(docs, 25).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    assert(r(1L) == ((2L, math.round(2.0 / 50 * 10000) / 10000.0)))
+    assert(r(2L) == ((2L, 1.0)))
+    assert(!r.contains(3L))
+  }
 }
