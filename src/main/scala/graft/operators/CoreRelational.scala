@@ -1219,17 +1219,19 @@ object CoreRelational {
           round(col("l_quantity") * 100).cast("long").as("wq"))
         .groupBy("l_returnflag", "cents")
         .agg(sum(col("wq")).as("wsum"))
+      // one cumulative window over the histogram; group totals come from a
+      // |groups|-row broadcast and the median is min(cents) past the half
+      // mark — cheaper than the three-window form (measured 2.0 → one
+      // ordered pass at sf0.1)
       val wcum = Window.partitionBy("l_returnflag").orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.groupBy("l_returnflag").agg(sum(col("wsum")).as("tot"))
       hist
         .withColumn("cum", sum(col("wsum")).over(wcum))
-        .withColumn("tot",
-          sum(col("wsum")).over(Window.partitionBy("l_returnflag")))
+        .join(broadcast(tot), "l_returnflag")
         .filter(col("cum") * 2 >= col("tot"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("l_returnflag").orderBy("cents")))
-        .filter(col("rn") === 1)
-        .select(col("l_returnflag"), (col("cents") / 100.0).as("w_median_price"),
+        .groupBy("l_returnflag", "tot").agg(min(col("cents")).as("med_cents"))
+        .select(col("l_returnflag"), (col("med_cents") / 100.0).as("w_median_price"),
           col("tot").as("total_weight"))
         .orderBy("l_returnflag")
     }),

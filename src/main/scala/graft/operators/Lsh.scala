@@ -149,6 +149,51 @@ object Lsh {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // MinHash ESTIMATE audit — the sketch-accuracy card next to the pair
+    // miner (est = matching signature components / 16 is an unbiased
+    // Jaccard estimator; this grades how far the 16-hash sketch sits from
+    // the exact inverted-index Jaccard on every banded candidate). The
+    // audit is what sizes nHashes in production: mean |est − jac| ~
+    // 1/√nHashes, so a corpus owner reads this table before trusting
+    // sketch-only dedup. Same bucketed discipline as lsh_minhash_pairs
+    // (signatures + bands + candidates off the shared capped index —
+    // never all-pairs); the estimate adds 16 integer equality checks per
+    // candidate. Identical shingle sets ⟹ identical signatures ⟹ est = 1
+    // exactly (spec-pinned on the planted exact dups).
+    "lsh_minhash_est" -> ((s, d) => {
+      val inv = LlmOps.shingleIndex(documents(s, d)).select("doc_id", "h", "nsh")
+      val sigs = graft.CacheRegistry.materialize(
+        inv.groupBy("doc_id").agg(
+          min((col("h") * A(0) + B(0)) % P).as("mh0"),
+          (1 until nHashes).map(i => min((col("h") * A(i) + B(i)) % P).as(s"mh$i")): _*))
+      val bands = graft.CacheRegistry.materialize(minhashBandRows(inv))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_val"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+      val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+      val matches = (0 until nHashes)
+        .map(i => (col(s"a_mh$i") === col(s"b_mh$i")).cast("long"))
+        .reduce(_ + _)
+      val exact = cand
+        .join(inv.select(col("doc_id").as("doc_a"), col("h"), col("nsh").as("na")), "doc_a")
+        .join(inv.select(col("doc_id").as("doc_b"), col("h"), col("nsh").as("nb")),
+          Seq("doc_b", "h"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("inter"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      cand
+        .join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("matches", matches)
+        .join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("matches"),
+          round4(col("matches") / 16.0).as("est"),
+          round4(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter"))).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Signed random projection: 64-dim → 8-dim via a deterministic ±1
     // matrix (md5 parity of "rp:j:i") — the JL-style reduction that shrinks
     // vectors before an ANN index. The 8×64 sign matrix is a broadcast
@@ -1067,6 +1112,50 @@ object Lsh {
                       JOIN cdocs cx ON cand.doc_a = cx.doc_id
                       JOIN cdocs cy ON cand.doc_b = cy.doc_id)
           WHERE jac >= 0.5
+          ORDER BY doc_a, doc_b"""
+    },
+
+    "lsh_minhash_est" -> {
+      val minCols = minColsSql
+      val bandSelects = bandSelectsSql("sigs")
+      val matchSum = (0 until nHashes)
+        .map(i => s"CASE WHEN sx.mh$i = sy.mh$i THEN 1 ELSE 0 END")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      s"""WITH docs AS (
+            SELECT doc_id, list_distinct(list_transform($shSql,
+              s -> ('0x'||substr(md5(s),1,15))::BIGINT % $P)) AS hs
+            FROM documents),
+          inv AS (SELECT doc_id, unnest(hs) AS h FROM docs),
+          hot AS (SELECT h FROM inv GROUP BY h
+                  HAVING count(*) > ${LlmOps.MaxShingleDf}),
+          capped AS (SELECT inv.doc_id, inv.h FROM inv ANTI JOIN hot USING (h)),
+          sigs AS (
+            SELECT doc_id, $minCols
+            FROM capped
+            GROUP BY doc_id),
+          bands AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id),
+          cdocs AS (SELECT doc_id, list(h) AS ch FROM capped GROUP BY doc_id),
+          scored AS (
+            SELECT doc_a, doc_b,
+                   $matchSum AS matches,
+                   CAST(len(list_intersect(cx.ch, cy.ch)) AS BIGINT) AS inter,
+                   len(x.hs) AS na, len(y.hs) AS nb
+            FROM cand JOIN docs x ON cand.doc_a = x.doc_id
+                      JOIN docs y ON cand.doc_b = y.doc_id
+                      JOIN cdocs cx ON cand.doc_a = cx.doc_id
+                      JOIN cdocs cy ON cand.doc_b = cy.doc_id
+                      JOIN sigs sx ON cand.doc_a = sx.doc_id
+                      JOIN sigs sy ON cand.doc_b = sy.doc_id)
+          SELECT doc_a, doc_b, matches,
+                 ${sqlRound4("matches/16.0")} AS est,
+                 ${sqlRound4("CAST(inter AS DOUBLE)/(na + nb - inter)")} AS jac
+          FROM scored WHERE inter >= 1
           ORDER BY doc_a, doc_b"""
     },
 

