@@ -469,14 +469,18 @@ object TrainingPipeline {
     // to the 1e-7 grid pre-sum; engines agree bit-for-bit.
     "tp_dsir" -> ((s, d) => dsirOf(documents(s, d)).orderBy("doc_id")))
 
-  /** Core of `tp_dsir` over any documents-shaped frame (target = lang
-    * 'en') — separated so TrainingPipelineSpec can prove the mechanism on
-    * disjoint-vocabulary synthetic corpora where the separation is sharp. */
-  private[graft] def dsirOf(docs: org.apache.spark.sql.DataFrame)
+  /** Token → 256-bucket hashed-feature projection shared by the batch
+    * scorer and the streaming gate (one definition — the stored model and
+    * a per-batch probe can never drift). */
+  private[graft] def dsirBucket(tok: org.apache.spark.sql.Column) =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % 256
+
+  /** The 256-row DSIR bucket model (log target/raw mass ratio on the 1e-7
+    * grid) learned from `docs` — the STATIC ARTIFACT a streaming ingest
+    * gate ships; target = lang 'en'. */
+  private[graft] def dsirModel(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val occ = LlmOps.tokenCounts(docs)
-      .withColumn("bkt",
-        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % 256)
+    val occ = LlmOps.tokenCounts(docs).withColumn("bkt", dsirBucket(col("tok")))
     val langs = docs.select(col("doc_id"), col("lang"))
     val cnt = occ.join(langs, "doc_id")
       .groupBy("bkt").agg(
@@ -484,11 +488,21 @@ object TrainingPipeline {
         sum(when(col("lang") =!= "en", col("m")).otherwise(lit(0L))).as("cr"))
     val tot = cnt.agg(sum(col("ct")).cast("double").as("st"),
       sum(col("cr")).cast("double").as("sr"))
-    val lr = cnt.crossJoin(broadcast(tot))
+    cnt.crossJoin(broadcast(tot))
       .select(col("bkt"),
         round(log(((col("ct") + 1) / (col("st") + 256)) /
           ((col("cr") + 1) / (col("sr") + 256))) * 1e7)
           .cast("long").as("lr"))
+  }
+
+  /** Core of `tp_dsir` over any documents-shaped frame (target = lang
+    * 'en') — separated so TrainingPipelineSpec can prove the mechanism on
+    * disjoint-vocabulary synthetic corpora where the separation is sharp. */
+  private[graft] def dsirOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val occ = LlmOps.tokenCounts(docs).withColumn("bkt", dsirBucket(col("tok")))
+    val langs = docs.select(col("doc_id"), col("lang"))
+    val lr = dsirModel(docs)
     occ.join(broadcast(lr), "bkt")
       .groupBy("doc_id").agg(
         sum(col("m")).as("n_tokens"),

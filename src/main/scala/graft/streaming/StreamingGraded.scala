@@ -511,6 +511,33 @@ object StreamingGraded {
       s.read.parquet(s"$tmp/spool").orderBy("train_id")
     }),
 
+    // SG17: streaming DSIR data selection at ingest — tp_dsir's
+    // arrival-time form: the 256-bucket importance model is learned once
+    // from the corpus (the stored artifact — built by the SAME
+    // `dsirModel` the batch scorer uses, so probe features can never
+    // drift), then every arriving doc is scored per micro-batch against
+    // that static model and the selection verdict lands in the spool.
+    // Per-doc verdicts depend only on the doc's own tokens and static
+    // state ⇒ batching-independent (StreamingSpec: thirds ≡ whole ≡ the
+    // batch scorer), so the graded read equals tp_dsir's oracle verbatim.
+    // At 100 TB the model is 256 rows — a broadcast per batch, the
+    // cheapest gate in the ingest path after the exact-hash one.
+    "tp_dsir_stream" -> ((s, d) => {
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "dsir_stream")
+      val lr = graft.CacheRegistry.materialize(
+        graft.operators.TrainingPipeline.dsirModel(Tables.documents(s, d)))
+      val incoming = Tables.tableStream(s, d, "documents")
+      val q = incoming.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamingOps.dsirScoreBatch(batch, lr)
+            .write.mode("append").parquet(s"$tmp/spool")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool").orderBy("doc_id")
+    }),
+
     // SG14/I3b: SESSION WINDOWS promoted to the gate — the data-aligned
     // window family (i4 grades the time-aligned tumbling form; sessions
     // are the one whose boundaries come from the DATA, which is why they
@@ -606,6 +633,11 @@ object StreamingGraded {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // the streamed scorer over the whole corpus against the whole-corpus
+    // model is the batch scorer exactly — same oracle as tp_dsir
+    "tp_dsir_stream" ->
+      graft.operators.TrainingPipeline.oracle("tp_dsir"),
 
     // the same composed plan, batch-declared: increment anti-joined
     // against the corpus hash set on the j1 normalized text hash

@@ -170,6 +170,30 @@ object StreamingOps {
       .select(col("doc_id").as("train_id"), col("n_shared"), col("n_test_docs"))
   }
 
+  /** Per-micro-batch DSIR scoring verdict (the tp_dsir_stream core): score
+    * every arriving doc against the STATIC 256-row bucket model `lr` (the
+    * shipped artifact of `TrainingPipeline.dsirModel` — same builder as the
+    * batch scorer, so probe features can never drift from the model).
+    * Tokenization is relational (explode + hash aggregate, codegen'd — the
+    * dd_simhash lesson), the model joins by broadcast, and each verdict
+    * depends only on the doc's own tokens and static state ⇒
+    * batching-independent and gradeable against the batch oracle. */
+  def dsirScoreBatch(batch: DataFrame, lr: DataFrame): DataFrame = {
+    import graft.operators.TrainingPipeline
+    val occ = batch
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("m"))
+      .withColumn("bkt", TrainingPipeline.dsirBucket(col("tok")))
+    occ.join(broadcast(lr), "bkt")
+      .groupBy("doc_id", "lang").agg(
+        sum(col("m")).as("n_tokens"),
+        graft.functions.ExactNum.round4(
+          (sum(col("m") * col("lr")) / 1e7) / sum(col("m"))).as("dsir_score"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("dsir_score"),
+        (col("dsir_score") > 0.0 && col("lang") =!= "en").cast("int")
+          .as("selected"))
+  }
+
   /** Per-micro-batch ANN serving verdict (the lsh_ivf_serve_stream core):
     * top-`k` cosine neighbors from the STATIC IVF-indexed corpus for every
     * query vector in `batch`. Queries are assigned to their coarse cell

@@ -537,4 +537,84 @@ object GraftProperties extends Properties("graft") {
         }
       }
     }
+
+  // random per-type daily tick series (ties in value, short and long runs)
+  private val seriesGen: Gen[List[(Int, Int, Long)]] =
+    Gen.listOfN(24, for {
+      tpe <- Gen.choose(0, 2)
+      day <- Gen.choose(0, 11)
+      xt <- Gen.choose(0L, 1000L)
+    } yield (tpe, day, xt))
+
+  property("CUSUM closed window form equals the literal recurrence on " +
+    "random series") = forAll(seriesGen) { raw =>
+    import spark.implicits._
+    // collapse duplicate (type, day) rows like the daily aggregate would
+    val series = raw.groupBy(r => (r._1, r._2))
+      .map { case ((t, d), g) => (t, f"d$d%02d", g.map(_._3).sum) }.toList
+    if (series.isEmpty) true
+    else {
+      val daily = series.toDF("event_type", "day", "xt")
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("xt")).as("s"))
+      val wseq = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the e18 window form verbatim
+      val got = daily.join(broadcast(stats), "event_type")
+        .withColumn("pf", sum(col("xt") * col("n") - col("s")).over(wseq))
+        .withColumn("st", col("pf") - least(min(col("pf")).over(wseq), lit(0L)))
+        .select("event_type", "day", "st").collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      // the sequential recurrence in the same n-scaled units
+      series.groupBy(_._1).forall { case (tpe, rows) =>
+        val seq = rows.sortBy(_._2)
+        val n = seq.length.toLong
+        val s = seq.map(_._3).sum
+        var st = 0L
+        seq.forall { case (_, day, xt) =>
+          st = math.max(0L, st + (xt * n - s))
+          got((tpe, day)) == st
+        }
+      }
+    }
+  }
+
+  private val wmGen: Gen[List[(Int, Long, Long)]] =
+    Gen.listOfN(30, for {
+      grp <- Gen.choose(0, 2)
+      v <- Gen.choose(0L, 20L)   // narrow → frequent value ties
+      w <- Gen.choose(1L, 9L)
+    } yield (grp, v, w))
+
+  property("weighted median is the smallest value whose cumulative weight " +
+    "reaches half, on random weighted multisets") = forAll(wmGen) { rows =>
+    import spark.implicits._
+    if (rows.isEmpty) true
+    else {
+      // the d16 plan shape verbatim over a synthetic (grp, v, w) frame
+      val hist = rows.toDF("grp", "v", "w")
+        .groupBy("grp", "v").agg(sum(col("w")).as("wsum"))
+      val wcum = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.groupBy("grp").agg(sum(col("wsum")).as("tot"))
+      val got = hist
+        .withColumn("cum", sum(col("wsum")).over(wcum))
+        .join(broadcast(tot), "grp")
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("grp").agg(min(col("v")).as("med"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      rows.groupBy(_._1).forall { case (g, rs) =>
+        val tot = rs.map(_._3).sum
+        val byV = rs.groupBy(_._2).map { case (v, h) => v -> h.map(_._3).sum }
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        val model = byV.collectFirst {
+          case (v, w) if { cum += w; cum * 2 >= tot } => v
+        }.get
+        // equality with the model AND definitional minimality
+        val below = byV.takeWhile(_._1 < model).map(_._2).sum
+        got(g) == model && below * 2 < tot
+      }
+    }
+  }
 }

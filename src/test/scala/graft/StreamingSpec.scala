@@ -1092,4 +1092,21 @@ class StreamingSpec extends AnyFunSuite {
         s"missing=${model.keySet -- got.keySet}")
     assert(model.nonEmpty, "fixture span too short to close any window")
   }
+
+  test("DSIR scoring is batching-independent and equals the batch scorer") {
+    import graft.operators.TrainingPipeline
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val lr = TrainingPipeline.dsirModel(docs)
+    val whole = StreamingOps.dsirScoreBatch(docs, lr)
+    val parts = (0 until 3).map(i =>
+      StreamingOps.dsirScoreBatch(docs.filter(col("doc_id") % 3 === i), lr))
+      .reduce(_ union _)
+    assert(whole.count() == parts.count())
+    assert(whole.exceptAll(parts).count() == 0 &&
+      parts.exceptAll(whole).count() == 0)
+    // the per-batch scorer against the shipped model IS the batch scorer
+    val batch = TrainingPipeline.dsirOf(docs)
+    assert(whole.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(whole).count() == 0)
+  }
 }
