@@ -473,6 +473,39 @@ object WindowedAnalytics {
         .orderBy("event_type", "day")
     }),
 
+    // E19: revenue concentration (Lorenz/Pareto card) — how much of total
+    // revenue the top user deciles hold, the 80/20 skew report every
+    // monetized-events dataset gets asked for. Sort-free at scale: per-user
+    // revenue snaps to BIGINT cents and collapses to a (cents → n_users)
+    // HISTOGRAM whose row count is bounded by the value range in cents at
+    // ANY user count (the d16/tp_token_budget tick argument), the ordered
+    // cumulative window runs over histogram rows (desc — richest first),
+    // and a histogram row's decile is where its FIRST user lands
+    // ((cum_before·10) div total_users, clamped — deterministic integer
+    // arithmetic, no percentile interpolation). Revenue per tick is the
+    // exact integer cents·n_users; shares divide once at the end.
+    "e19_concentration" -> ((s, d) => {
+      val hist = events(s, d)
+        .groupBy("user_id")
+        .agg(sum(graft.functions.ExactNum.cents(col("value"))).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("nu"))
+      val tot = hist.agg(sum(col("nu")).as("tu"),
+        sum(col("c") * col("nu")).as("tc"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist
+        .withColumn("cum_before", coalesce(sum(col("nu")).over(w), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile",
+          least(lit(9L), expr("(cum_before * 10) div tu")) + 1)
+        .groupBy("decile", "tu", "tc")
+        .agg(sum(col("nu")).as("n_users"), sum(col("c") * col("nu")).as("rc"))
+        .select(col("decile"), col("n_users"),
+          (col("rc") / 100.0).as("revenue"),
+          round4(col("rc") / col("tc").cast("double")).as("rev_share"))
+        .orderBy("decile")
+    }),
+
     // E18: CUSUM change-point detection (Page 1954) — the sequential
     // monitoring statistic that catches a SUSTAINED mean shift long before
     // a per-day spike rule fires: s_t = max(0, s_{t-1} + (x_t − μ)). The
@@ -953,6 +986,29 @@ object WindowedAnalytics {
                  ${sqlRound4("(num/den)/1e4")} AS ewma,
                  CAST(xt * den > num AS INT) AS above
           FROM j ORDER BY event_type, day""",
+
+    "e19_concentration" ->
+      s"""WITH ur AS (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS c
+            FROM events GROUP BY 1),
+          hist AS (SELECT c, count(*) AS nu FROM ur GROUP BY c),
+          tot AS (SELECT CAST(sum(nu) AS BIGINT) AS tu,
+                         CAST(sum(c * nu) AS BIGINT) AS tc FROM hist),
+          cum AS (
+            SELECT c, nu,
+                   coalesce(CAST(sum(nu) OVER (ORDER BY c DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS cum_before
+            FROM hist),
+          dec AS (
+            SELECT least(9, (cum_before * 10) // tu) + 1 AS decile, nu, c, tu, tc
+            FROM cum CROSS JOIN tot)
+          SELECT decile, CAST(sum(nu) AS BIGINT) AS n_users,
+                 CAST(sum(c * nu) AS BIGINT)/100.0 AS revenue,
+                 ${sqlRound4("CAST(sum(c * nu) AS BIGINT)/CAST(tc AS DOUBLE)")} AS rev_share
+          FROM dec GROUP BY decile, tu, tc
+          ORDER BY decile""",
 
     "e18_cusum" ->
       s"""WITH daily AS (

@@ -660,6 +660,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.exists(_._5 == 0), "no observed rows in fixture series")
   }
 
+  test("gr_harmonic: hand graphs — a path scores ends 1.5 / middles 2.5, " +
+    "and a triangle has no strict 2-hop targets") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val gotPath = graft.operators.CoreRelational.boundedHarmonicOf(path)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotPath == Map(
+      1L -> ((1L, 1L, 1.5)), 2L -> ((2L, 1L, 2.5)),
+      3L -> ((2L, 1L, 2.5)), 4L -> ((1L, 1L, 1.5))))
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val gotTri = graft.operators.CoreRelational.boundedHarmonicOf(tri)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(gotTri == Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0))
+  }
+
+  test("e19: deciles partition the users, revenue sums to the exact total, " +
+    "and the output equals a sequential richest-first model") {
+    val got = SparkEntry.queries("e19_concentration")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    assert(got.map(_._1).toSet.subsetOf((1L to 10L).toSet))
+    // sequential model from the same per-user cents
+    val cents = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(graft.functions.ExactNum.cents(col("value"))).as("c"))
+      .collect().map(_.getLong(1))
+    val hist = cents.groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+      .toSeq.sortBy(-_._1)
+    val tu = cents.length.toLong
+    val tc = cents.sum
+    var cumBefore = 0L
+    val model = hist.map { case (c, nu) =>
+      val dec = math.min(9L, cumBefore * 10 / tu) + 1
+      cumBefore += nu
+      (dec, nu, c * nu)
+    }.groupBy(_._1).map { case (d, g) =>
+      d -> ((g.map(_._2).sum, g.map(_._3).sum / 100.0,
+        math.round(g.map(_._3).sum.toDouble / tc * 10000) / 10000.0))
+    }
+    assert(got.toMap == model)
+    assert(got.map(_._2._1).sum == tu)
+    assert(math.abs(got.map(_._2._2).sum - tc / 100.0) < 1e-9)
+    // richest-first: the top decile can never hold less than the bottom
+    val byDec = got.toMap
+    assert(byDec(1L)._3 >= byDec(byDec.keySet.max)._3)
+  }
+
   test("d16: weighted median equals a sequential model and sits at the " +
     "smallest price whose cumulative weight reaches half") {
     val got = SparkEntry.queries("d16_weighted_median")(spark, sf).collect()

@@ -71,6 +71,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // cross-combines the single-row calendar min/max bounds with the
       // distinct-types frame to generate the spine
       "i15_backfill",
+      // cross-combines the single-row total-users/total-cents aggregate
+      // with the revenue-tick histogram
+      "e19_concentration",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
@@ -129,6 +132,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // same class: each Bellman-Ford round is dist ⋈ edges on the vertex
       // id — vertex-sized × edge-set-sized co-keyed equi join
       "gr_sssp",
+      // the 2-hop wedge join and the strictly-2-hop anti join are both
+      // capped-adjacency × capped-adjacency equi joins on the vertex id
+      // (Σ deg² ≤ capM²·|V|) — the gr_node_sim class; broadcasting a
+      // 100 TB graph's adjacency would be wrong
+      "gr_harmonic",
       // the POINT of the query: the salted join is hinted shuffle_hash so
       // the hot-key sharding demonstrably shuffles instead of broadcasting
       // the test-SF dim (at scale the dim is too big to broadcast)
