@@ -842,6 +842,19 @@ object CoreRelational {
     "gr_node_sim" -> ((s, d) =>
       neighborSimOf(knnEdges(s, d)).orderBy("a", "b")),
 
+    // GR10: local clustering coefficient — Watts–Strogatz per-vertex
+    // transitivity, c(u) = 2·t(u)/(deg(u)·(deg(u)−1)): how much of each
+    // vertex's neighborhood is itself connected (the community-tightness
+    // signal next to GR7's pairwise similarity). Rides the SAME
+    // materialized knn edge frame as the triangle/pagerank family — t(u)
+    // from the shared triangleCounts build, deg(u) from the symmetrized
+    // edge union (one hash aggregate); vertices with deg < 2 have no
+    // possible wedge and report 0 by the standard convention. The only
+    // division is one small rational per vertex, snapped round4 — all
+    // counts are exact integers under any partitioning.
+    "gr_clustering_coef" -> ((s, d) =>
+      clusteringCoefOf(knnEdges(s, d)).orderBy("s_suppkey")),
+
     // GR9: bounded harmonic centrality — the "who is structurally central"
     // ranking (Boldi & Vigna) truncated at 2 hops over the same capped
     // co-supply adjacency; see boundedHarmonicOf for the radius/cap
@@ -1464,6 +1477,22 @@ object CoreRelational {
         round4(col("common") / (col("da") + col("db") - col("common"))).as("sim"))
   }
 
+  /** Local clustering coefficient over a canonical (src<dst) edge frame —
+    * the `gr_clustering_coef` core, separated so AnalyticsSpec can drive
+    * it with hand graphs. deg < 2 reports 0 by the standard convention. */
+  private[graft] def clusteringCoefOf(e: DataFrame): DataFrame = {
+    val deg = e.select(col("src").as("u")).union(e.select(col("dst").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val tri = GraphOps.triangleCounts(e)
+      .select(col("id").as("u"), col("n_triangles"))
+    deg.join(tri, Seq("u"), "left")
+      .select(col("u").as("s_suppkey"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round4(coalesce(col("n_triangles"), lit(0L)) * 2.0 /
+            (col("deg") * (col("deg") - 1)))).as("coef"))
+  }
+
   /** Bounded harmonic centrality over the capped symmetrized adjacency —
     * Σ 1/d(u,w) truncated at 2 hops (Boldi & Vigna's harmonic centrality,
     * radius-bounded the way any 100-TB graph job bounds it: exact BFS is
@@ -1897,6 +1926,42 @@ object CoreRelational {
                    "CAST(cn.common AS DOUBLE)/(da.deg + db.deg - cn.common)")} AS sim
           FROM cn JOIN deg da ON cn.a = da.u JOIN deg db ON cn.b = db.u
           ORDER BY cn.a, cn.b""",
+
+    // same knn edge + triangle CTEs; degree from the symmetrized union,
+    // one small rational per vertex
+    "gr_clustering_coef" ->
+      s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                     FROM lineitem),
+          p AS (SELECT x.sk AS sa, y.sk AS sb, count(*) AS cnt
+                FROM co x JOIN co y ON x.ok = y.ok AND x.sk < y.sk
+                GROUP BY 1, 2),
+          dir AS (SELECT sa AS s, sb AS pr, cnt FROM p
+                  UNION ALL SELECT sb, sa, cnt FROM p),
+          knn AS (SELECT s, pr FROM (
+                    SELECT s, pr, row_number() OVER (
+                      PARTITION BY s ORDER BY cnt DESC, pr ASC) AS rn
+                    FROM dir) WHERE rn <= 5),
+          e AS (SELECT DISTINCT least(s, pr) AS src, greatest(s, pr) AS dst
+                FROM knn),
+          tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                  FROM e ab JOIN e bc ON ab.dst = bc.src
+                  JOIN e ac ON ab.src = ac.src AND bc.dst = ac.dst),
+          tcnt AS (SELECT id AS u, CAST(count(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT a AS id FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+                   GROUP BY id),
+          deg AS (SELECT u, count(*) AS deg
+                  FROM (SELECT src AS u FROM e UNION ALL SELECT dst FROM e)
+                  GROUP BY u)
+          SELECT deg.u AS s_suppkey, CAST(deg.deg AS BIGINT) AS deg,
+                 CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+                 CASE WHEN deg.deg < 2 THEN 0.0 ELSE
+                   ${graft.functions.ExactNum.sqlRound4(
+                     "coalesce(tcnt.n_triangles, 0) * 2.0 / (deg.deg * (deg.deg - 1))")}
+                 END AS coef
+          FROM deg LEFT JOIN tcnt ON deg.u = tcnt.u
+          ORDER BY s_suppkey""",
 
     // same knn + cap CTEs as gr_node_sim; strictly-2-hop targets anti-join
     // the 1-hop set, and harmonic lands on the exact .5 grid

@@ -675,6 +675,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gotTri == Map(1L -> 2.0, 2L -> 2.0, 3L -> 2.0))
   }
 
+  test("gr_clustering_coef: hand graphs — a triangle is fully transitive, " +
+    "a path is 0, a diagonal square splits 1.0 / 0.6667") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)]) =
+      graft.operators.CoreRelational.clusteringCoefOf(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)), 3L -> ((2L, 1L, 1.0))))
+    assert(run(Seq((1L, 2L), (2L, 3L))) == Map(
+      1L -> ((1L, 0L, 0.0)), 2L -> ((2L, 0L, 0.0)), 3L -> ((1L, 0L, 0.0))))
+    // square 1-2-3-4 with the 1-3 diagonal: corners on the diagonal see
+    // 2 of their 3 neighbor pairs connected; the others see their only one
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))) == Map(
+      1L -> ((3L, 2L, 0.6667)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 2L, 0.6667)), 4L -> ((2L, 1L, 1.0))))
+  }
+
   test("e19: deciles partition the users, revenue sums to the exact total, " +
     "and the output equals a sequential richest-first model") {
     val got = SparkEntry.queries("e19_concentration")(spark, sf).collect()

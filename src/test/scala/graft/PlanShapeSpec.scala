@@ -123,6 +123,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // and the per-order supplier pairing is a data×data self equi join
       // on the order pk
       "gr_knn_triangles",
+      // rides the same edge-set × edge-set triangle joins plus a
+      // vertex-sized degree join on the vertex pk — the gr_knn_triangles
+      // class; broadcasting a 100 TB graph's edges would be wrong
+      "gr_clustering_coef",
       // each power-iteration round is rank ⋈ edges — BOTH sides are
       // vertex/edge-set-sized (and co-keyed on the vertex id), so the
       // shuffle equi-join IS the scale plan; broadcasting a 100 TB
