@@ -385,6 +385,22 @@ object Lsh {
     "emb_bq_rerank" -> ((s, d) =>
       bqRerank(embeddings(s, d), candK = 20, k = 5, nq = 5)),
 
+    // Top principal component by POWER ITERATION — the distributed-PCA
+    // primitive (the direction a 100-TB embedding corpus varies most
+    // along; the axis every whitening/compression/drift job starts from).
+    // One corpus pass builds the 64×64 covariance (explode² self-join on
+    // the vector pk: 4096·N product rows, linear in N — the standard
+    // distributed shape); every subsequent round is MODEL-sized (64×64 ⋈
+    // 64). Determinism discipline: the j4-exact grid-snapped mean, every
+    // centered product snapped to a 1e-8 integer grid pre-sum, covariance
+    // averaged to ticks, iterate in pure integer ticks with max-abs
+    // renormalization per round (an integer max — no sqrt until the very
+    // end), md5-parity seed. Three rounds suffice for a rank-separated
+    // top eigenvector on any input (PcaSpec pins recovery of a planted
+    // dominant axis); the L2 normalization runs once, on integer
+    // operands, so both engines see identical doubles.
+    "emb_pca_top1" -> ((s, d) => pcaTop1Of(embeddings(s, d)).orderBy("pos")),
+
     // Embedding outlier flags — the per-cluster OOD audit run before
     // trusting labels or centroids (mislabeled / out-of-distribution
     // vectors sit far from their own label centroid): squared distance to
@@ -425,6 +441,45 @@ object Lsh {
         .orderBy("vec_id")
     })
   )
+
+  /** Core of `emb_pca_top1` over any embeddings-shaped frame — see the
+    * registry comment for the shape; separated so PcaSpec can plant a
+    * dominant axis and assert recovery. */
+  private[graft] def pcaTop1Of(embs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val x = embs
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("i", "xi")))
+    val mu = x.groupBy("i").agg(round4(avg(col("xi"))).as("mu"))
+    val cx = graft.CacheRegistry.materialize(
+      x.join(broadcast(mu), "i")
+        .select(col("vec_id"), col("i"), (col("xi") - col("mu")).as("ci")))
+    val nDf = embs.agg(count(lit(1)).as("n"))
+    val cov = graft.CacheRegistry.materialize(
+      cx.join(cx.select(col("vec_id"), col("i").as("j"), col("ci").as("cj")),
+          "vec_id")
+        .groupBy("i", "j")
+        .agg(sum(round(col("ci") * col("cj") * 1e8).cast("long")).as("s8"))
+        .crossJoin(broadcast(nDf))
+        .select(col("i"), col("j"),
+          round(col("s8") / col("n")).cast("long").as("c8")))
+    val w0 = embs.sparkSession.range(64).select(col("id").cast("int").as("j"))
+      .withColumn("w7",
+        when(conv(substring(md5(concat(lit("pca:"), col("j").cast("string"))),
+          1, 15), 16, 10).cast("long") % 2 === 0, 10000000L)
+          .otherwise(-10000000L))
+    def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val raw = cov.join(broadcast(w), "j")
+        .groupBy("i").agg(sum(col("c8") * col("w7")).as("raw"))
+      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          round(col("raw") / col("mx") * 1e7).cast("long").as("w7"))
+    }
+    val w3 = iterate(iterate(iterate(w0)))
+    val nrm = w3.agg(sqrt(sum(col("w7") * col("w7")).cast("double")).as("nr"))
+    w3.crossJoin(broadcast(nrm))
+      .select(col("j").as("pos"), round4(col("w7") / col("nr")).as("loading"))
+  }
 
   /** Core of `emb_matryoshka` over any embeddings-shaped frame — rank by
     * the `dims`-prefix cosine, attach the full cosine; queries are the
@@ -1060,6 +1115,40 @@ object Lsh {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM rer)
           WHERE rank <= 5
           ORDER BY query_id, rank""",
+
+    "emb_pca_top1" -> {
+      def iterSql(prev: String, out: String): String =
+        s"""${out}raw AS (
+              SELECT cov.i, CAST(sum(c8 * w7) AS BIGINT) AS raw
+              FROM cov JOIN $prev ON cov.j = $prev.j GROUP BY cov.i),
+            ${out}m AS (SELECT max(abs(raw)) AS mx FROM ${out}raw),
+            $out AS (SELECT i AS j,
+                       CAST(round(raw / mx * 1e7) AS BIGINT) AS w7
+                     FROM ${out}raw CROSS JOIN ${out}m)"""
+      s"""WITH x AS (
+            SELECT vec_id, i, embedding[i+1]::DOUBLE AS xi
+            FROM embeddings, range(64) t(i)),
+          mu AS (SELECT i, CAST(round(avg(xi)*10000) AS BIGINT)/10000.0 AS mu
+                 FROM x GROUP BY i),
+          cx AS (SELECT vec_id, i, xi - mu AS ci FROM x JOIN mu USING (i)),
+          nn AS (SELECT count(*) AS n FROM embeddings),
+          cov AS (
+            SELECT a.i, b.i AS j,
+                   CAST(round(CAST(sum(CAST(round(a.ci * b.ci * 1e8) AS BIGINT))
+                     AS BIGINT) / n) AS BIGINT) AS c8
+            FROM cx a JOIN cx b USING (vec_id) CROSS JOIN nn
+            GROUP BY a.i, b.i, n),
+          w0 AS (SELECT CAST(i AS INT) AS j,
+                        CASE WHEN ('0x'||substr(md5('pca:'||CAST(i AS VARCHAR)),1,15))::BIGINT % 2 = 0
+                             THEN 10000000 ELSE -10000000 END AS w7
+                 FROM range(64) t(i)),
+          ${iterSql("w0", "w1")},
+          ${iterSql("w1", "w2")},
+          ${iterSql("w2", "w3")},
+          nrm AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM w3)
+          SELECT CAST(j AS INT) AS pos, ${sqlRound4("w7 / nr")} AS loading
+          FROM w3 CROSS JOIN nrm ORDER BY pos"""
+    },
 
     "emb_outliers" ->
       s"""WITH cent AS (

@@ -265,6 +265,28 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mae < 0.25, s"sketch error too high: $mae")
   }
 
+  test("pca power iteration: recovers a planted dominant axis and returns " +
+    "a unit vector on the fixture") {
+    val fix = SparkEntry.queries("emb_pca_top1")(spark, d).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(fix.size == 64)
+    val norm = math.sqrt(fix.values.map(v => v * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"not unit: $norm")
+    // synthetic: x_k = t_k * u + eps, u = (0.6, 0.8, 0, ..., 0); the top
+    // principal component must align with u up to sign
+    import spark.implicits._
+    val u = Array.tabulate(64)(j => if (j == 0) 0.6f else if (j == 1) 0.8f else 0f)
+    val vecs = (0 until 40).map { k =>
+      val t = (k - 20) * 0.5f
+      (k.toLong, Array.tabulate(64)(j =>
+        t * u(j) + (((k * 31 + j * 7) % 11 - 5) * 0.002f)))
+    }.toDF("vec_id", "embedding")
+    val got = graft.operators.Lsh.pcaTop1Of(vecs).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val align = math.abs((0 until 64).map(j => got(j) * u(j)).sum)
+    assert(align > 0.99, s"planted axis not recovered: alignment $align")
+  }
+
   test("emb_outliers: flags are non-trivial on the fixture and a planted " +
     "far vector is the one flagged in a tight synthetic cluster") {
     val r = SparkEntry.queries("emb_outliers")(spark, d)

@@ -74,6 +74,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // cross-combines the single-row total-users/total-cents aggregate
       // with the revenue-tick histogram
       "e19_concentration",
+      // cross-combines the single-row N / max-abs / norm aggregates and
+      // broadcasts the 64-row weight vector per power-iteration round —
+      // all model-sized
+      "emb_pca_top1",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
