@@ -444,36 +444,61 @@ object Lsh {
 
   /** Core of `emb_pca_top1` over any embeddings-shaped frame — see the
     * registry comment for the shape; separated so PcaSpec can plant a
-    * dominant axis and assert recovery. */
+    * dominant axis and assert recovery.
+    *
+    * The covariance uses the MOMENTS identity Cov = E[xxᵀ] − μμᵀ with a
+    * DOUBLE posexplode for the second-moment matrix: the centered-product
+    * self-join form SHUFFLED 4096·N product rows (measured 3.7 s at
+    * sf0.1 — briefly the suite's slowest query), and a 64-column wide
+    * aggregate fell out of whole-stage codegen (measured 8 s cold). The
+    * double generate is NARROW — 4096·N product rows exist only map-side,
+    * and partial aggregation collapses them to ≤ 4096 rows per partition
+    * before the only shuffle (the s8 aggregate alone measures 0.7 s at
+    * sf0.1). The steady-state query still pays ~3 s: three rounds × two
+    * broadcast exchanges each (the round result and its max-abs scalar)
+    * re-execute per run — the honest multi-job floor of an ITERATIVE
+    * operator, the same class as the graph fixpoints; every frame in
+    * those jobs is model-sized, so the floor does not grow with the
+    * corpus. Each raw product snaps to the 1e-8 grid pre-sum; the μμᵀ
+    * correction happens on the model-sized 64×64 frame with the
+    * grid-snapped mean — deterministic end to end, mirrored
+    * operand-for-operand. */
   private[graft] def pcaTop1Of(embs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val x = embs
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("i", "xi")))
+      .select(toDouble(col("embedding")).as("v"))
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
     val mu = x.groupBy("i").agg(round4(avg(col("xi"))).as("mu"))
-    val cx = graft.CacheRegistry.materialize(
-      x.join(broadcast(mu), "i")
-        .select(col("vec_id"), col("i"), (col("xi") - col("mu")).as("ci")))
     val nDf = embs.agg(count(lit(1)).as("n"))
+    val s8 = x
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi") * col("xj") * 1e8).cast("long")).as("s8"))
     val cov = graft.CacheRegistry.materialize(
-      cx.join(cx.select(col("vec_id"), col("i").as("j"), col("ci").as("cj")),
-          "vec_id")
-        .groupBy("i", "j")
-        .agg(sum(round(col("ci") * col("cj") * 1e8).cast("long")).as("s8"))
-        .crossJoin(broadcast(nDf))
+      s8.crossJoin(broadcast(nDf))
+        .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))), "j")
         .select(col("i"), col("j"),
-          round(col("s8") / col("n")).cast("long").as("c8")))
+          round(col("s8") / col("n") - col("mi") * col("mj") * 1e8)
+            .cast("long").as("c8")))
     val w0 = embs.sparkSession.range(64).select(col("id").cast("int").as("j"))
       .withColumn("w7",
         when(conv(substring(md5(concat(lit("pca:"), col("j").cast("string"))),
           1, 15), 16, 10).cast("long") % 2 === 0, 10000000L)
           .otherwise(-10000000L))
+    // each round MATERIALIZES its 64-row result (the GraphOps fixpoint
+    // lesson): without it, round k's broadcast subtrees re-execute every
+    // earlier round — w1 ran 4× inside w3's plan, measured 7 s of pure
+    // re-evaluation on 64-row frames
     def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val raw = cov.join(broadcast(w), "j")
+      val rawBase = cov.join(broadcast(w), "j")
         .groupBy("i").agg(sum(col("c8") * col("w7")).as("raw"))
+      val raw = graft.CacheRegistry.materialize(rawBase)
       val mx = raw.agg(max(abs(col("raw"))).as("mx"))
-      raw.crossJoin(broadcast(mx))
-        .select(col("i").as("j"),
-          round(col("raw") / col("mx") * 1e7).cast("long").as("w7"))
+      graft.CacheRegistry.materialize(
+        raw.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            round(col("raw") / col("mx") * 1e7).cast("long").as("w7")))
     }
     val w3 = iterate(iterate(iterate(w0)))
     val nrm = w3.agg(sqrt(sum(col("w7") * col("w7")).cast("double")).as("nr"))
@@ -1126,18 +1151,21 @@ object Lsh {
                        CAST(round(raw / mx * 1e7) AS BIGINT) AS w7
                      FROM ${out}raw CROSS JOIN ${out}m)"""
       s"""WITH x AS (
-            SELECT vec_id, i, embedding[i+1]::DOUBLE AS xi
+            SELECT vec_id, i, embedding[i+1]::DOUBLE AS xi, embedding
             FROM embeddings, range(64) t(i)),
           mu AS (SELECT i, CAST(round(avg(xi)*10000) AS BIGINT)/10000.0 AS mu
                  FROM x GROUP BY i),
-          cx AS (SELECT vec_id, i, xi - mu AS ci FROM x JOIN mu USING (i)),
           nn AS (SELECT count(*) AS n FROM embeddings),
+          s8 AS (
+            SELECT i, j,
+                   CAST(sum(CAST(round(xi * (embedding[j+1]::DOUBLE) * 1e8)
+                     AS BIGINT)) AS BIGINT) AS s8
+            FROM x, range(64) u(j) GROUP BY i, j),
           cov AS (
-            SELECT a.i, b.i AS j,
-                   CAST(round(CAST(sum(CAST(round(a.ci * b.ci * 1e8) AS BIGINT))
-                     AS BIGINT) / n) AS BIGINT) AS c8
-            FROM cx a JOIN cx b USING (vec_id) CROSS JOIN nn
-            GROUP BY a.i, b.i, n),
+            SELECT s8.i, s8.j,
+                   CAST(round(s8 / n - mi.mu * mj.mu * 1e8) AS BIGINT) AS c8
+            FROM s8 CROSS JOIN nn
+            JOIN mu mi ON s8.i = mi.i JOIN mu mj ON s8.j = mj.i),
           w0 AS (SELECT CAST(i AS INT) AS j,
                         CASE WHEN ('0x'||substr(md5('pca:'||CAST(i AS VARCHAR)),1,15))::BIGINT % 2 = 0
                              THEN 10000000 ELSE -10000000 END AS w7
