@@ -1172,6 +1172,31 @@ object LlmOps {
             .otherwise(lit(0)).as("n_frames"))
         .orderBy("doc_id")),
 
+    // WebDataset-style shard MANIFEST — the byte-budget packing plan a
+    // multimodal corpus ships as (tar shards of ~budget bytes, assembled
+    // per source in stable key order so resumption and re-shards are
+    // reproducible). Payload size is the a10 binary corpus's byte length
+    // (octet_length of the UTF-8 payload — the same n_bytes the binary
+    // ingest fingerprints); shard id = bytes-before div budget, the
+    // tp_pack streaming-first-fit shape on bytes: one window cumsum per
+    // source, then the manifest is one hash aggregate — (source, shard,
+    // n_docs, bytes, fill). At 100 TB the per-source windows partition by
+    // the source key; budget is the shard-size knob (4096 B here, ~500 MB
+    // in production, identical plan).
+    "mm_shard_plan" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .withColumn("before", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+        .withColumn("shard", expr("before div 4096"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("bytes"))
+        .withColumn("fill", round4(col("bytes") / 4096.0))
+        .orderBy("source", "shard")
+    }),
+
     // Cross-doc boilerplate coverage (the C4/RefinedWeb-family signal the
     // WITHIN-doc ta_repetition can't see): a 3-gram shingle appearing in
     // ≥ BoilerplateDf distinct docs is boilerplate (headers, licence
@@ -2105,6 +2130,26 @@ object LlmOps {
                       octet_length(encode(text)) // 2 AS n_samples
                FROM documents)
          ORDER BY doc_id""",
+
+    "mm_shard_plan" ->
+      s"""WITH sized AS (
+            SELECT doc_id, source,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents),
+          placed AS (
+            SELECT source,
+                   coalesce(CAST(sum(n_bytes) OVER (PARTITION BY source
+                     ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) // 4096 AS shard,
+                   n_bytes
+            FROM sized)
+          SELECT source, shard, count(*) AS n_docs,
+                 CAST(sum(n_bytes) AS BIGINT) AS bytes,
+                 ${graft.functions.ExactNum.sqlRound4(
+                   "CAST(sum(n_bytes) AS BIGINT)/4096.0")} AS fill
+          FROM placed GROUP BY source, shard
+          ORDER BY source, shard""",
 
     // Same shingle hash as the similarity oracles; df via a window count
     // over the hash, boilerplate = df >= BoilerplateDf.

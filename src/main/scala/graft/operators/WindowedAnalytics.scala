@@ -519,24 +519,12 @@ object WindowedAnalytics {
     // the 1000-unit flag bar (fixture-tuned, an integer compare against
     // n·10⁷ ticks — immune to display rounding) come last. Windows run
     // over the |days × types| aggregate, never raw events.
-    "e18_cusum" -> ((s, d) => {
-      val daily = events(s, d)
+    "e18_cusum" -> ((s, d) =>
+      cusumOf(events(s, d)
         .groupBy(col("event_type"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(sum(tenK(col("value"))).as("xt"))
-      val stats = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("xt")).as("s"))
-      val wseq = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.join(broadcast(stats), "event_type")
-        .withColumn("pf", sum(col("xt") * col("n") - col("s")).over(wseq))
-        .withColumn("st", col("pf") - least(min(col("pf")).over(wseq), lit(0L)))
-        .select(col("event_type"), col("day"),
-          (col("xt") / 10000.0).as("x"),
-          round4((col("st") / col("n")) / 1e4).as("excess"),
-          (col("st") > col("n") * 10000000L).cast("int").as("flag"))
-        .orderBy("event_type", "day")
-    }),
+        .agg(sum(tenK(col("value"))).as("xt")))
+        .orderBy("event_type", "day")),
 
     // C7: theta/range join — per error event, count same-user non-error
     // events within ±5 minutes. Bucketed: each error probes its 5-min bucket
@@ -748,6 +736,24 @@ object WindowedAnalytics {
   /** Last-touch attribution core (see the `e16_attribution` registry
     * note), over any events-shaped frame — parameterized so tests can pin
     * the 7-day lookback boundary and the same-microsecond ordering. */
+  /** The e18 CUSUM windows over any (event_type, day, xt-ticks) daily
+    * frame — separated so the SG18 streaming twin computes the identical
+    * statistic over its drained complete-mode aggregate. See the e18
+    * registry comment for the closed-form/integer rationale. */
+  private[graft] def cusumOf(daily: DataFrame): DataFrame = {
+    val stats = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("xt")).as("s"))
+    val wseq = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("pf", sum(col("xt") * col("n") - col("s")).over(wseq))
+      .withColumn("st", col("pf") - least(min(col("pf")).over(wseq), lit(0L)))
+      .select(col("event_type"), col("day"),
+        (col("xt") / 10000.0).as("x"),
+        round4((col("st") / col("n")) / 1e4).as("excess"),
+        (col("st") > col("n") * 10000000L).cast("int").as("flag"))
+  }
+
   private[graft] def attributionOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "kind", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -295,6 +295,38 @@ object StreamingGraded {
     // the epoch's Thursday window anchor onto Mondays so w.start
     // coincides exactly with the oracle's date_trunc('week') — grading
     // the alignment itself, which the spec could only assert in-JVM.
+    // SG18: streaming CUSUM monitoring — the e18 change-point statistic
+    // maintained from a live feed, the way a monitoring deployment runs it
+    // (the stream owns the daily state; the detector reads the complete
+    // aggregate). The daily tick totals drain in COMPLETE mode (the e9b
+    // pattern — the final full state is batching-independent by
+    // construction: it is ONE aggregate over everything behind the final
+    // trigger), then the identical cusumOf windows (shared builder — the
+    // statistic can never drift from the batch detector) run over the
+    // drained sink. Output ≡ e18 verbatim, so the graded read reuses its
+    // oracle. At 100 TB/day the complete-mode state is |days × types|
+    // rows — monitoring-sized, not data-sized.
+    "e18b_cusum_stream" -> ((s, d) => {
+      val daily = Tables.tableStream(s, d, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(graft.functions.ExactNum.tenK(col("value"))).as("xt"))
+      val sink = "e18b_cusum_sink"
+      drainStateful(s) {
+        daily.writeStream.format("memory").queryName(sink)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      }
+      // detach the sink view before the detector: cusumOf self-references
+      // its input (daily ⋈ per-type stats), and MemoryPlan views reuse the
+      // same attribute ids on both sides — a fresh DataFrame over the
+      // collected-at-rest rows gives the analyzer distinct ids (the frame
+      // is |days × types|, monitoring-sized)
+      val drained = s.table(sink)
+      val daily2 = s.createDataFrame(drained.rdd, drained.schema)
+      graft.operators.WindowedAnalytics.cusumOf(daily2)
+        .orderBy("event_type", "day")
+    }),
+
     "e9b_quantiles_stream" -> ((s, d) => {
       val q = StreamingOps.weeklyValueQuantiles(Tables.tableStream(s, d, "events"))
       val sink = "e9b_quantiles_sink"
@@ -638,6 +670,11 @@ object StreamingGraded {
     // model is the batch scorer exactly — same oracle as tp_dsir
     "tp_dsir_stream" ->
       graft.operators.TrainingPipeline.oracle("tp_dsir"),
+
+    // the drained complete-mode daily aggregate ≡ the batch daily
+    // aggregate, and the shared cusumOf runs over it — same oracle as e18
+    "e18b_cusum_stream" ->
+      graft.operators.WindowedAnalytics.oracle("e18_cusum"),
 
     // the same composed plan, batch-declared: increment anti-joined
     // against the corpus hash set on the j1 normalized text hash

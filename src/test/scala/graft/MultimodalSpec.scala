@@ -105,4 +105,33 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mm_shard_plan: the manifest equals a sequential per-source " +
+    "first-fit fold and shards partition every source's docs") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("mm_shard_plan")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val model = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      var before = 0L
+      g.sortBy(_._2).toSeq.map { case (_, _, nb) =>
+        val shard = before / 4096; before += nb; (src, shard, nb)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> ((g.size.toLong, g.map(_._3).sum))
+    }
+    assert(got == model)
+    // shards partition each source's corpus exactly
+    val perSource = docs.groupBy(_._1).map { case (s0, g) =>
+      s0 -> (g.length.toLong, g.map(_._3).sum) }
+    perSource.foreach { case (s0, (n, b)) =>
+      val rows = got.filter(_._1._1 == s0).values
+      assert(rows.map(_._1).sum == n && rows.map(_._2).sum == b, s"source $s0")
+    }
+  }
 }

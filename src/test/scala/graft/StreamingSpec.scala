@@ -1109,4 +1109,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(whole.exceptAll(batch).count() == 0 &&
       batch.exceptAll(whole).count() == 0)
   }
+
+  test("streaming CUSUM equals the batch detector set-for-set") {
+    val streamed = SparkEntry.queries("e18b_cusum_stream")(spark, sf)
+    val batch = SparkEntry.queries("e18_cusum")(spark, sf)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+  }
 }
