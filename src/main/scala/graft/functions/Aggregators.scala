@@ -150,4 +150,42 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
   }
+
+  /** Partial top-k for the ANN rankers: keeps the k SMALLEST rows under
+    * (key asc, id asc), each carrying one payload double. Callers ranking
+    * descending pass `0.0 - score` as the key (the `0.0 -` form also folds
+    * IEEE −0.0 back to +0.0, so a zero score can never order differently
+    * from the SQL window it replaces). This is the scale fix for the
+    * corpus-sized `row_number() over (partition by query_id)` windows: a
+    * window sends EVERY scored row of a query to one reducer and sorts N
+    * there, while this aggregator reduces each map partition to ≤ k rows
+    * per query before the shuffle — the same partial+final shape as
+    * TopKAggregator/f3, with the tie order and payload slot the ANN
+    * queries need. */
+  class TopKAscAggregator(k: Int)
+      extends Aggregator[(Double, Long, Double), List[(Double, Long, Double)],
+        Seq[(Double, Long, Double)]] {
+
+    private val ord: Ordering[(Double, Long, Double)] =
+      Ordering.by((t: (Double, Long, Double)) => (t._1, t._2))(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+
+    override def zero: List[(Double, Long, Double)] = Nil
+
+    override def reduce(buf: List[(Double, Long, Double)],
+        v: (Double, Long, Double)): List[(Double, Long, Double)] =
+      if (buf.sizeIs >= k && ord.gteq(v, buf.last)) buf // below the bar: skip
+      else ((v :: buf).sorted(ord)).take(k)
+
+    override def merge(x: List[(Double, Long, Double)],
+        y: List[(Double, Long, Double)]): List[(Double, Long, Double)] =
+      (x ++ y).sorted(ord).take(k)
+
+    override def finish(buf: List[(Double, Long, Double)]): Seq[(Double, Long, Double)] = buf
+
+    override def bufferEncoder: Encoder[List[(Double, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long, Double)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long, Double)]]()
+  }
 }

@@ -694,7 +694,14 @@ object LlmOps {
     // (TakeOrderedAndProject), so the broadcast is O(5·dim) at ANY corpus
     // size and total compute is O(5·N) — the exact-oracle baseline; the
     // IVF/LSH forms in graft.operators.Lsh are the indexed scale paths.
+    // Ranking is the PARTIAL top-k aggregator, not a window: a
+    // `row_number() over (partition by query_id)` here puts the ENTIRE
+    // scored corpus in each of the nq partitions — one reducer sorting N
+    // rows per query at 100×. The aggregator reduces every map partition
+    // to ≤ 5 rows per query before the shuffle (the f3/K2 shape), so the
+    // shuffle carries nq·k·partitions rows at any corpus size.
     "j3_topk_cosine" -> ((s, d) => {
+      import s.implicits._
       val emb = embeddings(s, d)
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(graft.plans.VectorExpressions.squared_norm(col("v"))))
@@ -704,11 +711,17 @@ object LlmOps {
       val scored = corpus.join(broadcast(qs))
         .withColumn("cos_raw",
           dot(col("q"), col("v")) / (col("qn") * col("nrm")))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos_raw").desc, col("vec_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("rank"), col("vec_id"), round4(col("cos_raw")).as("cos"))
+      val topk = new graft.functions.Aggregators.TopKAscAggregator(5).toColumn
+      scored.select(col("query_id"), col("cos_raw"), col("vec_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (0.0 - t._2, t._3, t._2)) // key = −cos (asc ⇒ cos desc), tie vec_id asc
+        .agg(topk.name("top"))
+        .flatMap { case (qid, top) => top.iterator.zipWithIndex.map {
+          case ((_, vid, cos), i) => (qid, i + 1, vid, cos) } }
+        .toDF("query_id", "rank", "vec_id", "cos_raw")
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round4(col("cos_raw")).as("cos"))
         .orderBy("query_id", "rank")
     }),
 

@@ -188,7 +188,7 @@ object Lsh {
         .withColumn("matches", matches)
         .join(exact, Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"), col("matches"),
-          round4(col("matches") / 16.0).as("est"),
+          round4(col("matches") / nHashes.toDouble).as("est"),
           round4(col("inter").cast("double")
             / (col("na") + col("nb") - col("inter"))).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -404,11 +404,11 @@ object Lsh {
     // Embedding outlier flags — the per-cluster OOD audit run before
     // trusting labels or centroids (mislabeled / out-of-distribution
     // vectors sit far from their own label centroid): squared distance to
-    // the label centroid, flagged when a vector's dist² exceeds 2× its
-    // label's mean dist² (the 1.05 bar is fixture-tuned — the synthetic
-    // fixtures are uniform noise around label centroids, ratios 0.90–1.12,
-    // so a real-data 2–3× bar would be vacuous here; the spec plants a
-    // genuinely far vector and pins the mechanism). Determinism: centroids
+    // the label centroid, flagged when a vector's dist² exceeds 1.05× its
+    // label's mean dist² (fixture-tuned: the synthetic fixtures are uniform
+    // noise around label centroids, ratios 0.90–1.12, so the 2–3× bar real
+    // data would use here would be vacuous; the spec plants a genuinely far
+    // vector and pins the mechanism). Determinism: centroids
     // are j4's exact arithmetic
     // (round4(avg) per (label, pos) — the grid snap absorbs partial-sum
     // ulps), every squared term snaps to a 1e-8 integer grid BEFORE the
@@ -525,10 +525,20 @@ object Lsh {
     val scored = emb.join(broadcast(qs))
       .withColumn("cos_t_raw", dot(col("qt"), col("t")) / (col("qtn") * col("tn")))
       .withColumn("cos_f_raw", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_t_raw").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // partial top-k aggregator, not a corpus-sized per-query window (the
+    // j3 rationale): key = −cos_t (asc ⇒ truncated-cosine desc, vec_id asc
+    // ties), the full cosine rides the payload slot; −key restores cos_t
+    // exactly (negation is lossless, and `0.0 −` folds −0.0 to +0.0)
+    import embs.sparkSession.implicits._
+    val topk = new graft.functions.Aggregators.TopKAscAggregator(k).toColumn
+    scored.select(col("query_id"), col("cos_t_raw"), col("vec_id"), col("cos_f_raw"))
+      .as[(Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (0.0 - t._2, t._3, t._4))
+      .agg(topk.name("top"))
+      .flatMap { case (qid, top) => top.iterator.zipWithIndex.map {
+        case ((negT, vid, cosF), i) => (qid, i + 1, vid, 0.0 - negT, cosF) } }
+      .toDF("query_id", "rank", "vec_id", "cos_t_raw", "cos_f_raw")
       .select(col("query_id"), col("rank"), col("vec_id"),
         round4(col("cos_t_raw")).as("cos_t"), round4(col("cos_f_raw")).as("cos_f"))
       .orderBy("query_id", "rank")
@@ -554,25 +564,40 @@ object Lsh {
           expr("shiftleft(CAST(1 AS BIGINT), i - 32)")).otherwise(lit(0L))).as("hi"))
     val qc = codes.orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(col("hamming").asc, col("vec_id").asc)
+    // both ranking stages are partial top-k aggregators, not per-query
+    // windows (the j3 rationale — the Hamming stage's window partition was
+    // the whole code table): hamming ≤ 64 is exact in a double key, ties
+    // vec_id asc by the aggregator's contract
+    import embs.sparkSession.implicits._
+    val candTopk = new graft.functions.Aggregators.TopKAscAggregator(candK).toColumn
     val cand = codes.join(broadcast(qc))
       .withColumn("hamming",
         bit_count(col("lo").bitwiseXOR(col("qlo"))) +
           bit_count(col("hi").bitwiseXOR(col("qhi"))))
-      .withColumn("crnk", row_number().over(wc))
-      .filter(col("crnk") <= candK)
-      .select("query_id", "vec_id", "hamming")
+      .select(col("query_id"), col("hamming").cast("double"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, 0.0))
+      .agg(candTopk.name("top"))
+      .flatMap { case (qid, top) => top.iterator.map {
+        case (h, vid, _) => (qid, vid, h.toLong) } }
+      .toDF("query_id", "vec_id", "hamming")
     val qv = emb.orderBy("vec_id").limit(nq)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val wr = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+    val rerank = new graft.functions.Aggregators.TopKAscAggregator(k).toColumn
     cand.join(emb, "vec_id").join(broadcast(qv), "query_id")
       .withColumn("cos_raw", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("hamming").cast("int").as("hamming"), round4(col("cos_raw")).as("cos"))
+      .select(col("query_id"), col("cos_raw"), col("vec_id"),
+        col("hamming").cast("double"))
+      .as[(Long, Double, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (0.0 - t._2, t._3, t._4))
+      .agg(rerank.name("top"))
+      .flatMap { case (qid, top) => top.iterator.zipWithIndex.map {
+        case ((negC, vid, ham), i) => (qid, i + 1, vid, ham.toInt, 0.0 - negC) } }
+      .toDF("query_id", "rank", "vec_id", "hamming", "cos_raw")
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"),
+        round4(col("cos_raw")).as("cos"))
       .orderBy("query_id", "rank")
   }
 
@@ -1270,7 +1295,7 @@ object Lsh {
                       JOIN sigs sx ON cand.doc_a = sx.doc_id
                       JOIN sigs sy ON cand.doc_b = sy.doc_id)
           SELECT doc_a, doc_b, matches,
-                 ${sqlRound4("matches/16.0")} AS est,
+                 ${sqlRound4(s"matches/$nHashes.0")} AS est,
                  ${sqlRound4("CAST(inter AS DOUBLE)/(na + nb - inter)")} AS jac
           FROM scored WHERE inter >= 1
           ORDER BY doc_a, doc_b"""

@@ -484,11 +484,18 @@ object WindowedAnalytics {
     // ((cum_before·10) div total_users, clamped — deterministic integer
     // arithmetic, no percentile interpolation). Revenue per tick is the
     // exact integer cents·n_users; shares divide once at the end.
+    // The global (no-partition) cumulative window is INTENTIONAL and safe:
+    // it runs over the cents histogram, whose row count is bounded by the
+    // value range in cents — never by user count — so the single-partition
+    // execution Spark warns about is a bounded-size frame by construction;
+    // the explicit repartition(1) states that contract in the plan (and
+    // silences the WARN) instead of leaving it implicit.
     "e19_concentration" -> ((s, d) => {
       val hist = events(s, d)
         .groupBy("user_id")
         .agg(sum(graft.functions.ExactNum.cents(col("value"))).as("c"))
         .groupBy("c").agg(count(lit(1)).as("nu"))
+        .repartition(1)
       val tot = hist.agg(sum(col("nu")).as("tu"),
         sum(col("c") * col("nu")).as("tc"))
       val w = Window.orderBy(col("c").desc)

@@ -422,17 +422,18 @@ object StreamingGraded {
     // the final snapshot's group-by under ANY batching — the feed rows
     // themselves depend on batch boundaries, but their sum never does,
     // which is exactly the invariant that makes CDC-driven IVM correct.
-    // At 100 TB the spool is a compacted log and each batch's feed is
-    // O(changed keys) — the whole point vs. snapshot re-aggregation.
+    // At 100 TB the log is the versions' own staged feeds and each batch's
+    // feed is O(changed keys) — the whole point vs. snapshot re-aggregation.
     // Replay honesty: deltas derive from the TABLE DIFF, not the batch
     // rows, so replaying an already-merged batch re-merges to an
-    // identical snapshot and appends an EMPTY feed (the redelivery spec
+    // identical snapshot and stages an EMPTY feed (the redelivery spec
     // pins this) — idempotent for foreachBatch's ordinary at-least-once
-    // retry. The remaining window is a crash BETWEEN the version publish
-    // and the spool append (that batch's deltas are lost on replay);
-    // closing it needs the spool write and the pointer move in one
-    // transaction — a real table format's commit, out of scope for the
-    // parquet+pointer layout and stated here rather than papered over.
+    // retry. Feed and version commit ATOMICALLY: the signed deltas are
+    // STAGED into the new version's own directory (`v{n}/_feed`, hidden
+    // from snapshot reads by Hadoop's `_`-prefix filter) BEFORE the
+    // pointer move, and the graded read unions feeds only up to the
+    // PUBLISHED pointer — a crash anywhere in the batch either loses
+    // snapshot+feed together (replay rewrites both) or publishes both.
     "cdc_ivm_stream" -> ((s, d) => {
       val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "cdc_ivm")
       val ev = Tables.events(s, d)
@@ -443,31 +444,32 @@ object StreamingGraded {
       StreamingOps.withMergeWidth(s) {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          StreamingOps.applyUpsertBatch(s, batch, s"$tmp/table")
-          val cur = java.nio.file.Files
-            .readString(java.nio.file.Paths.get(s"$tmp/table", "_VERSION"))
-            .trim.stripPrefix("v").toLong
-          val feed =
-            if (cur == 0L)
-              StreamingOps.upsertTableAt(s, s"$tmp/table", 0L)
-                .select(lit(null).cast("string").as("old_type"),
-                  col("event_type").as("new_type"))
-            else
-              StreamingOps.upsertChangeFeed(s, s"$tmp/table", cur - 1, cur)
-                .select(col("old_type"), col("new_type"))
-          feed
-            .select(explode(array(
-              struct(col("new_type").as("etype"), lit(1L).as("delta")),
-              struct(col("old_type").as("etype"), lit(-1L).as("delta")))).as("x"))
-            .select(col("x.etype").as("etype"), col("x.delta").as("delta"))
-            .filter(col("etype").isNotNull)
-            .write.mode("append").parquet(s"$tmp/spool_out")
+          StreamingOps.applyUpsertBatchStaged(s, batch, s"$tmp/table") {
+            (verDir, cur) =>
+              val feed =
+                if (cur == 0L)
+                  s.read.parquet(verDir)
+                    .select(lit(null).cast("string").as("old_type"),
+                      col("event_type").as("new_type"))
+                else
+                  StreamingOps.upsertChangeFeed(s, s"$tmp/table", cur - 1, cur)
+                    .select(col("old_type"), col("new_type"))
+              feed
+                .select(explode(array(
+                  struct(col("new_type").as("etype"), lit(1L).as("delta")),
+                  struct(col("old_type").as("etype"), lit(-1L).as("delta")))).as("x"))
+                .select(col("x.etype").as("etype"), col("x.delta").as("delta"))
+                .filter(col("etype").isNotNull)
+                .write.mode("overwrite").parquet(s"$verDir/_feed")
+          }
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       }
-      s.read.parquet(s"$tmp/spool_out")
+      val cur = StreamingOps.readVersionPointer(s, s"$tmp/table").getOrElse(
+        sys.error(s"cdc_ivm: nothing published under $tmp/table"))
+      s.read.parquet((0L to cur).map(v => s"$tmp/table/v$v/_feed"): _*)
         .groupBy("etype").agg(sum("delta").as("n_users"))
         .filter(col("n_users") > 0)
         .orderBy("etype")

@@ -605,8 +605,21 @@ object StreamingOps {
     * delivery for deletes exactly as for updates, and only READERS filter
     * it ([[visibleMergeTable]]). */
   def applyUpsertBatch(spark: SparkSession, batch: DataFrame,
-      target: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      target: String): Unit =
+    applyUpsertBatchStaged(spark, batch, target)((_, _) => ())
+
+  /** [[applyUpsertBatch]] with a STAGING hook: `stage(versionDir, version)`
+    * runs after the new snapshot directory is fully written but BEFORE the
+    * pointer publish. Anything the hook writes UNDER `versionDir` (by the
+    * `_`-prefix convention, e.g. `versionDir/_feed` — Hadoop's hidden-file
+    * filter keeps it out of snapshot reads) therefore commits atomically
+    * WITH the version: a crash before the pointer move loses snapshot and
+    * staged artifacts together, and the replayed batch overwrites both.
+    * This is what closes the CDC-IVM publish-vs-feed crash window — the
+    * signed-delta feed is staged inside the version it describes, so
+    * "version visible but its feed missing" is unrepresentable. */
+  def applyUpsertBatchStaged(spark: SparkSession, batch: DataFrame,
+      target: String)(stage: (String, Long) => Unit): Unit = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id")
       .orderBy(col("us").desc, col("event_id").desc)
@@ -616,32 +629,62 @@ object StreamingOps {
       .filter(col("rn") === 1).drop("rn")
     // next version = pointer + 1 (not batchId: a restart with a fresh
     // checkpoint must never overwrite the snapshot it is reading from)
-    val verPtr = Paths.get(target, "_VERSION")
-    val (prev, next) =
-      if (Files.exists(verPtr)) {
-        val cur = Files.readString(verPtr).trim
-        (Some(spark.read.parquet(s"$target/$cur")),
-          s"v${cur.stripPrefix("v").toLong + 1}")
-      } else (None, "v0")
-    val merged = prev
-      .map(_.unionByName(latest)
+    val prevV = readVersionPointer(spark, target)
+    val next = prevV.map(_ + 1).getOrElse(0L)
+    val merged = prevV
+      .map(v => spark.read.parquet(s"$target/v$v")
+        .unionByName(latest)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn"))
       .getOrElse(latest)
-    merged.write.mode("overwrite").parquet(s"$target/$next")
-    // publish: write-then-atomic-move so a reader never sees a torn pointer
-    val tmp = Paths.get(target, "_VERSION.tmp")
-    Files.writeString(tmp, next)
-    Files.move(tmp, verPtr, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    ()
+    // overwrite also clears any orphan from a previous crashed attempt at
+    // this same (unpublished) version number, staged artifacts included
+    merged.write.mode("overwrite").parquet(s"$target/v$next")
+    stage(s"$target/v$next", next)
+    writeVersionPointer(spark, target, next)
+  }
+
+  /** Current published version of a `_VERSION`-pointer table, or None if
+    * nothing has been published yet. Goes through the Hadoop FileSystem of
+    * the TABLE PATH (the Maintenance.compactParquet rule) so the identical
+    * code runs on HDFS and object stores, not just the local filesystem. */
+  def readVersionPointer(spark: SparkSession, target: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(target, "_VERSION")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(txt.trim.stripPrefix("v").toLong)
+    }
+  }
+
+  /** Publish version `v` as current: write `_VERSION.tmp`, then rename it
+    * onto `_VERSION` with `FileContext.rename(OVERWRITE)` — the same
+    * primitive Spark's own checkpoint file manager commits with. Atomic on
+    * HDFS and local filesystems; on object stores without atomic rename
+    * (e.g. S3A) the rename is copy+delete, leaving a small torn-pointer
+    * window — deployments there should front the pointer with a
+    * rename-capable store (HDFS, or a table-format commit service), the
+    * standard caveat every pointer-file table layout carries. */
+  def writeVersionPointer(spark: SparkSession, target: String, v: Long): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val dir = new Path(target)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = dir.getFileSystem(conf)
+    val tmp = new Path(dir, "_VERSION.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v$v".getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, new Path(dir, "_VERSION"), Options.Rename.OVERWRITE)
   }
 
   /** Read the current snapshot of a [[runUpsertSinkToParquet]] target. */
   def currentUpsertTable(spark: SparkSession, target: String): DataFrame = {
-    val cur = java.nio.file.Files
-      .readString(java.nio.file.Paths.get(target, "_VERSION")).trim
-    spark.read.parquet(s"$target/$cur")
+    val cur = readVersionPointer(spark, target).getOrElse(
+      sys.error(s"no published version under $target"))
+    spark.read.parquet(s"$target/v$cur")
   }
 
   /** Time-travel (AS OF) read of a [[runUpsertSinkToParquet]] target: the

@@ -255,6 +255,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "e15 lost its explode-based expansion")
   }
 
+  test("no graded ANN ranker contains a corpus-sized per-query window: " +
+      "the brute-force rankers are window-free partial top-k") {
+    // j3 / matryoshka / bq_rerank rank with the TopKAscAggregator (map-side
+    // reduction to ≤ k rows per query), so a Window node reappearing in any
+    // of them means the plan regressed to row_number() over a partition
+    // that holds the ENTIRE scored corpus per query — one reducer sorting
+    // N rows per query at 100×. The remaining ANN windows (IVF family) are
+    // cell-/bucket-bounded by construction and carry their own rationale.
+    for (q <- Seq("j3_topk_cosine", "emb_matryoshka", "emb_bq_rerank")) {
+      assert(!plans(q).contains("Window"),
+        s"$q grew a window node back:\n${plans(q)}")
+      assert(plans(q).contains("Aggregate"), s"$q lost its partial top-k aggregate")
+    }
+  }
+
   test("c15's bucket join runs with zero exchange on the join key") {
     // The point of the bucketed layout: the sort-merge join's distribution
     // requirement is satisfied straight off disk. Any Exchange

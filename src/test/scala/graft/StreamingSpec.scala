@@ -626,9 +626,7 @@ class StreamingSpec extends AnyFunSuite {
       val deltas = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       batches.zipWithIndex.foreach { case (b, _) =>
         StreamingOps.applyUpsertBatch(spark, b, s"$target/t")
-        val cur = java.nio.file.Files
-          .readString(java.nio.file.Paths.get(s"$target/t", "_VERSION"))
-          .trim.stripPrefix("v").toLong
+        val cur = StreamingOps.readVersionPointer(spark, s"$target/t").get
         val feed =
           if (cur == 0L) StreamingOps.upsertTableAt(spark, s"$target/t", 0L)
             .select(lit(null).cast("string").as("old_type"),
@@ -655,6 +653,90 @@ class StreamingSpec extends AnyFunSuite {
     assert(whole == truth, s"whole-batch IVM drifted: $whole vs $truth")
     assert(split == truth && reversed == truth,
       s"batching broke the telescoping: split=$split reversed=$reversed truth=$truth")
+  }
+
+  test("staged feed commits atomically with the version: a kill between " +
+      "snapshot write and pointer publish loses neither-or-both, and the " +
+      "replay recovers the exact feed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val target = java.nio.file.Files.createTempDirectory("ivm_crash").toString + "/t"
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val (b1, b2) = (ev.filter(col("user_id") % 2 === 0),
+      ev.filter(col("user_id") % 2 === 1))
+    def stageFeed(verDir: String, cur: Long): Unit = {
+      val feed =
+        if (cur == 0L) spark.read.parquet(verDir)
+          .select(lit(null).cast("string").as("old_type"),
+            col("event_type").as("new_type"))
+        else StreamingOps.upsertChangeFeed(spark, target, cur - 1, cur)
+          .select(col("old_type"), col("new_type"))
+      feed.write.mode("overwrite").parquet(s"$verDir/_feed")
+    }
+    StreamingOps.applyUpsertBatchStaged(spark, b1, target)(stageFeed)
+    assert(StreamingOps.readVersionPointer(spark, target).contains(0L))
+    // batch 2 CRASHES after the snapshot write AND the feed stage but
+    // before the pointer publish — exactly the old publish-vs-feed window
+    val boom = intercept[RuntimeException] {
+      StreamingOps.applyUpsertBatchStaged(spark, b2, target) { (verDir, cur) =>
+        stageFeed(verDir, cur)
+        throw new RuntimeException("kill -9 between stage and publish")
+      }
+    }
+    assert(boom.getMessage.contains("kill -9"))
+    // the crash is invisible to readers: pointer still v0, current snapshot
+    // is batch 1's, and the PUBLISHED feed union excludes the orphan v1
+    assert(StreamingOps.readVersionPointer(spark, target).contains(0L))
+    assert(StreamingOps.currentUpsertTable(spark, target)
+      .select("user_id").distinct().collect()
+      .forall(_.getLong(0) % 2 == 0))
+    // the snapshot read of the orphaned v1 dir also never sees the staged
+    // feed rows (the `_` prefix hides them from parquet directory reads)
+    assert(StreamingOps.upsertTableAt(spark, target, 1L).columns.toSet ==
+      StreamingOps.upsertTableAt(spark, target, 0L).columns.toSet)
+    // REPLAY batch 2 (at-least-once): overwrites orphan snapshot+feed,
+    // publishes v1; the feed union through the pointer now telescopes to
+    // the full-table truth
+    StreamingOps.applyUpsertBatchStaged(spark, b2, target)(stageFeed)
+    assert(StreamingOps.readVersionPointer(spark, target).contains(1L))
+    val cur = StreamingOps.readVersionPointer(spark, target).get
+    val summed = spark.read
+      .parquet((0L to cur).map(v => s"$target/v$v/_feed"): _*)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.struct(col("new_type").as("etype"), lit(1L).as("delta")),
+          org.apache.spark.sql.functions.struct(col("old_type").as("etype"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.etype").as("etype"), col("x.delta").as("delta"))
+      .filter(col("etype").isNotNull)
+      .groupBy("etype").sum("delta")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).filter(_._2 != 0).toMap
+    val truth = ev.withColumn("rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summed == truth, s"replayed feed drifted: $summed vs $truth")
+  }
+
+  test("versioned-table pointer I/O never touches java.nio.file — the " +
+      "Hadoop FileSystem rule (Maintenance.scala) holds across src/main") {
+    // table paths must go through path.getFileSystem(hadoopConf) so the
+    // identical code runs on HDFS/object stores; java.nio is only allowed
+    // in the driver-artifact writers (Verify/Bench JSON outputs, never a
+    // table path)
+    val allowed = Set("Verify.scala", "Bench.scala")
+    val bad = new scala.collection.mutable.ArrayBuffer[String]
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles.foreach(walk)
+      else if (f.getName.endsWith(".scala") && !allowed(f.getName)) {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        if (txt.contains("java.nio.file")) bad += f.getPath
+      }
+    walk(new java.io.File("src/main/scala"))
+    assert(bad.isEmpty,
+      s"java.nio.file on a potential table path (use Hadoop FS API): $bad")
   }
 
   test("stream weekly quantiles over the real feed equal the graded e9 twin") {
