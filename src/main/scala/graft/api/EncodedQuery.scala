@@ -229,7 +229,7 @@ object EncodedQuery {
     * cmn_location before filtering). `refs` nests further hops
     * (`nation.region.r_name` = two edges deep). */
   final case class Ref(name: String, childKey: String, dim: DataFrame,
-      parentKey: String, refs: Seq[Ref] = Nil)
+      parentKey: String, refs: Seq[Ref] = Nil, display: String = "")
 
   /** Resolve reference edges by packing each (broadcast-joined) dim as a
     * nested STRUCT column named after the edge — after which the existing
@@ -257,6 +257,31 @@ object EncodedQuery {
       pageKey: Option[String] = None): DataFrame =
     tableApi(resolveRefs(df, refs), q, fields, offset, limit, pageKey)
 
+  /** The Table API's THIRD rendering mode — `sysparm_display_value=true`:
+    * every reference field comes back as the referenced record's DISPLAY
+    * value (its `display` column) instead of the raw key. Rendering is
+    * RESPONSE-ONLY, exactly like the real API: `sysparm_query` conditions,
+    * ORDERBY, and pagination all evaluate against raw values first (a
+    * query on `c_nationkey=3` still matches the key, never the name), and
+    * only the surviving page has its reference columns rewritten. A
+    * dangling reference renders NULL (the walked struct is NULL), the
+    * API's broken-reference answer. Each edge costs the same broadcast dim
+    * join the dot-walk already pays — display rendering adds zero
+    * shuffles. */
+  def tableApiDisplay(df: DataFrame, refs: Seq[Ref], q: String,
+      fields: Seq[String] = Nil, offset: Int = 0, limit: Int = -1,
+      pageKey: Option[String] = None): DataFrame = {
+    refs.foreach(r => require(r.display.nonEmpty,
+      s"display rendering needs a display column for edge '${r.name}'"))
+    val paged = tableApi(resolveRefs(df, refs), q, Nil, offset, limit, pageKey)
+    val rendered = refs.foldLeft(paged) { (acc, r) =>
+      acc.withColumn(r.childKey, col(s"${r.name}.${r.display}"))
+    }
+    // return the TABLE's shape (walked structs were render scaffolding)
+    val shaped = refs.foldLeft(rendered)((acc, r) => acc.drop(r.name))
+    if (fields.isEmpty) shaped else shaped.select(fields.map(col): _*)
+  }
+
   /** The Aggregate API (`GET /api/now/stats/{table}`) emulation — the
     * reference's OTHER query surface beside the Table API:
     * `sysparm_query` compiles through the same encoded-query predicate,
@@ -272,17 +297,62 @@ object EncodedQuery {
   def statsApi(df: DataFrame, q: String = "", groupBy: Seq[String] = Nil,
       countRecords: Boolean = true, sumFields: Seq[String] = Nil,
       avgFields: Seq[String] = Nil, minFields: Seq[String] = Nil,
-      maxFields: Seq[String] = Nil): DataFrame = {
+      maxFields: Seq[String] = Nil, having: String = ""): DataFrame = {
     import graft.functions.ExactNum.{sum2, avg2}
     val filtered = if (q.isEmpty) df else df.filter(toPredicate(df, q))
-    val aggs =
-      (if (countRecords) Seq(count(lit(1)).as("count")) else Nil) ++
-        sumFields.map(f => sum2(col(f)).as(s"sum_$f")) ++
-        avgFields.map(f => avg2(col(f)).as(s"avg_$f")) ++
-        minFields.map(f => min(col(f)).as(s"min_$f")) ++
-        maxFields.map(f => max(col(f)).as(s"max_$f"))
-    require(aggs.nonEmpty, "statsApi needs at least one aggregate")
-    if (groupBy.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
-    else filtered.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def aggFor(agg: String, fld: String): Column = agg match {
+      case "count" => count(lit(1)).as("count")
+      case "sum"   => sum2(col(fld)).as(s"sum_$fld")
+      case "avg"   => avg2(col(fld)).as(s"avg_$fld")
+      case "min"   => min(col(fld)).as(s"min_$fld")
+      case "max"   => max(col(fld)).as(s"max_$fld")
+    }
+    val requested: Seq[(String, Column)] =
+      (if (countRecords) Seq("count" -> aggFor("count", "")) else Nil) ++
+        sumFields.map(f => s"sum_$f" -> aggFor("sum", f)) ++
+        avgFields.map(f => s"avg_$f" -> aggFor("avg", f)) ++
+        minFields.map(f => s"min_$f" -> aggFor("min", f)) ++
+        maxFields.map(f => s"max_$f" -> aggFor("max", f))
+    require(requested.nonEmpty, "statsApi needs at least one aggregate")
+    // `sysparm_having` — the Aggregate API's post-aggregate condition list:
+    // comma-separated clauses of `aggregate^field^operator^value`
+    // (count with field `*` or empty targets the record count). A clause
+    // may reference an aggregate that is NOT requested for display — the
+    // API still evaluates it — so the plan aggregates the union and drops
+    // the having-only columns after the filter. Compiles to a Catalyst
+    // Filter above the one grouped aggregate: still partial+final,
+    // map-side-combined, one shuffle.
+    val clauses = if (having.isEmpty) Nil else having.split(",").toSeq.map { cl =>
+      val p = cl.split("\\^", -1).toSeq
+      require(p.length == 4,
+        s"sysparm_having clause must be aggregate^field^operator^value, got '$cl'")
+      val Seq(agg, fld, op, value) = p
+      require(Set("count", "sum", "avg", "min", "max")(agg),
+        s"unknown aggregate '$agg' in sysparm_having clause '$cl'")
+      require(Set("=", "!=", ">", "<", ">=", "<=")(op),
+        s"unknown operator '$op' in sysparm_having clause '$cl'")
+      val name = if (agg == "count" && (fld.isEmpty || fld == "*")) "count"
+        else s"${agg}_$fld"
+      (name, agg, fld, op, value)
+    }
+    val extras = clauses.filterNot(c => requested.exists(_._1 == c._1))
+      .distinctBy(_._1).map(c => c._1 -> aggFor(c._2, c._3))
+    val aggs = (requested ++ extras).map(_._2)
+    val grouped =
+      if (groupBy.isEmpty) filtered.agg(aggs.head, aggs.tail: _*)
+      else filtered.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val kept = clauses.foldLeft(grouped) { case (acc, (name, _, _, op, value)) =>
+      val c = col(name)
+      val v = lit(value).cast(grouped.schema(name).dataType)
+      acc.filter(op match {
+        case "="  => c === v
+        case "!=" => c =!= v
+        case ">"  => c > v
+        case "<"  => c < v
+        case ">=" => c >= v
+        case "<=" => c <= v
+      })
+    }
+    extras.map(_._1).foldLeft(kept)(_ drop _)
   }
 }

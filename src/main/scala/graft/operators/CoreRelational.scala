@@ -549,6 +549,27 @@ object CoreRelational {
         minFields = Seq("o_totalprice"), maxFields = Seq("o_totalprice"))
         .orderBy("o_orderpriority")),
 
+    // B11b: `sysparm_having` — the Aggregate API's post-aggregate condition
+    // list (`aggregate^field^operator^value`, comma-separated), the last
+    // clause of the reference's second query surface. Two clauses AND
+    // together: a count floor on the record count and a max bar on an
+    // aggregate that is NOT displayed (max_o_totalprice is computed for the
+    // filter, then dropped — the API evaluates having on any aggregate,
+    // shown or not). Bars are fixture-tuned to cut non-trivially at both
+    // graded SFs (sf0.01: 1451 customer groups → 962 pass the count floor,
+    // 1111 the max bar, 842 both). Compiles to Filter-above-Aggregate:
+    // one partial+final grouped aggregate, one shuffle, same plan class
+    // as D4's declarative HAVING.
+    "b11b_stats_having" -> ((s, d) =>
+      graft.api.EncodedQuery.statsApi(
+        orders(s, d),
+        q = "o_orderstatus=O",
+        groupBy = Seq("o_custkey"),
+        countRecords = true,
+        sumFields = Seq("o_totalprice"), avgFields = Seq("o_totalprice"),
+        having = "count^*^>=^3,max^o_totalprice^>^300000")
+        .orderBy("o_custkey")),
+
     // B12: cross-table DOT-WALK in the encoded query — the ServiceNow
     // reference-field traversal (`location.name=X` joins cmdb_ci to
     // cmn_location server-side before filtering). Ref edges pack each
@@ -567,6 +588,25 @@ object CoreRelational {
         .select(col("c_custkey"), col("c_name"),
           col("nation.n_name").as("n_name"),
           col("nation.region.r_name").as("r_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // B13: `sysparm_display_value=true` — the Table API's third rendering
+    // mode: reference fields come back as the referenced record's DISPLAY
+    // value instead of the raw key. Rendering is response-only (the
+    // encoded query and ORDERBY bind to raw values first; here the
+    // acctbal filter and key sort run before the rewrite), so the graded
+    // output has c_nationkey carrying the NATION NAME — exactly what a
+    // plain left join to the display column produces, which is the
+    // oracle. Costs one broadcast dim join per edge, nothing more.
+    "b13_display_value" -> ((s, d) => {
+      import graft.api.EncodedQuery.Ref
+      graft.api.EncodedQuery.tableApiDisplay(
+        customer(s, d),
+        Seq(Ref("nation", "c_nationkey", nation(s, d), "n_nationkey",
+          display = "n_name")),
+        "c_acctbal>1000^ORDERBYc_custkey",
+        fields = Seq("c_custkey", "c_name", "c_nationkey"))
         .orderBy("c_custkey")
     }),
 
@@ -2252,6 +2292,22 @@ object CoreRelational {
                  max(o_totalprice) AS max_o_totalprice
           FROM orders WHERE o_orderstatus = 'O'
           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "b11b_stats_having" ->
+      s"""SELECT o_custkey, count(*) AS "count",
+                 ${sqlSum2("o_totalprice")} AS sum_o_totalprice,
+                 ${sqlAvg2("o_totalprice")} AS avg_o_totalprice
+          FROM orders WHERE o_orderstatus = 'O'
+          GROUP BY o_custkey
+          HAVING count(*) >= 3 AND max(o_totalprice) > 300000
+          ORDER BY o_custkey""",
+
+    // display rendering = a plain left join to the dim's display column
+    "b13_display_value" ->
+      """SELECT c_custkey, c_name, n_name AS c_nationkey
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 1000
+         ORDER BY c_custkey""",
 
     // the dot-walk is server-side joins in the real API — plain joins here
     "b12_dotwalk_query" ->

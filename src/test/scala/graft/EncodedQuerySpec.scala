@@ -196,6 +196,80 @@ class EncodedQuerySpec extends AnyFunSuite {
       Seq("count", "min_o_totalprice", "max_o_totalprice"))
   }
 
+  test("statsApi sysparm_having filters groups post-aggregate, evaluates " +
+    "non-displayed aggregates, and fails loudly on malformed clauses") {
+    import org.apache.spark.sql.functions.col
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val base = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_custkey"),
+      sumFields = Seq("o_totalprice"))
+    // a count floor must REMOVE at least one group and keep at least one
+    val floored = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_custkey"),
+      sumFields = Seq("o_totalprice"), having = "count^*^>=^3")
+    assert(floored.count() > 0 && floored.count() < base.count(),
+      s"having removed nothing: ${floored.count()} of ${base.count()}")
+    assert(floored.filter(col("count") < 3).isEmpty)
+    // a clause on a NON-displayed aggregate is evaluated then dropped:
+    // same rows as computing max explicitly, but no max column in the output
+    val hidden = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_custkey"),
+      sumFields = Seq("o_totalprice"), having = "max^o_totalprice^>^300000")
+    assert(!hidden.columns.contains("max_o_totalprice"))
+    val explicit = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_custkey"),
+      sumFields = Seq("o_totalprice"), maxFields = Seq("o_totalprice"))
+      .filter(col("max_o_totalprice") > 300000)
+      .select("o_custkey", "count", "sum_o_totalprice")
+    assert(hidden.count() > 0 && hidden.count() < base.count())
+    assert(hidden.exceptAll(explicit).isEmpty && explicit.exceptAll(hidden).isEmpty)
+    // two clauses AND together
+    val both = graft.api.EncodedQuery.statsApi(orders,
+      q = "o_orderstatus=O", groupBy = Seq("o_custkey"),
+      sumFields = Seq("o_totalprice"),
+      having = "count^*^>=^3,max^o_totalprice^>^300000")
+    assert(both.count() > 0 && both.count() < floored.count() &&
+      both.count() < hidden.count())
+    // malformed clauses fail at compile time, loudly
+    for (bad <- Seq("count>3", "median^o_totalprice^>^1", "count^*^~^3"))
+      intercept[IllegalArgumentException] {
+        graft.api.EncodedQuery.statsApi(orders, groupBy = Seq("o_custkey"),
+          having = bad)
+      }
+  }
+
+  test("display_value rendering is response-only: the query binds to raw " +
+    "keys, the response carries display values, orphans render NULL") {
+    import graft.api.EncodedQuery.Ref
+    import org.apache.spark.sql.functions.col
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val nat = graft.sources.Tables.nation(spark, sf)
+    val refs = Seq(Ref("nation", "c_nationkey", nat, "n_nationkey",
+      display = "n_name"))
+    // filter on the RAW key value; the response renders the name
+    val r = graft.api.EncodedQuery
+      .tableApiDisplay(cust, refs, "c_nationkey=3^ORDERBYc_custkey",
+        fields = Seq("c_custkey", "c_nationkey"))
+    val expectName = nat.filter(col("n_nationkey") === 3)
+      .select("n_name").head().getString(0)
+    assert(r.count() > 0)
+    assert(r.select("c_nationkey").distinct().collect().toSeq
+      .map(_.getString(0)) == Seq(expectName))
+    // response shape is the TABLE's shape (no walked-struct scaffolding)
+    val full = graft.api.EncodedQuery.tableApiDisplay(cust, refs, "c_acctbal>0")
+    assert(full.columns.toSeq == cust.columns.toSeq)
+    // a dangling reference renders NULL, the API's broken-reference answer
+    val orphaned = cust.withColumn("c_nationkey", col("c_nationkey") + 1000)
+    val o = graft.api.EncodedQuery
+      .tableApiDisplay(orphaned, refs, "c_acctbal>0")
+    assert(o.filter(col("c_nationkey").isNotNull).isEmpty)
+    // an edge without a display column fails loudly in this mode
+    intercept[IllegalArgumentException] {
+      graft.api.EncodedQuery.tableApiDisplay(cust,
+        Seq(Ref("nation", "c_nationkey", nat, "n_nationkey")), "c_acctbal>0")
+    }
+  }
+
   test("cross-table dot-walk: two-hop walked filter equals the manual " +
     "join; dangling references answer ISEMPTY") {
     import graft.api.EncodedQuery.Ref
