@@ -480,7 +480,8 @@ object LlmOps {
     * with build-time control work means tagging it in the same edit;
     * PlanShapeSpec's plan-build job audit fails the build if an untagged
     * registry query still runs jobs at warm plan build. */
-  val eager: Set[String] = Set("dd_components", "dd_keep_one", "dd_keep_best")
+  val eager: Set[String] =
+    Set("dd_components", "dd_keep_one", "dd_keep_best", "dd_components_incr")
 
   /** The (doc_id, dlen, word, cnt) posting frame — one row per (doc, word)
     * with the doc length carried alongside — shared by ta_tfidf and
@@ -666,6 +667,41 @@ object LlmOps {
           round4(coalesce(col("mj"), lit(0.0))).as("max_jac"),
           (coalesce(col("n_dup_hits"), lit(0L)) === 0).cast("int").as("admit"))
         .orderBy("doc_id")
+    }),
+
+    // Incremental cluster MAINTENANCE — where dd_incremental only answers
+    // admission (does the new doc hit anything?), this UPDATES the stored
+    // component labels from the delta batch: contract each delta edge's
+    // old endpoint to its stored label, fixpoint over just the contracted
+    // delta-touched subgraph, relabel stored components by one equi-join
+    // (GraphOps.incrementalComponents — see its scaladoc for the
+    // correctness argument). The oracle is dd_components' full recursive
+    // closure VERBATIM, so the gate proves incremental ≡ full rebuild,
+    // not just plausibility. Here the stored frame is simulated by a
+    // fixpoint over the old–old edges of the shared τ=0.3 pair frame
+    // (prep — production reads it from the lake); the incremental work
+    // proper is delta-sized. One honest df-cap caveat: the shared pair
+    // frame caps shingle df over the FULL corpus, while a production
+    // incremental probe caps against the stored index — a shingle that
+    // crosses the cap only once the batch lands can differ; the
+    // admission contract (dd_incremental) documents the same probe shape.
+    "dd_components_incr" -> ((s, d) => {
+      val isNew = (c: Column) => c % 5 === 0
+      val pairs = jaccardPairs(s, d, 0.3)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      GraphOps.withFixpointWidth(s) {
+        val stored = graft.CacheRegistry.materialize(
+          GraphOps.minLabelComponents(
+            documents(s, d).filter(!isNew(col("doc_id")))
+              .select(col("doc_id").as("id")),
+            pairs.filter(!isNew(col("src")) && !isNew(col("dst"))),
+            rounds = None))
+        GraphOps.incrementalComponents(
+          stored,
+          documents(s, d).filter(isNew(col("doc_id")))
+            .select(col("doc_id").as("id")),
+          pairs.filter(isNew(col("src")) || isNew(col("dst"))))
+      }.select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
     }),
 
     // Contamination blast radius — bounded-depth BFS over the τ=0.3
@@ -1557,6 +1593,21 @@ object LlmOps {
           ORDER BY doc_a, doc_b""",
 
     "dd_components" ->
+      s"""WITH RECURSIVE ${jacPairsCte(0.3)},
+          bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION ALL
+                 SELECT doc_b AS a, doc_a AS b FROM pairs),
+          reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN bi e ON r.dst = e.a)
+          SELECT src AS doc_id, min(dst) AS comp
+          FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // the FULL closure verbatim — the strongest possible gate for the
+    // incremental path: its split-feed contraction must reproduce the
+    // full rebuild row-for-row
+    "dd_components_incr" ->
       s"""WITH RECURSIVE ${jacPairsCte(0.3)},
           bi AS (SELECT doc_a AS a, doc_b AS b FROM pairs
                  UNION ALL

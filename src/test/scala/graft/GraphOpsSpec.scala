@@ -92,6 +92,47 @@ object GraphOpsSpec extends Properties("graphops") {
       fp == (0 until n).map(i => (i.toLong, 0L))
     }
 
+  property("incrementalComponents on a split feed equals a full rebuild") =
+    forAll(graphGen, Gen.choose(2, 5)) { case ((n, edges), mod) =>
+      import spark.implicits._
+      // split: new vertices are id % mod == 0 (includes the global min —
+      // the case where a NEW id becomes the merged cluster's label)
+      val isNew = (v: Int) => v % mod == 0
+      val oldIds = (0 until n).filterNot(isNew)
+      val newIds = (0 until n).filter(isNew)
+      def df(s: Seq[(Long, Long)]) =
+        if (s.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst") else s.toDF("src", "dst")
+      val oldEdges = edges.filter { case (a, b) => !isNew(a) && !isNew(b) }
+        .map { case (a, b) => (a.toLong, b.toLong) }
+      val deltaEdges = edges.filter { case (a, b) => isNew(a) || isNew(b) }
+        .map { case (a, b) => (a.toLong, b.toLong) }
+      val stored = graft.operators.GraphOps
+        .minLabelComponents(oldIds.map(_.toLong).toDF("id"), df(oldEdges), rounds = None)
+      val got = graft.operators.GraphOps
+        .incrementalComponents(stored,
+          if (newIds.isEmpty) Seq.empty[Long].toDF("id") else newIds.map(_.toLong).toDF("id"),
+          df(deltaEdges))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+      got == unionFind(n, edges)
+    }
+
+  property("incremental merge of two old components through a new bridge") =
+    forAll(Gen.choose(2, 6)) { k =>
+      import spark.implicits._
+      // two disjoint old chains 1-2-…-k and (k+10)-…-(2k+9); new vertex 0
+      // bridges their far ends — the stored labels must BOTH relabel to 0
+      val chainA = (1 until k).map(i => (i.toLong, (i + 1).toLong))
+      val chainB = (1 until k).map(i => ((i + 10).toLong, (i + 11).toLong))
+      val oldIds = ((1 to k) ++ (11 to k + 10)).map(_.toLong)
+      val stored = graft.operators.GraphOps.minLabelComponents(
+        oldIds.toDF("id"), (chainA ++ chainB).toDF("src", "dst"), rounds = None)
+      val delta = Seq((0L, k.toLong), (0L, (k + 10).toLong)).toDF("src", "dst")
+      val got = graft.operators.GraphOps
+        .incrementalComponents(stored, Seq(0L).toDF("id"), delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      got.size == 2 * k + 1 && got.values.forall(_ == 0L)
+    }
+
   property("bfsDepths equals a sequential min-depth BFS model") =
     forAll(graphGen, Gen.choose(1, 4)) { case ((n, edges), k) =>
       import spark.implicits._

@@ -117,6 +117,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // span-free-doc restore join (corpus × corpus on the pk) — shuffle
       // equi joins are the correct 100-TB shapes, like dd_keep_one's
       "dd_substr_cut",
+      // the incremental-relabel join is stored-corpus × delta-touched on
+      // the component key (plus the contraction probes on the vertex pk) —
+      // the relabel map is data-dependent (a crawl increment can touch
+      // arbitrarily many components), so the shuffle equi join is the
+      // correct 100-TB shape, exactly dd_keep_one's class
+      "dd_components_incr",
       // the funnel ladder chains user-population-sized first-reach frames
       // on the user_id pk — co-partitioned shuffle equi joins at scale
       // (users are data-sized; broadcasting them would be wrong)
