@@ -36,7 +36,7 @@ object SparkEntry {
     * [[buildTimeFixtureWriters]]. */
   def eagerQueries: Set[String] =
     graft.streaming.StreamingGraded.queries.keySet ++
-      CoreRelational.eager ++ LlmOps.eager
+      CoreRelational.eager ++ LlmOps.eager ++ Lsh.eager
 
   /** Documented build-time fixture writers (write prep at plan build, the
     * graded artifact is the read-back) — see CoreRelational.buildTimeFixtures. */

@@ -287,6 +287,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(align > 0.99, s"planted axis not recovered: alignment $align")
   }
 
+  test("pca deflation: recovers two planted orthogonal axes in variance order") {
+    import spark.implicits._
+    // axis u1 (spread ±10) dominates axis u2 (spread ±2); after deflation
+    // the second power run must land on u2, not echo u1
+    val u1 = Array.tabulate(64)(j => if (j == 0) 0.6f else if (j == 1) 0.8f else 0f)
+    val u2 = Array.tabulate(64)(j => if (j == 2) 1.0f else 0f)
+    val vecs = (0 until 40).map { k =>
+      val t1 = (k - 20) * 0.5f
+      val t2 = ((k * 7) % 17 - 8) * 0.25f
+      (k.toLong, Array.tabulate(64)(j =>
+        t1 * u1(j) + t2 * u2(j) + (((k * 31 + j * 7) % 11 - 5) * 0.002f)))
+    }.toDF("vec_id", "embedding")
+    val got = graft.operators.Lsh.pcaTopkOf(vecs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 128)
+    val a1 = math.abs((0 until 64).map(j => got((1, j)) * u1(j)).sum)
+    val a2 = math.abs((0 until 64).map(j => got((2, j)) * u2(j)).sum)
+    assert(a1 > 0.98, s"dominant axis not recovered: alignment $a1")
+    assert(a2 > 0.95, s"deflated axis not recovered: alignment $a2")
+  }
+
   test("emb_outliers: flags are non-trivial on the fixture and a planted " +
     "far vector is the one flagged in a tight synthetic cluster") {
     val r = SparkEntry.queries("emb_outliers")(spark, d)

@@ -78,6 +78,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // broadcasts the 64-row weight vector per power-iteration round —
       // all model-sized
       "emb_pca_top1",
+      // same model-sized cross-combines as emb_pca_top1, plus the
+      // single-row Rayleigh numerator/denominator frames of the deflation
+      "emb_pca_topk",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
