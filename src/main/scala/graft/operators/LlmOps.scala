@@ -458,6 +458,81 @@ object LlmOps {
     * fewer than two tokens have no bigrams and drop out (mirrored by the
     * oracle's empty unnest). Separated from the registry entry so tests can
     * drive it with synthetic looping text. */
+  /** Deterministic BPE merge rounds — the tokenizer-training primitive:
+    * each round finds the globally most frequent ADJACENT token pair
+    * (ties by token order) and applies the classic greedy left-to-right
+    * merge to every document, so round r+1 counts pairs over the merged
+    * sequences (a merged token pairs with its new neighbors exactly as
+    * real BPE training does).
+    *
+    * The greedy merge is pure window algebra on ONE partitioning
+    * (doc_id, ordered by pos): overlapping matches only occur in runs of
+    * consecutive matched positions (positions are re-indexed to
+    * consecutive integers every round), and greedy left-to-right within a
+    * run keeps exactly the even offsets from the run's start — so
+    * run-start flag (match with no matched predecessor), running
+    * max-of-start-positions, parity test, then a lag() consumption filter
+    * and a row_number() re-index. No self-joins, no driver data: per
+    * round one corpus-linear window pass + one pair hash-aggregate + a
+    * single-row TakeOrdered winner broadcast back. Each round's sequence
+    * frame is lazily localCheckpoint'd (the PCA-deflation lesson: round
+    * r's tree references round r−1 three times, so the plan STRING would
+    * grow 3^rounds without truncation) — which makes the builder eager by
+    * the AQE-planning rule; Bench rebuilds it inside the timed pass.
+    *
+    * Sequential-model property: GraftProperties replays random small
+    * corpora (3-letter alphabet → overlapping runs and count ties)
+    * against a straight-line Scala BPE and pins equality round by round.
+    * @return one row per round: (round, left_tok, right_tok, pair_cnt) */
+  private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    var seq: DataFrame = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val perRound = (1 to rounds).map { r =>
+      val pc = seq
+        .withColumn("nxt", lead(col("tok"), 1).over(byPos))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+        .agg(count(lit(1)).as("cnt"))
+      // single-row winner — shared by this round's merge AND the output
+      val win = graft.CacheRegistry.materialize(
+        pc.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(1))
+      val merged = seq
+        .withColumn("nxt", lead(col("tok"), 1).over(byPos))
+        .crossJoin(broadcast(win.select(col("t1"), col("t2"))))
+        // when/otherwise(0), never bare cast: nxt is NULL at each doc's
+        // last position and mn is NULL before the first run — a null flag
+        // would poison every window downstream (the oracle's CASE…ELSE 0)
+        .withColumn("m",
+          when(col("tok") === col("t1") && col("nxt") === col("t2"), 1)
+            .otherwise(0))
+        .withColumn("s",
+          when(col("m") === 1 &&
+            coalesce(lag(col("m"), 1).over(byPos), lit(0)) === 0, 1)
+            .otherwise(0))
+        .withColumn("mn",
+          max(when(col("s") === 1, col("pos"))).over(byPos))
+        .withColumn("keep",
+          when(col("m") === 1 && (col("pos") - col("mn")) % 2 === 0, 1)
+            .otherwise(0))
+        .withColumn("cons", lag(col("keep"), 1).over(byPos))
+        .filter(coalesce(col("cons"), lit(0)) === 0)
+        .select(col("doc_id"), col("pos").as("opos"),
+          when(col("keep") === 1, concat_ws(" ", col("tok"), col("nxt")))
+            .otherwise(col("tok")).as("tok"))
+      seq = merged
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
+            .cast("long") - 1)
+        .select("doc_id", "pos", "tok")
+        .localCheckpoint(eager = false)
+      win.select(lit(r).as("round"), col("t1").as("left_tok"),
+        col("t2").as("right_tok"), col("cnt").as("pair_cnt"))
+    }
+    perRound.reduce(_.unionByName(_))
+  }
+
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     bigramRows(docs)
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
@@ -481,7 +556,10 @@ object LlmOps {
     * PlanShapeSpec's plan-build job audit fails the build if an untagged
     * registry query still runs jobs at warm plan build. */
   val eager: Set[String] =
-    Set("dd_components", "dd_keep_one", "dd_keep_best", "dd_components_incr")
+    Set("dd_components", "dd_keep_one", "dd_keep_best", "dd_components_incr",
+      // per-round localCheckpoints force AQE planning at build (the
+      // emb_pca_topk rule)
+      "ta_bpe_merge")
 
   /** The (doc_id, dlen, word, cnt) posting frame — one row per (doc, word)
     * with the doc length carried alongside — shared by ta_tfidf and
@@ -1146,6 +1224,13 @@ object LlmOps {
     // HOF lambdas, fully codegen'd, so the op is a linear scan at 100 TB.
     "ta_repetition" -> ((s, d) => repetitionOf(documents(s, d)).orderBy("doc_id")),
 
+    // Tokenizer training: three deterministic BPE merge rounds over the
+    // corpus token stream — see [[bpeMergeRounds]] for the greedy-merge
+    // window algebra and the scale shape. Output is the merge TABLE
+    // (round, pair, frequency): the artifact a tokenizer build persists.
+    "ta_bpe_merge" -> ((s, d) =>
+      bpeMergeRounds(documents(s, d), rounds = 3).orderBy("round")),
+
     // Multimodal decode plumbing — text treated as an opaque binary payload
     // with a deterministic stub "decoder" (byte length, content hash, fake
     // dimensions). The mapPartitions-based typed pipeline lives in
@@ -1566,7 +1651,58 @@ object LlmOps {
        FROM embeddings, range(64) t(i)
        GROUP BY label, i ORDER BY label, pos"""
 
+  /** One BPE merge round as DuckDB CTEs `pc$r..seq$r` over `$prev` — the
+    * operand-for-operand mirror of one [[bpeMergeRounds]] iteration
+    * (pair count → total-order winner → run-start/parity greedy merge →
+    * re-index). */
+  private def bpeRoundSql(prev: String, r: Int): String =
+    s"""pc$r AS (SELECT t1, t2, count(*) AS cnt FROM (
+            SELECT tok AS t1,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+            FROM $prev) WHERE t2 IS NOT NULL GROUP BY t1, t2),
+        win$r AS (SELECT t1, t2, cnt FROM pc$r
+                  ORDER BY cnt DESC, t1 ASC, t2 ASC LIMIT 1),
+        mm$r AS (SELECT q.doc_id, q.pos, q.tok, q.nxt,
+                   CASE WHEN q.tok = w.t1 AND q.nxt = w.t2 THEN 1 ELSE 0 END AS m
+                 FROM (SELECT doc_id, pos, tok,
+                         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+                       FROM $prev) q CROSS JOIN win$r w),
+        st$r AS (SELECT *, CASE WHEN m = 1 AND coalesce(
+                     lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+                   THEN 1 ELSE 0 END AS s FROM mm$r),
+        is$r AS (SELECT *, max(CASE WHEN s = 1 THEN pos END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS mn FROM st$r),
+        kp$r AS (SELECT *, CASE WHEN m = 1 AND (pos - mn) % 2 = 0
+                   THEN 1 ELSE 0 END AS keep FROM is$r),
+        sv$r AS (SELECT doc_id, pos AS opos,
+                   CASE WHEN keep = 1 THEN tok || ' ' || nxt ELSE tok END AS tok
+                 FROM (SELECT *, lag(keep)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS cons
+                       FROM kp$r)
+                 WHERE coalesce(cons, 0) = 0),
+        seq$r AS (SELECT doc_id,
+                    row_number() OVER (PARTITION BY doc_id ORDER BY opos) - 1 AS pos,
+                    tok
+                  FROM sv$r)"""
+
   val oracle: Map[String, String] = Map(
+    "ta_bpe_merge" ->
+      s"""WITH seq0 AS (
+            SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos,
+                   unnest(l) AS tok
+            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+          ${bpeRoundSql("seq0", 1)},
+          ${bpeRoundSql("seq1", 2)},
+          ${bpeRoundSql("seq2", 3)}
+          SELECT * FROM (
+            SELECT CAST(1 AS INT) AS round, t1 AS left_tok, t2 AS right_tok,
+                   cnt AS pair_cnt FROM win1
+            UNION ALL
+            SELECT CAST(2 AS INT) AS round, t1, t2, cnt FROM win2
+            UNION ALL
+            SELECT CAST(3 AS INT) AS round, t1, t2, cnt FROM win3)
+          ORDER BY round""",
+
     "j1_exact_dedup" ->
       """SELECT doc_id, md5(lower(trim(text))) AS text_hash, lang, source
          FROM documents

@@ -617,4 +617,55 @@ object GraftProperties extends Properties("graft") {
       }
     }
   }
+
+  /** Straight-line BPE trainer: count adjacent pairs, take the (cnt desc,
+    * pair asc) winner, greedy left-to-right merge, repeat. */
+  private def bpeModel(docs0: Seq[Seq[String]], rounds: Int)
+      : Seq[(String, String, Long)] = {
+    var cur = docs0
+    (1 to rounds).flatMap { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      cur.foreach(_.sliding(2).foreach {
+        case Seq(a, b) => counts((a, b)) += 1
+        case _ => ()
+      })
+      if (counts.isEmpty) None
+      else {
+        val ((t1, t2), cnt) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        cur = cur.map { toks =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == t1 && toks(i + 1) == t2) {
+              out += toks(i) + " " + toks(i + 1); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toSeq
+        }
+        Some((t1, t2, cnt))
+      }
+    }
+  }
+
+  private val bpeGen: Gen[List[List[String]]] =
+    Gen.choose(1, 4).flatMap(n => Gen.listOfN(n,
+      Gen.choose(2, 12).flatMap(len =>
+        // 3-letter alphabet → frequent repeated-token runs ("a a a a"),
+        // the overlapping-match case the greedy window algebra must get
+        // right, plus frequent count ties exercising the pair total order
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")))))
+
+  property("BPE merge rounds equal the sequential trainer on random corpora") =
+    forAll(bpeGen) { docs =>
+      import spark.implicits._
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.LlmOps.bpeMergeRounds(df, rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      got == bpeModel(docs.map(_.toSeq), 3)
+    }
 }

@@ -81,6 +81,8 @@ class PlanShapeSpec extends AnyFunSuite {
       // same model-sized cross-combines as emb_pca_top1, plus the
       // single-row Rayleigh numerator/denominator frames of the deflation
       "emb_pca_topk",
+      // each merge round cross-combines the single-row winner pair
+      "ta_bpe_merge",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
