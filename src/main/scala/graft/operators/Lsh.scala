@@ -520,28 +520,32 @@ object Lsh {
     * Each round MATERIALIZES its 64-row result (the GraphOps fixpoint
     * lesson): without it, round k's broadcast subtrees re-execute every
     * earlier round — w1 ran 4× inside w3's plan, measured 7 s of pure
-    * re-evaluation on 64-row frames. */
+    * re-evaluation on 64-row frames. The max-abs renormalization is a
+    * WHOLE-FRAME window over the 64-row round result, not a broadcast
+    * cross-combine: broadcast exchanges re-execute per action and their
+    * per-execution floor dominated the query (r8 audit: two exchanges ×
+    * three rounds ≈ 2.5 s of pure broadcast latency on model-sized
+    * frames); the single-partition WindowExec WARN is benign by the
+    * heapsOf precedent — the frame is always exactly 64 rows. */
   private def pcaPowerW3(cov: org.apache.spark.sql.DataFrame,
       w0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val rawBase = cov.join(broadcast(w), "j")
-        .groupBy("i").agg(sum(col("c8") * col("w7")).as("raw"))
-      val raw = graft.CacheRegistry.materialize(rawBase)
-      val mx = raw.agg(max(abs(col("raw"))).as("mx"))
+    val whole = Window.partitionBy()
+    def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       graft.CacheRegistry.materialize(
-        raw.crossJoin(broadcast(mx))
+        cov.join(broadcast(w), "j")
+          .groupBy("i").agg(sum(col("c8") * col("w7")).as("raw"))
           .select(col("i").as("j"),
-            round(col("raw") / col("mx") * 1e7).cast("long").as("w7")))
-    }
+            round(col("raw") / max(abs(col("raw"))).over(whole) * 1e7)
+              .cast("long").as("w7")))
     iterate(iterate(iterate(w0)))
   }
 
   private def pcaNormalized(w3: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val nrm = w3.agg(sqrt(sum(col("w7") * col("w7")).cast("double")).as("nr"))
-    w3.crossJoin(broadcast(nrm))
-      .select(col("j").as("pos"), round4(col("w7") / col("nr")).as("loading"))
-  }
+      : org.apache.spark.sql.DataFrame =
+    w3.select(col("j").as("pos"),
+      round4(col("w7") / sqrt(
+        sum(col("w7") * col("w7")).over(Window.partitionBy()).cast("double")))
+        .as("loading"))
 
   /** Top-2 principal axes by DEFLATION over the shared covariance: after
     * the first power run converges to w3, estimate λ₁ by the Rayleigh
