@@ -54,11 +54,13 @@ object Bench {
     // 5× their local cost through all 3 passes — sustained host-load
     // windows outlast a 3-pass suite, and a per-query min is only as
     // robust as the number of independent samples behind it.
-    // drop the shared components index before each pass: one pass = one
-    // honest index build (whichever dd_* query runs first pays it; the
-    // other reads the shared index, which is the real serving shape)
+    // drop every shared-BUILD memo before each pass (components index,
+    // PCA basis, BPE rounds — CacheRegistry.onPassReset): one pass = one
+    // honest build per shared index (whichever consumer runs first pays
+    // it; the others read the shared frame, the real serving shape).
+    // PREP memos (stored labels, input spools, table reads) survive.
     val passes = Seq.fill(5) {
-      operators.LlmOps.clearComponentsMemo(); System.gc(); timedPass()
+      graft.CacheRegistry.passReset(); System.gc(); timedPass()
     }
     val results = dfs.keys.map { name =>
       val ts = passes.map(_(name))

@@ -272,8 +272,10 @@ object LlmOps {
     * pass (serving both queries), never a stale cached read. */
   private val componentsMemo =
     scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
-  // derived from registry-cached frames → must not outlive a cache release
-  graft.CacheRegistry.onRelease(() => clearComponentsMemo())
+  // derived from registry-cached frames → must not outlive a cache
+  // release; shared-BUILD memo → reset per bench pass (CacheRegistry
+  // scaladoc)
+  graft.CacheRegistry.onPassReset(() => clearComponentsMemo())
 
   private[graft] def componentsOf(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     componentsMemo.getOrElseUpdate((s, d),
@@ -521,8 +523,10 @@ object LlmOps {
     * Sequential-model property: GraftProperties replays random small
     * corpora (3-letter alphabet → overlapping runs and count ties)
     * against a straight-line Scala BPE and pins equality round by round.
-    * @return one row per round: (round, left_tok, right_tok, pair_cnt) */
-  private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int): DataFrame = {
+    * @return (merge table — one row per round: (round, left_tok,
+    *         right_tok, pair_cnt); final (doc_id, pos, tok) sequence) */
+  private[graft] def bpeMergeRounds(docs: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     var seq: DataFrame = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -568,8 +572,19 @@ object LlmOps {
       win.select(lit(r).as("round"), col("t1").as("left_tok"),
         col("t2").as("right_tok"), col("cnt").as("pair_cnt"))
     }
-    perRound.reduce(_.unionByName(_))
+    (perRound.reduce(_.unionByName(_)), seq)
   }
+
+  /** The graded 3-round BPE build, shared by `ta_bpe_merge` (the merge
+    * table) and `ta_bpe_compress` (the merged sequences) — reset per
+    * bench pass so one honest build is timed per pass. */
+  private val bpeMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), (DataFrame, DataFrame)]()
+  graft.CacheRegistry.onPassReset(() => bpeMemo.clear())
+
+  private def bpeRoundsOf(s: org.apache.spark.sql.SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    bpeMemo.getOrElseUpdate((s, d), bpeMergeRounds(documents(s, d), rounds = 3))
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     bigramRows(docs)
@@ -596,8 +611,8 @@ object LlmOps {
   val eager: Set[String] =
     Set("dd_components", "dd_keep_one", "dd_keep_best", "dd_components_incr",
       // per-round localCheckpoints force AQE planning at build (the
-      // emb_pca_topk rule)
-      "ta_bpe_merge")
+      // emb_pca_topk rule); compress rides the same shared build
+      "ta_bpe_merge", "ta_bpe_compress")
 
   /** The (doc_id, dlen, word, cnt) posting frame — one row per (doc, word)
     * with the doc length carried alongside — shared by ta_tfidf and
@@ -1226,6 +1241,34 @@ object LlmOps {
     "ta_unigram_logprob" -> ((s, d) =>
       unigramLogprobOf(documents(s, d)).orderBy("doc_id")),
 
+    // CCNet-style corpus cut: head/middle/tail TERCILES of the per-doc
+    // LM score (the bucketing CCNet/LLaMA-style pipelines filter and
+    // sample by). Exact two-phase (the d16 discipline): per-doc scores
+    // snap to their 1e-4 grid, fold to a TICK HISTOGRAM (bounded by the
+    // score grid, never doc volume — the single-partition cumulative
+    // window is over that bounded frame, the e19 precedent), and each
+    // tick's bucket is decided by its FIRST doc's integer rank position
+    // (3·cum_before < n / < 2n — cross-multiplied, no division, ties
+    // share a bucket by construction). Output is the 3-row dataset card:
+    // docs per bucket + the score range each bucket spans.
+    "ta_ppl_buckets" -> ((s, d) => {
+      val lp = unigramLogprobOf(documents(s, d))
+        .select(col("doc_id"),
+          round(col("avg_logprob") * 1e4).cast("long").as("lp4"))
+      lp.groupBy("lp4").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("lp4").desc)))
+        .withColumn("ntot", sum(col("cnt")).over(Window.partitionBy()))
+        .withColumn("bucket",
+          when((col("cum") - col("cnt")) * 3 < col("ntot"), "head")
+            .when((col("cum") - col("cnt")) * 3 < col("ntot") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("bucket")
+        .agg(sum(col("cnt")).as("n_docs"),
+          round4(max(col("lp4")) / 1e4).as("best_lp"),
+          round4(min(col("lp4")) / 1e4).as("worst_lp"))
+        .orderBy("bucket")
+    }),
+
     // Out-of-vocabulary rate per doc vs the corpus's own top-K vocab — the
     // tokenizer-planning signal; see oovRateOf for the distributed top-K
     // selection and the tie-stable total order.
@@ -1261,8 +1304,24 @@ object LlmOps {
     // corpus token stream — see [[bpeMergeRounds]] for the greedy-merge
     // window algebra and the scale shape. Output is the merge TABLE
     // (round, pair, frequency): the artifact a tokenizer build persists.
-    "ta_bpe_merge" -> ((s, d) =>
-      bpeMergeRounds(documents(s, d), rounds = 3).orderBy("round")),
+    "ta_bpe_merge" -> ((s, d) => bpeRoundsOf(s, d)._1.orderBy("round")),
+
+    // The merge rounds APPLIED, audited: corpus token mass before vs
+    // after the 3 merges and the compression ratio — the number a
+    // tokenizer build reports per merge budget. Rides the shared BPE
+    // build (one per bench pass); two per-doc counts + one pk join.
+    "ta_bpe_compress" -> ((s, d) => {
+      val before = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nb"))
+      val after = bpeRoundsOf(s, d)._2
+        .groupBy("doc_id").agg(count(lit(1)).as("na"))
+      before.join(after, "doc_id")
+        .agg(sum(col("nb")).as("tokens_before"), sum(col("na")).as("tokens_after"),
+          sum(col("nb") - col("na")).as("merges_applied"))
+        .select(col("tokens_before"), col("tokens_after"), col("merges_applied"),
+          round4(col("tokens_after") / col("tokens_before").cast("double"))
+            .as("ratio"))
+    }),
 
     // Multimodal decode plumbing — text treated as an opaque binary payload
     // with a deterministic stub "decoder" (byte length, content hash, fake
@@ -1678,6 +1737,26 @@ object LlmOps {
             WHERE jac >= $tau)"""
   }
 
+  /** The per-doc unigram-LM score as DuckDB CTEs ending in
+    * `doclp(doc_id, n_tokens, avg_logprob)` — the mirror of
+    * [[unigramLogprobOf]], shared by ta_unigram_logprob and
+    * ta_ppl_buckets. */
+  private lazy val unigramLpCtes: String =
+    s"""occ AS (
+          SELECT doc_id, tok, count(*) AS m
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+          GROUP BY doc_id, tok),
+        uni AS (SELECT tok, CAST(sum(m) AS BIGINT) AS cnt FROM occ GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM uni),
+        slps AS (
+          SELECT doc_id, m,
+                 m * CAST(round(ln(CAST(cnt AS DOUBLE)/tot)*1e7) AS BIGINT) AS slp
+          FROM occ JOIN uni USING (tok) CROSS JOIN tot),
+        doclp AS (
+          SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                 ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
+          FROM slps GROUP BY doc_id)"""
+
   /** The true τ=0.3 connected-components closure (recursive CTE) — the
     * oracle for dd_components AND both incremental paths (batch +
     * streaming), which must reproduce the full rebuild row-for-row. */
@@ -1733,15 +1812,20 @@ object LlmOps {
                     tok
                   FROM sv$r)"""
 
+  /** The 3-round BPE CTE chain (token stream + rounds 1–3) — shared by
+    * the ta_bpe_merge and ta_bpe_compress oracles. */
+  private lazy val bpeChainSql: String =
+    s"""seq0 AS (
+          SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos,
+                 unnest(l) AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        ${bpeRoundSql("seq0", 1)},
+        ${bpeRoundSql("seq1", 2)},
+        ${bpeRoundSql("seq2", 3)}"""
+
   val oracle: Map[String, String] = Map(
     "ta_bpe_merge" ->
-      s"""WITH seq0 AS (
-            SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos,
-                   unnest(l) AS tok
-            FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-          ${bpeRoundSql("seq0", 1)},
-          ${bpeRoundSql("seq1", 2)},
-          ${bpeRoundSql("seq2", 3)}
+      s"""WITH $bpeChainSql
           SELECT * FROM (
             SELECT CAST(1 AS INT) AS round, t1 AS left_tok, t2 AS right_tok,
                    cnt AS pair_cnt FROM win1
@@ -1750,6 +1834,16 @@ object LlmOps {
             UNION ALL
             SELECT CAST(3 AS INT) AS round, t1, t2, cnt FROM win3)
           ORDER BY round""",
+
+    "ta_bpe_compress" ->
+      s"""WITH $bpeChainSql,
+          bef AS (SELECT doc_id, count(*) AS nb FROM seq0 GROUP BY doc_id),
+          aft AS (SELECT doc_id, count(*) AS na FROM seq3 GROUP BY doc_id)
+          SELECT CAST(sum(nb) AS BIGINT) AS tokens_before,
+                 CAST(sum(na) AS BIGINT) AS tokens_after,
+                 CAST(sum(nb - na) AS BIGINT) AS merges_applied,
+                 ${sqlRound4("CAST(sum(na) AS BIGINT) / CAST(CAST(sum(nb) AS BIGINT) AS DOUBLE)")} AS ratio
+          FROM bef JOIN aft USING (doc_id)""",
 
     "j1_exact_dedup" ->
       """SELECT doc_id, md5(lower(trim(text))) AS text_hash, lang, source
@@ -2212,23 +2306,30 @@ object LlmOps {
           ORDER BY doc_id""",
 
     "ta_unigram_logprob" ->
-      s"""WITH occ AS (
-            SELECT doc_id, tok, count(*) AS m
-            FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
-            GROUP BY doc_id, tok),
-          uni AS (SELECT tok, CAST(sum(m) AS BIGINT) AS cnt FROM occ GROUP BY tok),
-          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM uni),
-          slps AS (
-            SELECT doc_id, m,
-                   m * CAST(round(ln(CAST(cnt AS DOUBLE)/tot)*1e7) AS BIGINT) AS slp
-            FROM occ JOIN uni USING (tok) CROSS JOIN tot)
+      s"""WITH $unigramLpCtes
           SELECT doc_id, n_tokens, avg_logprob,
                  CAST(avg_logprob >= -9.0 AS INT) AS pass
-          FROM (
-            SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
-                   ${sqlRound4("(CAST(sum(slp) AS BIGINT)/1e7)/CAST(sum(m) AS BIGINT)")} AS avg_logprob
-            FROM slps GROUP BY doc_id)
-          ORDER BY doc_id""",
+          FROM doclp ORDER BY doc_id""",
+
+    // the per-doc LM scores folded to exact terciles: histogram on the
+    // 1e-4 score grid, cumulative count ordered best-score-first, each
+    // tick's bucket decided by its FIRST doc's integer rank position
+    // (3·cum_before vs n and 2n — no division, no rounding boundary)
+    "ta_ppl_buckets" ->
+      s"""WITH $unigramLpCtes,
+          lp AS (SELECT doc_id,
+                   CAST(round(avg_logprob * 1e4) AS BIGINT) AS lp4 FROM doclp),
+          hist AS (SELECT lp4, count(*) AS cnt FROM lp GROUP BY lp4),
+          b AS (SELECT lp4, cnt,
+                  CAST(sum(cnt) OVER (ORDER BY lp4 DESC) AS BIGINT) AS cum,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS ntot FROM hist)
+          SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                 ${sqlRound4("max(lp4) / 1e4")} AS best_lp,
+                 ${sqlRound4("min(lp4) / 1e4")} AS worst_lp
+          FROM (SELECT *, CASE WHEN (cum - cnt) * 3 < ntot THEN 'head'
+                               WHEN (cum - cnt) * 3 < ntot * 2 THEN 'middle'
+                               ELSE 'tail' END AS bucket FROM b)
+          GROUP BY bucket ORDER BY bucket""",
 
     // same top-20 vocabulary on the same (count desc, token asc) total
     // order, OOV mass = occurrences outside it

@@ -117,8 +117,20 @@ object Lsh {
   /** Builders whose graded work happens at plan CONSTRUCTION (see
     * SparkEntry.eagerQueries): the deflation's lazy localCheckpoints
     * force physical planning, which under AQE executes the upstream
-    * stages at build time — Bench must rebuild it inside the timed pass. */
-  val eager: Set[String] = Set("emb_pca_topk")
+    * stages at build time — Bench must rebuild these inside the timed
+    * pass (the shared basis memo resets per pass; first consumer pays). */
+  val eager: Set[String] = Set("emb_pca_topk", "emb_pca_project")
+
+  /** The graded top-2 basis, one BUILD shared by its two consumers —
+    * reset per bench pass (CacheRegistry.onPassReset). */
+  private val basisMemo = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]()
+  graft.CacheRegistry.onPassReset(() => basisMemo.clear())
+
+  private def pcaBasisOf(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    basisMemo.getOrElseUpdate((s, d),
+      graft.CacheRegistry.materialize(pcaTopkOf(embeddings(s, d))))
 
   val queries: Map[String, Q] = Map(
     // MinHash signatures → banded LSH buckets → candidate pairs → exact
@@ -412,9 +424,31 @@ object Lsh {
     // covariance frame SHARED with emb_pca_top1 (one corpus pass serves
     // both queries); only the three integer power rounds re-run, from an
     // independent seed. The whitening/compression basis the judge asked
-    // for beyond the top component.
+    // for beyond the top component. Memoized per (session, dir): the
+    // basis is a shared BUILD (emb_pca_project rides it) — reset per
+    // bench pass so one honest build is timed per pass.
     "emb_pca_topk" -> ((s, d) =>
-      pcaTopkOf(embeddings(s, d)).orderBy("component", "pos")),
+      pcaBasisOf(s, d).orderBy("component", "pos")),
+
+    // The basis APPLIED — every vector's coordinates on the top-2
+    // principal axes, the compression/whitening projection itself: one
+    // posexplode + a broadcast join against the 128-row basis + one hash
+    // aggregate — a linear corpus scan at any size. Each product snaps to
+    // the 1e-8 grid pre-sum (loading is already on the 1e-4 grid), so the
+    // coordinates are order-invariant and engine-identical.
+    "emb_pca_project" -> ((s, d) => {
+      val basis = pcaBasisOf(s, d)
+      embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(toDouble(col("embedding"))).as(Seq("pos", "x")))
+        .join(broadcast(basis), "pos")
+        .select(col("vec_id"), col("component"),
+          round(col("x") * col("loading") * 1e8).cast("long").as("t8"))
+        .groupBy("vec_id")
+        .agg(round4(sum(when(col("component") === 1, col("t8"))) / 1e8).as("c1"),
+          round4(sum(when(col("component") === 2, col("t8"))) / 1e8).as("c2"))
+        .orderBy("vec_id")
+    }),
 
     // Embedding outlier flags — the per-cluster OOD audit run before
     // trusting labels or centroids (mislabeled / out-of-distribution
@@ -1235,6 +1269,43 @@ object Lsh {
           FROM s8 CROSS JOIN nn
           JOIN mu mi ON s8.i = mi.i JOIN mu mj ON s8.j = mj.i)"""
 
+  /** The full top-2-basis CTE chain ending in
+    * `basis(component, pos, loading)` — shared by the emb_pca_topk and
+    * emb_pca_project oracles so the mirrors cannot diverge. */
+  private lazy val pcaTopkChainSql: String =
+    s"""$pcaCovSql,
+        ${pcaSeedSql("w0", "pca:")},
+        ${pcaIterSql("cov", "w0", "w1")},
+        ${pcaIterSql("cov", "w1", "w2")},
+        ${pcaIterSql("cov", "w2", "w3")},
+        ray AS (
+          SELECT CAST(sum(CAST(round(wi.w7/1e7 * (c8/1e8) * (wj.w7/1e7) * 1e8)
+            AS BIGINT)) AS BIGINT) AS num8
+          FROM cov JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
+        den AS (
+          SELECT CAST(sum(CAST(round(w7/1e7 * (w7/1e7) * 1e8) AS BIGINT))
+            AS BIGINT) AS den8 FROM w3),
+        cov2 AS (
+          SELECT cov.i, cov.j,
+                 c8 - CAST(round(num8/den8 * (wi.w7/1e7) * (wj.w7/1e7)
+                   / (den8/1e8) * 1e8) AS BIGINT) AS c8
+          FROM cov CROSS JOIN ray CROSS JOIN den
+          JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
+        ${pcaSeedSql("v0", "pca2:")},
+        ${pcaIterSql("cov2", "v0", "v1")},
+        ${pcaIterSql("cov2", "v1", "v2")},
+        ${pcaIterSql("cov2", "v2", "v3")},
+        nrm1 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM w3),
+        nrm2 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM v3),
+        basis AS (
+          SELECT CAST(1 AS INT) AS component, CAST(j AS INT) AS pos,
+                 ${sqlRound4("w7 / nr")} AS loading
+          FROM w3 CROSS JOIN nrm1
+          UNION ALL
+          SELECT CAST(2 AS INT) AS component, CAST(j AS INT) AS pos,
+                 ${sqlRound4("w7 / nr")} AS loading
+          FROM v3 CROSS JOIN nrm2)"""
+
   val oracle: Map[String, String] = Map(
     "emb_matryoshka" ->
       s"""WITH corpus AS (
@@ -1312,39 +1383,22 @@ object Lsh {
     // independent pca2: seed — every product in the Spark expressions'
     // left-to-right order
     "emb_pca_topk" ->
-      s"""WITH $pcaCovSql,
-          ${pcaSeedSql("w0", "pca:")},
-          ${pcaIterSql("cov", "w0", "w1")},
-          ${pcaIterSql("cov", "w1", "w2")},
-          ${pcaIterSql("cov", "w2", "w3")},
-          ray AS (
-            SELECT CAST(sum(CAST(round(wi.w7/1e7 * (c8/1e8) * (wj.w7/1e7) * 1e8)
-              AS BIGINT)) AS BIGINT) AS num8
-            FROM cov JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
-          den AS (
-            SELECT CAST(sum(CAST(round(w7/1e7 * (w7/1e7) * 1e8) AS BIGINT))
-              AS BIGINT) AS den8 FROM w3),
-          cov2 AS (
-            SELECT cov.i, cov.j,
-                   c8 - CAST(round(num8/den8 * (wi.w7/1e7) * (wj.w7/1e7)
-                     / (den8/1e8) * 1e8) AS BIGINT) AS c8
-            FROM cov CROSS JOIN ray CROSS JOIN den
-            JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
-          ${pcaSeedSql("v0", "pca2:")},
-          ${pcaIterSql("cov2", "v0", "v1")},
-          ${pcaIterSql("cov2", "v1", "v2")},
-          ${pcaIterSql("cov2", "v2", "v3")},
-          nrm1 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM w3),
-          nrm2 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM v3)
-          SELECT * FROM (
-            SELECT CAST(1 AS INT) AS component, CAST(j AS INT) AS pos,
-                   ${sqlRound4("w7 / nr")} AS loading
-            FROM w3 CROSS JOIN nrm1
-            UNION ALL
-            SELECT CAST(2 AS INT) AS component, CAST(j AS INT) AS pos,
-                   ${sqlRound4("w7 / nr")} AS loading
-            FROM v3 CROSS JOIN nrm2)
-          ORDER BY component, pos""",
+      s"""WITH $pcaTopkChainSql
+          SELECT * FROM basis ORDER BY component, pos""",
+
+    // the basis chain + the projection: per (vector, component) one
+    // grid-snapped product sum, pivoted to (c1, c2)
+    "emb_pca_project" ->
+      s"""WITH $pcaTopkChainSql,
+          proj AS (
+            SELECT vec_id, component,
+                   CAST(round((embedding[pos+1]::DOUBLE) * loading * 1e8)
+                     AS BIGINT) AS t8
+            FROM embeddings CROSS JOIN basis)
+          SELECT vec_id,
+                 ${sqlRound4("CAST(sum(CASE WHEN component = 1 THEN t8 END) AS BIGINT) / 1e8")} AS c1,
+                 ${sqlRound4("CAST(sum(CASE WHEN component = 2 THEN t8 END) AS BIGINT) / 1e8")} AS c2
+          FROM proj GROUP BY vec_id ORDER BY vec_id""",
 
     "emb_outliers" ->
       s"""WITH cent AS (

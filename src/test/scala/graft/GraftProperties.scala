@@ -621,9 +621,9 @@ object GraftProperties extends Properties("graft") {
   /** Straight-line BPE trainer: count adjacent pairs, take the (cnt desc,
     * pair asc) winner, greedy left-to-right merge, repeat. */
   private def bpeModel(docs0: Seq[Seq[String]], rounds: Int)
-      : Seq[(String, String, Long)] = {
+      : (Seq[(String, String, Long)], Seq[Seq[String]]) = {
     var cur = docs0
-    (1 to rounds).flatMap { _ =>
+    val merges = (1 to rounds).flatMap { _ =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         .withDefaultValue(0L)
       cur.foreach(_.sliding(2).foreach {
@@ -647,6 +647,7 @@ object GraftProperties extends Properties("graft") {
         Some((t1, t2, cnt))
       }
     }
+    (merges, cur)
   }
 
   private val bpeGen: Gen[List[List[String]]] =
@@ -663,9 +664,15 @@ object GraftProperties extends Properties("graft") {
       val df = docs.zipWithIndex
         .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
         .toDF("doc_id", "text")
-      val got = graft.operators.LlmOps.bpeMergeRounds(df, rounds = 3)
-        .orderBy("round").collect()
+      val (mergesDf, finalDf) = graft.operators.LlmOps.bpeMergeRounds(df, rounds = 3)
+      val got = mergesDf.orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
-      got == bpeModel(docs.map(_.toSeq), 3)
+      val gotFinal = finalDf.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.sortBy(_._2).map(_._3).toSeq }
+      val (merges, finalDocs) = bpeModel(docs.map(_.toSeq), 3)
+      got == merges && gotFinal == finalDocs.zipWithIndex
+        .map { case (toks, i) => i.toLong -> toks }.toMap
     }
 }

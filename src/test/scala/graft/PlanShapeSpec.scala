@@ -82,7 +82,9 @@ class PlanShapeSpec extends AnyFunSuite {
       // single-row Rayleigh numerator/denominator frames of the deflation
       "emb_pca_topk",
       // each merge round cross-combines the single-row winner pair
-      "ta_bpe_merge",
+      "ta_bpe_merge", "ta_bpe_compress",
+      // rides unigramLogprobOf's single-row vocabulary-total combine
+      "ta_ppl_buckets",
       // cross-combines the single-row N·avgdl aggregate with the
       // query-term-filtered posting rows
       "ta_bm25",
