@@ -540,39 +540,78 @@ object LlmOps {
       // single-row winner — shared by this round's merge AND the output
       val win = graft.CacheRegistry.materialize(
         pc.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(1))
-      val merged = seq
-        .withColumn("nxt", lead(col("tok"), 1).over(byPos))
-        .crossJoin(broadcast(win.select(col("t1"), col("t2"))))
-        // when/otherwise(0), never bare cast: nxt is NULL at each doc's
-        // last position and mn is NULL before the first run — a null flag
-        // would poison every window downstream (the oracle's CASE…ELSE 0)
-        .withColumn("m",
-          when(col("tok") === col("t1") && col("nxt") === col("t2"), 1)
-            .otherwise(0))
-        .withColumn("s",
-          when(col("m") === 1 &&
-            coalesce(lag(col("m"), 1).over(byPos), lit(0)) === 0, 1)
-            .otherwise(0))
-        .withColumn("mn",
-          max(when(col("s") === 1, col("pos"))).over(byPos))
-        .withColumn("keep",
-          when(col("m") === 1 && (col("pos") - col("mn")) % 2 === 0, 1)
-            .otherwise(0))
-        .withColumn("cons", lag(col("keep"), 1).over(byPos))
-        .filter(coalesce(col("cons"), lit(0)) === 0)
-        .select(col("doc_id"), col("pos").as("opos"),
-          when(col("keep") === 1, concat_ws(" ", col("tok"), col("nxt")))
-            .otherwise(col("tok")).as("tok"))
-      seq = merged
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
-            .cast("long") - 1)
-        .select("doc_id", "pos", "tok")
+      seq = applyBpeMerge(seq, win.select(col("t1"), col("t2")))
         .localCheckpoint(eager = false)
       win.select(lit(r).as("round"), col("t1").as("left_tok"),
         col("t2").as("right_tok"), col("cnt").as("pair_cnt"))
     }
     (perRound.reduce(_.unionByName(_)), seq)
+  }
+
+  /** Apply ONE merge pair (`win`: a single-row (t1, t2) frame) to a
+    * (doc_id, pos, tok) sequence frame — the greedy left-to-right window
+    * algebra shared by the trainer and the at-ingest encoder. Positions
+    * must be consecutive per doc on entry; re-indexed on exit. */
+  private def applyBpeMerge(seq: DataFrame, win: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    seq
+      .withColumn("nxt", lead(col("tok"), 1).over(byPos))
+      .crossJoin(broadcast(win))
+      // when/otherwise(0), never bare cast: nxt is NULL at each doc's
+      // last position and mn is NULL before the first run — a null flag
+      // would poison every window downstream (the oracle's CASE…ELSE 0)
+      .withColumn("m",
+        when(col("tok") === col("t1") && col("nxt") === col("t2"), 1)
+          .otherwise(0))
+      .withColumn("s",
+        when(col("m") === 1 &&
+          coalesce(lag(col("m"), 1).over(byPos), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("mn",
+        max(when(col("s") === 1, col("pos"))).over(byPos))
+      .withColumn("keep",
+        when(col("m") === 1 && (col("pos") - col("mn")) % 2 === 0, 1)
+          .otherwise(0))
+      .withColumn("cons", lag(col("keep"), 1).over(byPos))
+      .filter(coalesce(col("cons"), lit(0)) === 0)
+      .select(col("doc_id"), col("pos").as("opos"),
+        when(col("keep") === 1, concat_ws(" ", col("tok"), col("nxt")))
+          .otherwise(col("tok")).as("tok"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("doc_id").orderBy("opos"))
+          .cast("long") - 1)
+      .select("doc_id", "pos", "tok")
+  }
+
+  /** The stored merge table (round, left_tok, right_tok, pair_cnt) of the
+    * shared 3-round BPE build — the artifact the at-ingest encoder
+    * applies. */
+  private[graft] def bpeMergeTable(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = bpeRoundsOf(s, d)._1
+
+  /** ENCODE a documents-shaped batch with a stored merge table: apply
+    * each learned merge in round order with the same greedy window
+    * algebra the trainer used. Merge application is per-doc independent
+    * (the corpus only decided WHICH pairs merged), so encoding any
+    * subset of the training corpus reproduces exactly its rows in the
+    * trainer's final sequence — the equivalence the streaming encoder's
+    * oracle grades. Each round references the previous sequence ONCE
+    * (the winner is given, no pair-count branch), so the unrolled tree
+    * stays linear — no per-round checkpoint needed. */
+  private[graft] def bpeEncode(docs: DataFrame, merges: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    var seq: DataFrame = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    for (r <- 1 to rounds)
+      seq = applyBpeMerge(seq,
+        merges.filter(col("round") === r)
+          .select(col("left_tok").as("t1"), col("right_tok").as("t2")))
+    seq.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tok"),
+      md5(concat_ws("|", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")))).as("enc_md5"))
   }
 
   /** The graded 3-round BPE build, shared by `ta_bpe_merge` (the merge
@@ -1813,8 +1852,8 @@ object LlmOps {
                   FROM sv$r)"""
 
   /** The 3-round BPE CTE chain (token stream + rounds 1–3) — shared by
-    * the ta_bpe_merge and ta_bpe_compress oracles. */
-  private lazy val bpeChainSql: String =
+    * the ta_bpe_merge / ta_bpe_compress / ta_bpe_encode_stream oracles. */
+  private[graft] lazy val bpeChainSql: String =
     s"""seq0 AS (
           SELECT doc_id, CAST(unnest(range(len(l))) AS BIGINT) AS pos,
                  unnest(l) AS tok

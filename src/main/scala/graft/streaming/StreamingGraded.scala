@@ -589,6 +589,41 @@ object StreamingGraded {
         .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
     }),
 
+    // SG19: TOKENIZE at ingest — the stored BPE merge table (L71's
+    // artifact, the shared session build) applied to each arriving
+    // increment batch with the same greedy window algebra the trainer
+    // used. Merge application is per-doc independent — the corpus only
+    // decided WHICH pairs merged — so the stream's per-doc encodings are
+    // batching-independent AND equal the increment docs' rows in the
+    // trainer's own final sequence: the oracle replays the full training
+    // chain and reads seq3 filtered to the increment, which is exactly
+    // the claim "encode-at-ingest ≡ train-time tokenization". Per batch:
+    // three linear window passes + one per-doc aggregate (fingerprint +
+    // token count); no state store, no corpus access — the cheapest
+    // ingest-path op after the hash gate.
+    "ta_bpe_encode_stream" -> ((s, d) => {
+      import graft.operators.LlmOps
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "bpe_enc")
+      val merges = LlmOps.bpeMergeTable(s, d)
+      val spool = graft.sources.ScratchDirs.sharedInputSpool(s, d, "bpe_enc_spool")(
+        p => Tables.documents(s, d).filter(LlmOps.isNewDoc(col("doc_id")))
+          .select("doc_id", "text").repartition(4)
+          .write.mode("overwrite").parquet(p))
+      val sch = s.read.parquet(spool).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(spool)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          LlmOps.bpeEncode(batch, merges)
+            .write.mode("append").parquet(s"$tmp/spool")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/spool").orderBy("doc_id")
+    }),
+
     // SG12: streaming DECONTAMINATION at ingest — tp_decontaminate's
     // arrival-time form, the gate a training pipeline actually runs while
     // data lands (leakage found at ingest is dropped before it ever
@@ -749,6 +784,16 @@ object StreamingGraded {
     // confluent per-batch union-find merges ⇒ the drained label table
     // equals the full rebuild — the true-closure oracle verbatim
     "dd_components_incr_stream" -> graft.operators.LlmOps.fullClosureSql,
+
+    // per-doc merge application is corpus-independent ⇒ the streamed
+    // encodings equal the increment docs' rows in the trainer's final
+    // sequence: replay the training chain, read seq3 at the increment
+    "ta_bpe_encode_stream" ->
+      s"""WITH ${graft.operators.LlmOps.bpeChainSql}
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                 md5(string_agg(tok, '|' ORDER BY pos)) AS enc_md5
+          FROM seq3 WHERE doc_id % 5 = 0
+          GROUP BY doc_id ORDER BY doc_id""",
 
     // the streamed scorer over the whole corpus against the whole-corpus
     // model is the batch scorer exactly — same oracle as tp_dsir
