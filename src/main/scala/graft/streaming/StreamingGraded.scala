@@ -553,37 +553,19 @@ object StreamingGraded {
       val sch = s.read.parquet(spool).schema
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(spool)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val bIds = batch.select(col("doc_id").as("id"))
-          bIds.write.mode("append").parquet(s"$tmp/arrived")
-          val arrived = s.read.parquet(s"$tmp/arrived")
-          val e = newPairs
-            .join(arrived.select(col("id").as("sa")),
-              col("src") === col("sa"), "left")
-            .join(arrived.select(col("id").as("sb")),
-              col("dst") === col("sb"), "left")
-            .join(bIds.select(col("id").as("qa")),
-              col("src") === col("qa"), "left")
-            .join(bIds.select(col("id").as("qb")),
-              col("dst") === col("qb"), "left")
-            .filter((col("qa").isNotNull || col("qb").isNotNull) &&
-              (!LlmOps.isNewDoc(col("src")) || col("sa").isNotNull) &&
-              (!LlmOps.isNewDoc(col("dst")) || col("sb").isNotNull))
-            .select("src", "dst")
-          val cur = StreamingOps.readVersionPointer(s, s"$tmp/labels")
-            .getOrElse(0L)
-          val lab = s.read.parquet(s"$tmp/labels/v$cur")
-          val upd = GraphOps.withFixpointWidth(s) {
-            GraphOps.incrementalComponents(lab, bIds, e)
+      // width knob around the whole drain (the cdc_ivm discipline): every
+      // per-batch frame here is delta-sized, and the session's batch
+      // width would pay 32 shuffle partitions of pure scheduling per
+      // join/fixpoint round (measured 14.3 s → 4.4 s at sf0.01)
+      StreamingOps.withMergeWidth(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            StreamingOps.applyComponentsBatch(s, tmp, newPairs, batch)
           }
-          upd.write.mode("overwrite").parquet(s"$tmp/labels/v${cur + 1}")
-          StreamingOps.writeVersionPointer(s, s"$tmp/labels", cur + 1)
-          ()
-        }
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val fin = StreamingOps.readVersionPointer(s, s"$tmp/labels").get
       s.read.parquet(s"$tmp/labels/v$fin")
         .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
@@ -612,15 +594,19 @@ object StreamingGraded {
       val sch = s.read.parquet(spool).schema
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(spool)
-      val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          LlmOps.bpeEncode(batch, merges)
-            .write.mode("append").parquet(s"$tmp/spool")
-          ()
-        }
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // width knob around the drain: the per-batch windows are per-doc
+      // over a 4-file increment spool — batch width pays pure scheduling
+      StreamingOps.withMergeWidth(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            LlmOps.bpeEncode(batch, merges)
+              .write.mode("append").parquet(s"$tmp/spool")
+            ()
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(s"$tmp/spool").orderBy("doc_id")
     }),
 

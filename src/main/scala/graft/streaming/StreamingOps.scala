@@ -608,6 +608,54 @@ object StreamingOps {
       target: String): Unit =
     applyUpsertBatchStaged(spark, batch, target)((_, _) => ())
 
+  /** One micro-batch of streaming dedup-cluster maintenance (SG18):
+    * append the batch's ids to the arrived set, select the delta edges
+    * whose LATER endpoint just arrived (≥1 endpoint in the batch, any
+    * NEW endpoint already arrived), contract them to the current label
+    * table, run the delta-sized min-label fixpoint, publish the next
+    * version through the Hadoop-FS pointer. REPLAY-IDEMPOTENT by
+    * min-label algebra: a redelivered batch re-appends duplicate arrived
+    * ids (harmless) and re-applies edges to already-merged labels
+    * (no-ops), so it publishes a value-identical next version —
+    * StreamingSpec redelivers a batch mid-sequence and pins the final
+    * table equal to both the clean run and the full rebuild.
+    *
+    * @param root scratch root holding `labels/` (versioned, `_VERSION`
+    *   pointer) and `arrived/`
+    * @param newPairs the τ=0.3 stored-index probe frame (≥1 new endpoint)
+    * @param batch the arriving increment slice (has `doc_id`) */
+  def applyComponentsBatch(s: SparkSession, root: String,
+      newPairs: DataFrame, batch: DataFrame): Unit = {
+    import graft.operators.{GraphOps, LlmOps}
+    val bIds = batch.select(col("doc_id").as("id"))
+    bIds.write.mode("append").parquet(s"$root/arrived")
+    val arrived = s.read.parquet(s"$root/arrived")
+    val e = newPairs
+      .join(arrived.select(col("id").as("sa")), col("src") === col("sa"), "left")
+      .join(arrived.select(col("id").as("sb")), col("dst") === col("sb"), "left")
+      .join(bIds.select(col("id").as("qa")), col("src") === col("qa"), "left")
+      .join(bIds.select(col("id").as("qb")), col("dst") === col("qb"), "left")
+      .filter((col("qa").isNotNull || col("qb").isNotNull) &&
+        (!LlmOps.isNewDoc(col("src")) || col("sa").isNotNull) &&
+        (!LlmOps.isNewDoc(col("dst")) || col("sb").isNotNull))
+      .select("src", "dst")
+    val cur = readVersionPointer(s, s"$root/labels").getOrElse(0L)
+    val lab = s.read.parquet(s"$root/labels/v$cur")
+    // a REDELIVERED batch's docs are already labeled — feeding them as
+    // new vertices again would emit duplicate label rows (they would
+    // surface through both the relabel join and the new-vertex branch);
+    // the anti join makes redelivery feed an empty new-vertex set while
+    // the re-applied edges contract to no-ops
+    val bNew = bIds.join(lab.select("id"), Seq("id"), "left_anti")
+    // no withFixpointWidth here: this runs on the STREAMING thread while
+    // the graded query's withMergeWidth holds the session monitor across
+    // the drain — taking it again would deadlock. The drain wrapper owns
+    // the width (delta-sized frames; the same knob rationale).
+    val upd = GraphOps.incrementalComponents(lab, bNew, e)
+    upd.write.mode("overwrite").parquet(s"$root/labels/v${cur + 1}")
+    writeVersionPointer(s, s"$root/labels", cur + 1)
+  }
+
   /** [[applyUpsertBatch]] with a STAGING hook: `stage(versionDir, version)`
     * runs after the new snapshot directory is fully written but BEFORE the
     * pointer publish. Anything the hook writes UNDER `versionDir` (by the

@@ -1199,4 +1199,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 &&
       batch.exceptAll(streamed).count() == 0)
   }
+
+  test("SG18 batch kernel: a redelivered batch publishes value-identical " +
+      "labels and the final table equals the full rebuild") {
+    import spark.implicits._
+    // old ids ≢ 0 (mod 5), new ids ≡ 0 — the isNewDoc convention the
+    // kernel's edge filter uses. Stored: {1,2} and {6,7} merged, 3 alone.
+    val stored = Seq((1L, 1L), (2L, 1L), (3L, 3L), (6L, 6L), (7L, 6L))
+      .toDF("id", "comp")
+    // new-side pairs: 5 bridges 3 and 10; 10 bridges into {6,7};
+    // 15 joins {1,2}; 20 stays a singleton
+    val newPairs = Seq((3L, 5L), (5L, 10L), (6L, 10L), (1L, 15L))
+      .toDF("src", "dst")
+    val b1 = Seq(5L, 15L).toDF("doc_id")
+    val b2 = Seq(10L, 20L).toDF("doc_id")
+    def run(batches: Seq[org.apache.spark.sql.DataFrame], tag: String)
+        : Map[Long, Long] = {
+      val root = graft.sources.ScratchDirs
+        .freshDirFor(spark, "/tmp/sg18synth", s"sg18_$tag")
+      stored.write.mode("overwrite").parquet(s"$root/labels/v0")
+      StreamingOps.writeVersionPointer(spark, s"$root/labels", 0L)
+      batches.foreach(b =>
+        StreamingOps.applyComponentsBatch(spark, root, newPairs, b))
+      val fin = StreamingOps.readVersionPointer(spark, s"$root/labels").get
+      val rows = spark.read.parquet(s"$root/labels/v$fin").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"duplicate label rows after $tag")
+      rows.toMap
+    }
+    // union-find over stored ∪ new edges: {1,2,15}→1, {3,5,10,6,7}→3, {20}
+    val expected = Map(1L -> 1L, 2L -> 1L, 15L -> 1L, 3L -> 3L, 5L -> 3L,
+      10L -> 3L, 6L -> 3L, 7L -> 3L, 20L -> 20L)
+    assert(run(Seq(b1, b2), "clean") == expected)
+    // at-least-once redelivery of b1 mid-sequence: the anti join feeds an
+    // empty new-vertex set and the re-applied edges contract to no-ops
+    assert(run(Seq(b1, b1, b2), "replay") == expected)
+  }
 }
