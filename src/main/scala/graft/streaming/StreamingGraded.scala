@@ -551,8 +551,13 @@ object StreamingGraded {
         .write.mode("overwrite").parquet(s"$tmp/labels/v0")
       StreamingOps.writeVersionPointer(s, s"$tmp/labels", 0L)
       val sch = s.read.parquet(spool).schema
+      // 2 files per trigger over the 4-file spool: two REAL maintenance
+      // batches prove the multi-batch semantics (cross-batch edges,
+      // version chaining) at half the per-batch planning+fixpoint floor —
+      // each micro-batch re-plans the join tree and pays verified-fixpoint
+      // rounds, the whole cost of this drain at graded SFs
       val stream = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").parquet(spool)
+        .option("maxFilesPerTrigger", "2").parquet(spool)
       // width knob around the whole drain (the cdc_ivm discipline): every
       // per-batch frame here is delta-sized, and the session's batch
       // width would pay 32 shuffle partitions of pure scheduling per
@@ -592,8 +597,11 @@ object StreamingGraded {
           .select("doc_id", "text").repartition(4)
           .write.mode("overwrite").parquet(p))
       val sch = s.read.parquet(spool).schema
+      // 2 files per trigger: two real batches prove batching-independent
+      // encoding; each micro-batch re-analyzes the 3-round window chain,
+      // which is the dominant cost of this drain at graded SFs
       val stream = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", "1").parquet(spool)
+        .option("maxFilesPerTrigger", "2").parquet(spool)
       // width knob around the drain: the per-batch windows are per-doc
       // over a 4-file increment spool — batch width pays pure scheduling
       StreamingOps.withMergeWidth(s) {
