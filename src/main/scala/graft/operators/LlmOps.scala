@@ -1376,6 +1376,32 @@ object LlmOps {
           (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("height"))
         .orderBy("doc_id")),
 
+    // Multimodal resize planning — the geometry pass a vision-ingest
+    // pipeline runs BEFORE any pixels move: shorter-side-to-224 scale in
+    // pure integer arithmetic (aspect preserved, floor division — both
+    // engines truncate on positive operands) plus the center-crop box.
+    // Metadata-only over the decode stub's dims (degenerate 0-dims
+    // clamped to 1), a linear scan; at 100 TB the PLAN rows — not the
+    // pixels — are what the scheduler shuffles to co-locate decode work,
+    // which is why the geometry is graded separately from the decode.
+    "mm_resize_plan" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          greatest(ascii(substring(col("text"), 1, 1)) * 7 % 640, lit(1))
+            .as("src_w"),
+          greatest(ascii(substring(col("text"), 2, 1)) * 5 % 480, lit(1))
+            .as("src_h"))
+        .withColumn("rs_w",
+          when(col("src_w") <= col("src_h"), lit(224))
+            .otherwise(expr("(src_w * 224) div src_h").cast("int")))
+        .withColumn("rs_h",
+          when(col("src_w") <= col("src_h"),
+            expr("(src_h * 224) div src_w").cast("int"))
+            .otherwise(lit(224)))
+        .withColumn("crop_x", expr("(rs_w - 224) div 2").cast("int"))
+        .withColumn("crop_y", expr("(rs_h - 224) div 2").cast("int"))
+        .orderBy("doc_id")),
+
     // Multimodal frame sampling — the payload stands in for a media
     // container of (n_bytes div 100)+1 fixed-size frames; keep every 4th.
     // Like tp_chunk this is a narrow generate-per-row op (sequence+explode,
@@ -2333,6 +2359,23 @@ object LlmOps {
                 CAST(ascii(text[1]) * 7 % 640 AS INT) AS width,
                 CAST(ascii(text[2]) * 5 % 480 AS INT) AS height
          FROM documents ORDER BY doc_id""",
+
+    "mm_resize_plan" ->
+      """SELECT doc_id, src_w, src_h, rs_w, rs_h,
+                CAST((rs_w - 224) // 2 AS INT) AS crop_x,
+                CAST((rs_h - 224) // 2 AS INT) AS crop_y
+         FROM (
+           SELECT doc_id, src_w, src_h,
+                  CAST(CASE WHEN src_w <= src_h THEN 224
+                            ELSE (src_w * 224) // src_h END AS INT) AS rs_w,
+                  CAST(CASE WHEN src_w <= src_h THEN (src_h * 224) // src_w
+                            ELSE 224 END AS INT) AS rs_h
+           FROM (
+             SELECT doc_id,
+                    CAST(greatest(ascii(text[1]) * 7 % 640, 1) AS INT) AS src_w,
+                    CAST(greatest(ascii(text[2]) * 5 % 480, 1) AS INT) AS src_h
+             FROM documents))
+         ORDER BY doc_id""",
 
     "ta_regex_tokens" ->
       s"""SELECT doc_id,
