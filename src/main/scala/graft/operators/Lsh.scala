@@ -419,14 +419,15 @@ object Lsh {
     // operands, so both engines see identical doubles.
     "emb_pca_top1" -> ((s, d) => pcaTop1Of(embeddings(s, d)).orderBy("pos")),
 
-    // Top-2 principal axes by deflation — see [[pcaTopkOf]]: the Rayleigh
-    // λ₁ estimate and the rank-1 subtraction run on the model-sized 64×64
-    // covariance frame SHARED with emb_pca_top1 (one corpus pass serves
-    // both queries); only the three integer power rounds re-run, from an
-    // independent seed. The whitening/compression basis the judge asked
-    // for beyond the top component. Memoized per (session, dir): the
-    // basis is a shared BUILD (emb_pca_project rides it) — reset per
-    // bench pass so one honest build is timed per pass.
+    // Top-3 principal axes by iterated deflation — see [[pcaTopkOf]]:
+    // each level's Rayleigh estimate and rank-1 subtraction run on the
+    // model-sized 64×64 covariance frame SHARED with emb_pca_top1 (one
+    // corpus pass serves all PCA queries); only the three integer power
+    // rounds re-run per level, from independent seeds. The
+    // whitening/compression basis beyond the top component, at arbitrary
+    // k. Memoized per (session, dir): the basis is a shared BUILD
+    // (emb_pca_project rides it) — reset per bench pass so one honest
+    // build is timed per pass.
     "emb_pca_topk" -> ((s, d) =>
       pcaBasisOf(s, d).orderBy("component", "pos")),
 
@@ -581,56 +582,62 @@ object Lsh {
         sum(col("w7") * col("w7")).over(Window.partitionBy()).cast("double")))
         .as("loading"))
 
-  /** Top-2 principal axes by DEFLATION over the shared covariance: after
-    * the first power run converges to w3, estimate λ₁ by the Rayleigh
-    * quotient (every product snapped to the 1e-8 grid pre-sum, the
-    * quotient one BIGINT/BIGINT → double division — deterministic in both
-    * engines), subtract λ₁·v₁v₁ᵀ on the model-sized 64×64 frame, and
-    * re-run the three integer power rounds from an independent md5-parity
-    * seed. Everything after the one corpus-sized covariance pass (shared
-    * with `emb_pca_top1` via the cache registry) is 64×64 arithmetic —
-    * the whitening/compression basis costs the same linear scan however
-    * many components are deflated out. PcaSpec plants two orthogonal
-    * axes with separated variances and pins recovery of BOTH. */
-  private[graft] def pcaTopkOf(embs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val cov = pcaCovOf(embs)
-    // lineage TRUNCATION, not just caching (the minLabelComponents
-    // lesson): w3a's tree embeds cov ~8× and is itself embedded 4× in
-    // cov2, whose tree the second power run embeds ~8× more — without the
-    // lazy localCheckpoints the plan STRING grows into the hundreds of
-    // cov copies and Spark's per-execution tree rendering alone runs for
-    // minutes (observed: main thread pinned in generateTreeString)
-    val w3a = pcaPowerW3(cov, pcaSeed(embs, "pca:"))
-      .localCheckpoint(eager = false)
-    val wi = w3a.select(col("j").as("wi_j"), col("w7").as("wi"))
-    val wj = w3a.select(col("j").as("wj_j"), col("w7").as("wj"))
-    val covW = cov
-      .join(broadcast(wi), col("i") === col("wi_j"))
-      .join(broadcast(wj), col("j") === col("wj_j"))
-    // Rayleigh numerator Σ vᵢ·Cᵢⱼ·vⱼ and denominator Σ vᵢ² in 1e-8 ticks:
-    // per-element HALF_UP rounding, then order-invariant long sums
-    val ray = covW.agg(
-      sum(round(col("wi") / lit(1e7) * (col("c8") / lit(1e8))
-        * (col("wj") / lit(1e7)) * lit(1e8)).cast("long")).as("num8"))
-    val den = w3a.agg(
-      sum(round(col("w7") / lit(1e7) * (col("w7") / lit(1e7)) * lit(1e8))
-        .cast("long")).as("den8"))
-    // rank-1 deflation C − λ₁·vvᵀ/(vᵀv): v is max-abs (NOT unit)
-    // normalized, so the outer product divides by vᵀv once more beyond
-    // the Rayleigh quotient — without it the dominant axis overshoots
-    // negative and the second power run re-converges onto |λ₁| (caught by
-    // the planted-two-axis spec)
-    val cov2 = covW
-      .crossJoin(broadcast(ray)).crossJoin(broadcast(den))
-      .select(col("i"), col("j"),
-        (col("c8") - round(col("num8") / col("den8") * (col("wi") / lit(1e7))
-          * (col("wj") / lit(1e7)) / (col("den8") / lit(1e8)) * lit(1e8))
-          .cast("long")).as("c8"))
-      .localCheckpoint(eager = false)
-    val w3b = pcaPowerW3(cov2, pcaSeed(embs, "pca2:"))
-    pcaNormalized(w3a).withColumn("component", lit(1))
-      .unionByName(pcaNormalized(w3b).withColumn("component", lit(2)))
+  /** Top-k principal axes by iterated DEFLATION over the shared
+    * covariance: after each power run converges to w3, estimate λ by the
+    * Rayleigh quotient (every product snapped to the 1e-8 grid pre-sum,
+    * the quotient one BIGINT/BIGINT → double division — deterministic in
+    * both engines), subtract the rank-1 term on the model-sized 64×64
+    * frame, and re-run the three integer power rounds from the next
+    * independent md5-parity seed. Everything after the one corpus-sized
+    * covariance pass (shared with `emb_pca_top1` via the cache registry)
+    * is 64×64 arithmetic — the whitening/compression basis costs the
+    * same linear scan however many components are deflated out. PcaSpec
+    * plants three orthogonal axes with separated variances and pins
+    * recovery of ALL of them in variance order.
+    *
+    * The rank-1 term is C − λ·vvᵀ/(vᵀv): v is max-abs (NOT unit)
+    * normalized, so the outer product divides by vᵀv once more beyond
+    * the Rayleigh quotient — without it the deflated axis overshoots
+    * negative and the next power run re-converges onto |λ| (caught by
+    * the planted-axes spec).
+    *
+    * Lineage TRUNCATION, not just caching (the minLabelComponents
+    * lesson): each w3's tree embeds its covariance ~8× and is itself
+    * embedded 4× in the next deflated covariance, which the next power
+    * run embeds ~8× more — without the lazy localCheckpoints the plan
+    * STRING grows into the hundreds of covariance copies per level and
+    * Spark's per-execution tree rendering alone runs for minutes
+    * (observed: main thread pinned in generateTreeString). */
+  private[graft] def pcaTopkOf(embs: org.apache.spark.sql.DataFrame,
+      k: Int = 3): org.apache.spark.sql.DataFrame = {
+    var cov = pcaCovOf(embs)
+    val comps = (1 to k).map { c =>
+      val w3 = pcaPowerW3(cov, pcaSeed(embs, if (c == 1) "pca:" else s"pca$c:"))
+        .localCheckpoint(eager = false)
+      val out = pcaNormalized(w3).withColumn("component", lit(c))
+      if (c < k) {
+        val wi = w3.select(col("j").as("wi_j"), col("w7").as("wi"))
+        val wj = w3.select(col("j").as("wj_j"), col("w7").as("wj"))
+        val covW = cov
+          .join(broadcast(wi), col("i") === col("wi_j"))
+          .join(broadcast(wj), col("j") === col("wj_j"))
+        val ray = covW.agg(
+          sum(round(col("wi") / lit(1e7) * (col("c8") / lit(1e8))
+            * (col("wj") / lit(1e7)) * lit(1e8)).cast("long")).as("num8"))
+        val den = w3.agg(
+          sum(round(col("w7") / lit(1e7) * (col("w7") / lit(1e7)) * lit(1e8))
+            .cast("long")).as("den8"))
+        cov = covW
+          .crossJoin(broadcast(ray)).crossJoin(broadcast(den))
+          .select(col("i"), col("j"),
+            (col("c8") - round(col("num8") / col("den8") * (col("wi") / lit(1e7))
+              * (col("wj") / lit(1e7)) / (col("den8") / lit(1e8)) * lit(1e8))
+              .cast("long")).as("c8"))
+          .localCheckpoint(eager = false)
+      }
+      out
+    }
+    comps.reduce(_.unionByName(_))
       .select(col("component"), col("pos"), col("loading"))
   }
 
@@ -1237,74 +1244,83 @@ object Lsh {
     * `emb_pca_top1` and `emb_pca_topk` oracles so the two cannot diverge
     * (same discipline as [[LlmOps]]' jacPairsCte). */
   private def pcaIterSql(cov: String, prev: String, out: String): String =
-    s"""${out}raw AS (
+    s"""${out}raw AS MATERIALIZED (
           SELECT $cov.i, CAST(sum(c8 * w7) AS BIGINT) AS raw
           FROM $cov JOIN $prev ON $cov.j = $prev.j GROUP BY $cov.i),
-        ${out}m AS (SELECT max(abs(raw)) AS mx FROM ${out}raw),
-        $out AS (SELECT i AS j,
+        ${out}m AS MATERIALIZED (SELECT max(abs(raw)) AS mx FROM ${out}raw),
+        $out AS MATERIALIZED (SELECT i AS j,
                    CAST(round(raw / mx * 1e7) AS BIGINT) AS w7
                  FROM ${out}raw CROSS JOIN ${out}m)"""
 
   private def pcaSeedSql(name: String, prefix: String): String =
-    s"""$name AS (SELECT CAST(i AS INT) AS j,
+    s"""$name AS MATERIALIZED (SELECT CAST(i AS INT) AS j,
                     CASE WHEN ('0x'||substr(md5('$prefix'||CAST(i AS VARCHAR)),1,15))::BIGINT % 2 = 0
                          THEN 10000000 ELSE -10000000 END AS w7
                   FROM range(64) t(i))"""
 
   private val pcaCovSql: String =
-    s"""x AS (
+    s"""x AS MATERIALIZED (
           SELECT vec_id, i, embedding[i+1]::DOUBLE AS xi, embedding
           FROM embeddings, range(64) t(i)),
-        mu AS (SELECT i, CAST(round(avg(xi)*10000) AS BIGINT)/10000.0 AS mu
+        mu AS MATERIALIZED (SELECT i, CAST(round(avg(xi)*10000) AS BIGINT)/10000.0 AS mu
                FROM x GROUP BY i),
-        nn AS (SELECT count(*) AS n FROM embeddings),
-        s8 AS (
+        nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+        s8 AS MATERIALIZED (
           SELECT i, j,
                  CAST(sum(CAST(round(xi * (embedding[j+1]::DOUBLE) * 1e8)
                    AS BIGINT)) AS BIGINT) AS s8
           FROM x, range(64) u(j) GROUP BY i, j),
-        cov AS (
+        cov AS MATERIALIZED (
           SELECT s8.i, s8.j,
                  CAST(round(s8 / n - mi.mu * mj.mu * 1e8) AS BIGINT) AS c8
           FROM s8 CROSS JOIN nn
           JOIN mu mi ON s8.i = mi.i JOIN mu mj ON s8.j = mj.i)"""
 
-  /** The full top-2-basis CTE chain ending in
-    * `basis(component, pos, loading)` — shared by the emb_pca_topk and
-    * emb_pca_project oracles so the mirrors cannot diverge. */
-  private lazy val pcaTopkChainSql: String =
-    s"""$pcaCovSql,
-        ${pcaSeedSql("w0", "pca:")},
-        ${pcaIterSql("cov", "w0", "w1")},
-        ${pcaIterSql("cov", "w1", "w2")},
-        ${pcaIterSql("cov", "w2", "w3")},
-        ray AS (
+  /** The full top-k-basis CTE chain ending in
+    * `basis(component, pos, loading)` — generated level by level (power
+    * run → Rayleigh → deflated covariance → next run), shared by the
+    * emb_pca_topk and emb_pca_project oracles so the mirrors cannot
+    * diverge from [[pcaTopkOf]]'s fold. */
+  private def pcaChainSql(k: Int): String = {
+    def covName(c: Int) = if (c == 1) "cov" else s"cov$c"
+    val levels = (1 to k).map { c =>
+      def w(r: Int) = s"p${c}w$r"
+      val seed = pcaSeedSql(w(0), if (c == 1) "pca:" else s"pca$c:")
+      val iters = (1 to 3)
+        .map(r => pcaIterSql(covName(c), w(r - 1), w(r))).mkString(",\n        ")
+      val defl = if (c < k)
+        s""",
+        ray$c AS MATERIALIZED (
           SELECT CAST(sum(CAST(round(wi.w7/1e7 * (c8/1e8) * (wj.w7/1e7) * 1e8)
             AS BIGINT)) AS BIGINT) AS num8
-          FROM cov JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
-        den AS (
+          FROM ${covName(c)} JOIN ${w(3)} wi ON ${covName(c)}.i = wi.j
+            JOIN ${w(3)} wj ON ${covName(c)}.j = wj.j),
+        den$c AS MATERIALIZED (
           SELECT CAST(sum(CAST(round(w7/1e7 * (w7/1e7) * 1e8) AS BIGINT))
-            AS BIGINT) AS den8 FROM w3),
-        cov2 AS (
-          SELECT cov.i, cov.j,
+            AS BIGINT) AS den8 FROM ${w(3)}),
+        ${covName(c + 1)} AS MATERIALIZED (
+          SELECT ${covName(c)}.i, ${covName(c)}.j,
                  c8 - CAST(round(num8/den8 * (wi.w7/1e7) * (wj.w7/1e7)
                    / (den8/1e8) * 1e8) AS BIGINT) AS c8
-          FROM cov CROSS JOIN ray CROSS JOIN den
-          JOIN w3 wi ON cov.i = wi.j JOIN w3 wj ON cov.j = wj.j),
-        ${pcaSeedSql("v0", "pca2:")},
-        ${pcaIterSql("cov2", "v0", "v1")},
-        ${pcaIterSql("cov2", "v1", "v2")},
-        ${pcaIterSql("cov2", "v2", "v3")},
-        nrm1 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM w3),
-        nrm2 AS (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM v3),
-        basis AS (
-          SELECT CAST(1 AS INT) AS component, CAST(j AS INT) AS pos,
+          FROM ${covName(c)} CROSS JOIN ray$c CROSS JOIN den$c
+          JOIN ${w(3)} wi ON ${covName(c)}.i = wi.j
+          JOIN ${w(3)} wj ON ${covName(c)}.j = wj.j)"""
+      else ""
+      s"""$seed,
+        $iters,
+        nrm$c AS MATERIALIZED (SELECT sqrt(CAST(sum(w7 * w7) AS DOUBLE)) AS nr FROM ${w(3)})$defl"""
+    }.mkString(",\n        ")
+    val basis = (1 to k).map(c =>
+      s"""SELECT CAST($c AS INT) AS component, CAST(j AS INT) AS pos,
                  ${sqlRound4("w7 / nr")} AS loading
-          FROM w3 CROSS JOIN nrm1
-          UNION ALL
-          SELECT CAST(2 AS INT) AS component, CAST(j AS INT) AS pos,
-                 ${sqlRound4("w7 / nr")} AS loading
-          FROM v3 CROSS JOIN nrm2)"""
+          FROM p${c}w3 CROSS JOIN nrm$c""").mkString("\n          UNION ALL\n          ")
+    s"""$pcaCovSql,
+        $levels,
+        basis AS MATERIALIZED (
+          $basis)"""
+  }
+
+  private lazy val pcaTopkChainSql: String = pcaChainSql(3)
 
   val oracle: Map[String, String] = Map(
     "emb_matryoshka" ->

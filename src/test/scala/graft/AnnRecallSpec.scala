@@ -287,25 +287,30 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(align > 0.99, s"planted axis not recovered: alignment $align")
   }
 
-  test("pca deflation: recovers two planted orthogonal axes in variance order") {
+  test("pca deflation: recovers three planted orthogonal axes in variance order") {
     import spark.implicits._
-    // axis u1 (spread ±10) dominates axis u2 (spread ±2); after deflation
-    // the second power run must land on u2, not echo u1
+    // variances separated ~5.5× / ~6.9×: after each deflation the next
+    // power run must land on the next axis, not echo a previous one
     val u1 = Array.tabulate(64)(j => if (j == 0) 0.6f else if (j == 1) 0.8f else 0f)
     val u2 = Array.tabulate(64)(j => if (j == 2) 1.0f else 0f)
+    val u3 = Array.tabulate(64)(j => if (j == 3) 1.0f else 0f)
     val vecs = (0 until 40).map { k =>
       val t1 = (k - 20) * 0.5f
-      val t2 = ((k * 7) % 17 - 8) * 0.25f
+      val t2 = ((k * 7) % 17 - 8) * 0.5f
+      val t3 = ((k * 11) % 13 - 6) * 0.25f
       (k.toLong, Array.tabulate(64)(j =>
-        t1 * u1(j) + t2 * u2(j) + (((k * 31 + j * 7) % 11 - 5) * 0.002f)))
+        t1 * u1(j) + t2 * u2(j) + t3 * u3(j) +
+          (((k * 31 + j * 7) % 11 - 5) * 0.002f)))
     }.toDF("vec_id", "embedding")
     val got = graft.operators.Lsh.pcaTopkOf(vecs).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-    assert(got.size == 128)
+    assert(got.size == 192)
     val a1 = math.abs((0 until 64).map(j => got((1, j)) * u1(j)).sum)
     val a2 = math.abs((0 until 64).map(j => got((2, j)) * u2(j)).sum)
+    val a3 = math.abs((0 until 64).map(j => got((3, j)) * u3(j)).sum)
     assert(a1 > 0.98, s"dominant axis not recovered: alignment $a1")
-    assert(a2 > 0.95, s"deflated axis not recovered: alignment $a2")
+    assert(a2 > 0.95, s"second axis not recovered: alignment $a2")
+    assert(a3 > 0.90, s"third axis not recovered: alignment $a3")
   }
 
   test("emb_outliers: flags are non-trivial on the fixture and a planted " +
