@@ -133,6 +133,56 @@ object GraphOpsSpec extends Properties("graphops") {
       got.size == 2 * k + 1 && got.values.forall(_ == 0L)
     }
 
+  property("SG18 kernel: random multi-batch arrival orders converge to union-find") =
+    forAll(for {
+      nOld <- Gen.choose(1, 8)
+      nNew <- Gen.choose(1, 6)
+      m <- Gen.choose(0, 14)
+      // old ids 1..nOld*5-ish avoiding %5==0; new ids multiples of 5
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0, nOld + nNew - 1),
+        Gen.choose(0, nOld + nNew - 1)))
+      nBatches <- Gen.choose(1, 3)
+      assign <- Gen.listOfN(nNew, Gen.choose(0, nBatches - 1))
+    } yield (nOld, nNew, edges.filter(e => e._1 != e._2), nBatches, assign)) {
+      case (nOld, nNew, rawEdges, nBatches, assign) =>
+        import spark.implicits._
+        // vertex v < nOld → old id (v*5 + 1 + v%4, never ≡0 mod 5);
+        // v ≥ nOld → new id ((v-nOld+1)*5)
+        def vid(v: Int): Long =
+          if (v < nOld) (v * 5 + 1 + v % 4).toLong else ((v - nOld + 1) * 5).toLong
+        val edges = rawEdges.map { case (a, b) => (vid(a), vid(b)) }.distinct
+        val isNewId = (x: Long) => x % 5 == 0
+        val oldIds = (0 until nOld).map(vid)
+        val oldEdges = edges.filter { case (a, b) => !isNewId(a) && !isNewId(b) }
+        val newEdges = edges.filter { case (a, b) => isNewId(a) || isNewId(b) }
+        def df(s: Seq[(Long, Long)]) =
+          if (s.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst") else s.toDF("src", "dst")
+        val stored = graft.operators.GraphOps
+          .minLabelComponents(oldIds.toDF("id"), df(oldEdges), rounds = None)
+        val root = graft.sources.ScratchDirs
+          .freshDirFor(spark, "/tmp/sg18prop", "sg18_prop")
+        stored.write.mode("overwrite").parquet(s"$root/labels/v0")
+        graft.streaming.StreamingOps.writeVersionPointer(spark, s"$root/labels", 0L)
+        (0 until nBatches).foreach { b =>
+          val ids = (0 until nNew).filter(assign(_) == b).map(v => vid(v + nOld))
+          val batch = (if (ids.isEmpty) Seq.empty[Long] else ids).toDF("doc_id")
+          graft.streaming.StreamingOps
+            .applyComponentsBatch(spark, root, df(newEdges), batch)
+        }
+        val fin = graft.streaming.StreamingOps
+          .readVersionPointer(spark, s"$root/labels").get
+        val got = spark.read.parquet(s"$root/labels/v$fin").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        // union-find over ALL vertices and edges, on the real id space
+        val allIds = (oldIds ++ (0 until nNew).map(v => vid(v + nOld))).distinct
+        val idx = allIds.sorted.zipWithIndex.toMap
+        val inv = idx.map(_.swap)
+        val model = unionFind(allIds.size,
+          edges.map { case (a, b) => (idx(a), idx(b)) })
+          .map { case (v, c) => inv(v) -> inv(c) }
+        got == model
+    }
+
   property("bfsDepths equals a sequential min-depth BFS model") =
     forAll(graphGen, Gen.choose(1, 4)) { case ((n, edges), k) =>
       import spark.implicits._
