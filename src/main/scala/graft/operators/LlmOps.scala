@@ -556,7 +556,12 @@ object LlmOps {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     seq
       .withColumn("nxt", lead(col("tok"), 1).over(byPos))
-      .crossJoin(broadcast(win))
+      // LEFT join on true, not crossJoin: a round with NO pairs (every
+      // doc already a single token) has an EMPTY winner frame, and a
+      // cross join would wipe the corpus instead of passing it through —
+      // null t1/t2 make every match flag 0 and the sequence survives
+      // re-indexed (caught by the sequential-trainer property)
+      .join(broadcast(win), lit(true), "left")
       // when/otherwise(0), never bare cast: nxt is NULL at each doc's
       // last position and mn is NULL before the first run — a null flag
       // would poison every window downstream (the oracle's CASE…ELSE 0)
@@ -1858,7 +1863,7 @@ object LlmOps {
                    CASE WHEN q.tok = w.t1 AND q.nxt = w.t2 THEN 1 ELSE 0 END AS m
                  FROM (SELECT doc_id, pos, tok,
                          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-                       FROM $prev) q CROSS JOIN win$r w),
+                       FROM $prev) q LEFT JOIN win$r w ON TRUE),
         st$r AS (SELECT *, CASE WHEN m = 1 AND coalesce(
                      lag(m) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
                    THEN 1 ELSE 0 END AS s FROM mm$r),

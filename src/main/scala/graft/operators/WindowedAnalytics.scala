@@ -380,6 +380,28 @@ object WindowedAnalytics {
     // share > 2/7 ≈ 2× uniform) — no division in the predicate (the E10
     // lesson). dow is Sunday=0..Saturday=6 on both engines (Spark
     // dayofweek()-1 ≡ DuckDB dayofweek()).
+    // E20: Theil–Sen robust trend — the median of all pairwise
+    // day-over-day slopes of each event type's daily-volume series: the
+    // robust-statistics complement of e14's fit (one outage day or
+    // crawler burst drags a least-squares slope arbitrarily, but moves
+    // the median of the C(n,2) pairwise slopes by one rank). Exact and
+    // engine-identical: each slope snaps to 1e-4 ticks (one
+    // deterministic double division on exact integers), and the median
+    // is the d16 two-phase discipline — tick histogram, per-type
+    // cumulative count, first tick reaching half by the cross-multiplied
+    // integer compare. Scale shape: the pairwise self-join is |days|²
+    // per type with |days| CALENDAR-bounded (a year is 365 rows however
+    // big the corpus), so cost grows with the type count, not event
+    // volume; everything upstream is one hash aggregate over the scan.
+    "e20_theil_sen" -> ((s, d) => {
+      val epoch = to_date(lit("1970-01-01"))
+      theilSenOf(events(s, d)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), epoch).as("ed"))
+        .agg(count(lit(1)).as("n")))
+        .orderBy("event_type")
+    }),
+
     "e14_seasonality" -> ((s, d) => {
       val base = events(s, d)
         .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("int").as("dow"))
@@ -783,7 +805,54 @@ object WindowedAnalytics {
       .orderBy("channel")
   }
 
+  /** Theil–Sen core over any (event_type, ed, n) daily series — see the
+    * e20 registry note; separated so the property test can drive it with
+    * synthetic series (incl. a planted outlier day that least squares
+    * chases and the median ignores). */
+  private[graft] def theilSenOf(daily: DataFrame): DataFrame = {
+    val pairs = daily.alias("a").join(daily.alias("b"),
+        col("a.event_type") === col("b.event_type") && col("a.ed") < col("b.ed"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.n") - col("a.n")).cast("double")
+          / (col("b.ed") - col("a.ed")) * 1e4).cast("long").as("s4"))
+    val hist = pairs.groupBy("event_type", "s4").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("event_type").orderBy("s4")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("event_type").agg(sum(col("cnt")).as("tot"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .join(broadcast(tot), "event_type")
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("event_type")
+      .agg(round4(min(col("s4")) / 1e4).as("sen_slope"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "e20_theil_sen" ->
+      s"""WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2),
+          pairs AS (
+            SELECT a.event_type,
+                   CAST(round((b.n - a.n)::DOUBLE / (b.ed - a.ed) * 1e4)
+                     AS BIGINT) AS s4
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.ed < b.ed),
+          hist AS (SELECT event_type, s4, count(*) AS cnt
+                   FROM pairs GROUP BY 1, 2),
+          tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS tot
+                  FROM hist GROUP BY 1)
+          SELECT event_type, ${sqlRound4("min(s4) / 1e4")} AS sen_slope
+          FROM (SELECT h.event_type, h.s4,
+                  CAST(sum(cnt) OVER (PARTITION BY h.event_type ORDER BY h.s4)
+                    AS BIGINT) AS cum,
+                  t.tot
+                FROM hist h JOIN tot t ON h.event_type = t.event_type)
+          WHERE cum * 2 >= tot
+          GROUP BY event_type ORDER BY event_type""",
+
     "e1_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(row_number() OVER total AS INT) AS rn,
