@@ -54,11 +54,15 @@ object Bench {
     // 5× their local cost through all 3 passes — sustained host-load
     // windows outlast a 3-pass suite, and a per-query min is only as
     // robust as the number of independent samples behind it.
-    // drop every shared-BUILD memo before each pass (components index,
-    // PCA basis, BPE rounds — CacheRegistry.onPassReset): one pass = one
-    // honest build per shared index (whichever consumer runs first pays
-    // it; the others read the shared frame, the real serving shape).
-    // PREP memos (stored labels, input spools, table reads) survive.
+    // drop every shared-BUILD memo before each pass AND unpersist the
+    // frames those builds registered (components index, PCA basis, BPE
+    // rounds — CacheRegistry.passReset): CacheManager keys on the
+    // canonical plan, so clearing the memos alone would leave passes 2-5
+    // reading cache HITS for every rebuilt stage whose plan is identical
+    // across passes. One pass = one honest build per shared index
+    // (whichever consumer runs first pays it; the others read the shared
+    // frame, the real serving shape). PREP memos (stored labels, input
+    // spools, table reads) survive.
     val passes = Seq.fill(5) {
       graft.CacheRegistry.passReset(); System.gc(); timedPass()
     }

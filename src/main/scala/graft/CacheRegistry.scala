@@ -28,6 +28,25 @@ object CacheRegistry {
     df
   }
 
+  private val sharedLive = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** [[materialize]] for frames registered DURING a shared-build memo's
+    * build (the PCA covariance and power rounds, the BPE round winners,
+    * the incremental-components contraction frame): tracked separately so
+    * [[passReset]] can UNPERSIST them along with clearing the memos.
+    * Without this, a rebuild whose plan is canonically identical across
+    * passes is a CacheManager hit (it keys on the canonical plan) — the
+    * "one honest build per pass" contract would silently report the
+    * cached-prefix cost from pass 2 on, and `live` would accumulate a
+    * duplicate registration per pass. Frames that hold PREP a deployment
+    * persists (stored labels, input spools, table reads) stay on
+    * [[materialize]] and survive passes. */
+  def materializeShared(df: DataFrame): DataFrame = synchronized {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    sharedLive += df
+    df
+  }
+
   /** Register a callback to run on every [[releaseAll]] — for operator
     * modules that keep DERIVED state built from registry caches (e.g. the
     * components memo): a release that cleared the caches but left such a
@@ -52,9 +71,13 @@ object CacheRegistry {
     passResetHooks += hook
   }
 
-  /** Clear every shared-build memo (see [[onPassReset]]) — called by Bench
-    * before each timed pass. */
+  /** Clear every shared-build memo (see [[onPassReset]]) AND unpersist the
+    * frames those builds registered via [[materializeShared]] — called by
+    * Bench before each timed pass, so the next pass's rebuild re-executes
+    * the build instead of reading a canonical-plan cache hit. */
   def passReset(): Unit = synchronized {
+    sharedLive.foreach(_.unpersist(blocking = false))
+    sharedLive.clear()
     passResetHooks.foreach(_.apply())
   }
 
@@ -63,6 +86,8 @@ object CacheRegistry {
   def releaseAll(): Unit = synchronized {
     live.foreach(_.unpersist(blocking = false))
     live.clear()
+    sharedLive.foreach(_.unpersist(blocking = false))
+    sharedLive.clear()
     releaseHooks.foreach(_.apply())
     passResetHooks.foreach(_.apply())
   }

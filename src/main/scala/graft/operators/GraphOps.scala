@@ -57,10 +57,14 @@ object GraphOps {
       rounds: Option[Int] = None): DataFrame = {
     // no distinct(): duplicate/multi-edges are harmless under min() and
     // deduping them would cost a full shuffle of the edge list every run
-    val e = graft.CacheRegistry.materialize(
+    // materializeShared, not materialize: fixpoints run inside per-pass
+    // rebuilt builders (components memo, incremental maintenance), so the
+    // frames must die with the pass or the next rebuild is a
+    // canonical-plan cache hit and re-registers a duplicate every pass
+    val e = graft.CacheRegistry.materializeShared(
       edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
-    var labels = graft.CacheRegistry.materialize(
+    var labels = graft.CacheRegistry.materializeShared(
       vertices.select(col("id"), col("id").as("comp")))
     var round = 0
     var done = false
@@ -134,7 +138,7 @@ object GraphOps {
     // two hash joins on the vertex pk (delta-sized probe against the
     // stored frame — co-partitioned on a bucketed lake table); new
     // endpoints have no stored row → own id
-    val contracted = graft.CacheRegistry.materialize(deltaEdges
+    val contracted = graft.CacheRegistry.materializeShared(deltaEdges
       .join(sLab, col("src") === col("sid"), "left")
       .join(dLab, col("dst") === col("did"), "left")
       .select(coalesce(col("scomp"), col("src")).as("src"),

@@ -322,13 +322,21 @@ object LlmOps {
 
   /** τ=0.3 pairs with ≥1 NEW endpoint — the stored-index probe result an
     * increment applies (materialized; shared by the batch and streaming
-    * incremental-components queries). */
+    * incremental-components queries). Memoized per (session, dir) like
+    * storedLabelsMemo: CacheManager would dedupe the storage anyway
+    * (canonical-plan key), but re-registering the same frame per caller
+    * spams "already cached" warnings and duplicate registry entries. */
+  private val newSidePairsMemo =
+    scala.collection.concurrent.TrieMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  graft.CacheRegistry.onRelease(() => newSidePairsMemo.clear())
+
   private[graft] def newSidePairs(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame =
-    graft.CacheRegistry.materialize(
-      jaccardPairs(s, d, 0.3)
-        .filter(isNewDoc(col("doc_a")) || isNewDoc(col("doc_b")))
-        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    newSidePairsMemo.getOrElseUpdate((s, d),
+      graft.CacheRegistry.materialize(
+        jaccardPairs(s, d, 0.3)
+          .filter(isNewDoc(col("doc_a")) || isNewDoc(col("doc_b")))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
 
   /** Per-doc token occurrence counts (doc_id, tok, m) — ONE hash aggregate
     * over the exploded token stream, materialized once and shared by the
@@ -538,7 +546,7 @@ object LlmOps {
         .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
         .agg(count(lit(1)).as("cnt"))
       // single-row winner — shared by this round's merge AND the output
-      val win = graft.CacheRegistry.materialize(
+      val win = graft.CacheRegistry.materializeShared(
         pc.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(1))
       seq = applyBpeMerge(seq, win.select(col("t1"), col("t2")))
         .localCheckpoint(eager = false)

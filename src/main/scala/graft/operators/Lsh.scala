@@ -119,7 +119,7 @@ object Lsh {
     * force physical planning, which under AQE executes the upstream
     * stages at build time — Bench must rebuild these inside the timed
     * pass (the shared basis memo resets per pass; first consumer pays). */
-  val eager: Set[String] = Set("emb_pca_topk", "emb_pca_project")
+  val eager: Set[String] = Set("emb_pca_top1", "emb_pca_topk", "emb_pca_project")
 
   /** The graded top-2 basis, one BUILD shared by its two consumers —
     * reset per bench pass (CacheRegistry.onPassReset). */
@@ -130,7 +130,7 @@ object Lsh {
   private def pcaBasisOf(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     basisMemo.getOrElseUpdate((s, d),
-      graft.CacheRegistry.materialize(pcaTopkOf(embeddings(s, d))))
+      graft.CacheRegistry.materializeShared(pcaTopkOf(embeddings(s, d))))
 
   val queries: Map[String, Q] = Map(
     // MinHash signatures → banded LSH buckets → candidate pairs → exact
@@ -417,7 +417,15 @@ object Lsh {
     // top eigenvector on any input (PcaSpec pins recovery of a planted
     // dominant axis); the L2 normalization runs once, on integer
     // operands, so both engines see identical doubles.
-    "emb_pca_top1" -> ((s, d) => pcaTop1Of(embeddings(s, d)).orderBy("pos")),
+    // component 1 of the SHARED basis build — pcaTopkOf's first level is
+    // pcaTop1Of verbatim (same "pca:" seed, same three power rounds,
+    // deflation only alters later levels), so all three PCA queries ride
+    // ONE memoized build per pass instead of top1 duplicating the
+    // covariance pass (pcaTop1Of itself stays — PcaSpec drives it
+    // directly against planted axes).
+    "emb_pca_top1" -> ((s, d) =>
+      pcaBasisOf(s, d).filter(col("component") === 1)
+        .select(col("pos"), col("loading")).orderBy("pos")),
 
     // Top-3 principal axes by iterated deflation — see [[pcaTopkOf]]:
     // each level's Rayleigh estimate and rank-1 subtraction run on the
@@ -532,7 +540,7 @@ object Lsh {
       .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
       .groupBy("i", "j")
       .agg(sum(round(col("xi") * col("xj") * 1e8).cast("long")).as("s8"))
-    graft.CacheRegistry.materialize(
+    graft.CacheRegistry.materializeShared(
       s8.crossJoin(broadcast(nDf))
         .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")
         .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mj"))), "j")
@@ -566,7 +574,7 @@ object Lsh {
       w0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val whole = Window.partitionBy()
     def iterate(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      graft.CacheRegistry.materialize(
+      graft.CacheRegistry.materializeShared(
         cov.join(broadcast(w), "j")
           .groupBy("i").agg(sum(col("c8") * col("w7")).as("raw"))
           .select(col("i").as("j"),

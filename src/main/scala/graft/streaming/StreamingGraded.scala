@@ -565,7 +565,8 @@ object StreamingGraded {
       StreamingOps.withMergeWidth(s) {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            StreamingOps.applyComponentsBatch(s, tmp, newPairs, batch)
+            StreamingOps.applyComponentsBatch(s, tmp, newPairs, batch,
+              LlmOps.isNewDoc)
           }
           .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(Trigger.AvailableNow()).start()

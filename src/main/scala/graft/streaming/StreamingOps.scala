@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -622,13 +622,26 @@ object StreamingOps {
     * redelivers a batch mid-sequence and pins the final table equal to
     * both the clean run and the full rebuild.
     *
+    * PRECONDITION on the batch contents: every edge endpoint in
+    * `newPairs` that `isNew` classifies as new must eventually arrive in
+    * some batch; endpoints `isNew` rejects are treated as part of the
+    * stored corpus (arrived before t0, b = 0). Feeding ids the predicate
+    * misclassifies makes edges apply before their endpoint lands —
+    * intermediate published versions may label docs that never arrived
+    * (the final drained table still converges to the rebuild).
+    *
     * @param root scratch root holding `labels/` (versioned, `_VERSION`
     *   pointer) and `arrived/`
     * @param newPairs the τ=0.3 stored-index probe frame (≥1 new endpoint)
-    * @param batch the arriving increment slice (has `doc_id`) */
+    * @param batch the arriving increment slice (has `doc_id`)
+    * @param isNew classifies an edge-endpoint id column as part of the
+    *   INCREMENT (must arrive) vs the stored corpus — passed by the
+    *   caller, never assumed: this kernel is generic over whatever
+    *   increment convention the feed uses */
   def applyComponentsBatch(s: SparkSession, root: String,
-      newPairs: DataFrame, batch: DataFrame): Unit = {
-    import graft.operators.{GraphOps, LlmOps}
+      newPairs: DataFrame, batch: DataFrame,
+      isNew: Column => Column): Unit = {
+    import graft.operators.GraphOps
     val cur = readVersionPointer(s, s"$root/labels").getOrElse(0L)
     val curBatch = cur + 1
     // arrived carries the FIRST batch number per id (min(b) under
@@ -645,8 +658,8 @@ object StreamingOps {
         col("src") === col("sa"), "left")
       .join(arrived.select(col("id").as("sb"), col("b").as("bb")),
         col("dst") === col("sb"), "left")
-      .filter((!LlmOps.isNewDoc(col("src")) || col("sa").isNotNull) &&
-        (!LlmOps.isNewDoc(col("dst")) || col("sb").isNotNull) &&
+      .filter((!isNew(col("src")) || col("sa").isNotNull) &&
+        (!isNew(col("dst")) || col("sb").isNotNull) &&
         greatest(coalesce(col("ba"), lit(0L)), coalesce(col("bb"), lit(0L)))
           === curBatch)
       .select("src", "dst")

@@ -167,7 +167,8 @@ object GraphOpsSpec extends Properties("graphops") {
           val ids = (0 until nNew).filter(assign(_) == b).map(v => vid(v + nOld))
           val batch = (if (ids.isEmpty) Seq.empty[Long] else ids).toDF("doc_id")
           graft.streaming.StreamingOps
-            .applyComponentsBatch(spark, root, df(newEdges), batch)
+            .applyComponentsBatch(spark, root, df(newEdges), batch,
+              c => c % 5 === 0)
         }
         val fin = graft.streaming.StreamingOps
           .readVersionPointer(spark, s"$root/labels").get

@@ -1220,7 +1220,8 @@ class StreamingSpec extends AnyFunSuite {
       stored.write.mode("overwrite").parquet(s"$root/labels/v0")
       StreamingOps.writeVersionPointer(spark, s"$root/labels", 0L)
       batches.foreach(b =>
-        StreamingOps.applyComponentsBatch(spark, root, newPairs, b))
+        StreamingOps.applyComponentsBatch(spark, root, newPairs, b,
+          c => c % 5 === 0))
       val fin = StreamingOps.readVersionPointer(spark, s"$root/labels").get
       val rows = spark.read.parquet(s"$root/labels/v$fin").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
