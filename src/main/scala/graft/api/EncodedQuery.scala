@@ -20,7 +20,12 @@ import org.apache.spark.sql.types._
   * conditions group with their left neighbor, and `^` joins the groups.
   *
   * Operators: = != > < >= <= IN NOT IN LIKE NOTLIKE STARTSWITH ENDSWITH
-  * ISEMPTY ISNOTEMPTY BETWEEN (value `a@b`).
+  * ISEMPTY ISNOTEMPTY BETWEEN (value `a@b`), and the relative-date terms
+  * a CMDB sync poll lives on: `ONToday`, `ON<yyyy-MM-dd>` (whole-day
+  * range), `RELATIVEGT|RELATIVEGE|RELATIVELT|RELATIVELE@<minute|hour|day>
+  * @<ago|ahead>@<n>` ("updated in the last N days" =
+  * `sys_updated_onRELATIVEGT@day@ago@N`). Relative terms compile against
+  * an explicit `now` parameter — deterministic, never wall-clock.
   *
   * Values arrive as strings (Table-API convention); [[applyTo]] resolves each
   * field against the DataFrame schema and casts the literal to the column
@@ -40,8 +45,9 @@ object EncodedQuery {
       orderBy: Seq[(String, Boolean)]) // (field, descending)
 
   private val opsByLength: Seq[String] = Seq(
+    "RELATIVEGT", "RELATIVEGE", "RELATIVELT", "RELATIVELE",
     "NOT IN", "ISNOTEMPTY", "STARTSWITH", "ENDSWITH", "NOTLIKE", "BETWEEN",
-    "ISEMPTY", "LIKE", "IN", ">=", "<=", "!=", "=", ">", "<")
+    "ONToday", "ISEMPTY", "LIKE", "IN", "ON", ">=", "<=", "!=", "=", ">", "<")
 
   /** Parse an encoded query string into its condition tree + sort spec. */
   def parse(q: String): Parsed = {
@@ -122,9 +128,83 @@ object EncodedQuery {
           s"encoded query dot-walks through non-struct '$name' in '$path' ($dt)")
     }
 
-  private def condColumn(df: DataFrame, c: Cmp): Column = {
+  /** Relative-date terms (`ONToday`, `ON<date>`, `RELATIVE??@unit@dir@n`)
+    * compile against an EXPLICIT `now` — never wall-clock (the library's
+    * Date.now discipline: a query must plan identically on every executor
+    * and every re-run). All boundaries are computed driver-side in UTC
+    * (the pinned session zone) and fold to plain timestamp literals, so
+    * predicate pushdown sees ordinary range filters. */
+  private def requireNow(now: Option[java.time.Instant], c: Cmp): java.time.Instant =
+    now.getOrElse(throw new IllegalArgumentException(
+      s"relative-date operator '${c.op}' on field '${c.field}' needs an " +
+        "explicit now (pass it to applyTo/tableApi — never wall-clock)"))
+
+  private def tsLit(i: java.time.Instant): Column =
+    lit(java.sql.Timestamp.from(i)).cast(TimestampType)
+
+  /** `ON` day-range semantics: [midnight, next midnight) in the session
+    * zone — midnight itself matches the day STARTING at it, never the day
+    * ending there (boundary inclusivity pinned by EncodedQuerySpec). */
+  private def onDay(f: Column, dt: DataType, day: java.time.LocalDate,
+      field: String): Column = dt match {
+    case DateType => f === lit(java.sql.Date.valueOf(day))
+    case TimestampType =>
+      val start = day.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      val end = day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      f >= tsLit(start) && f < tsLit(end)
+    case other => throw new IllegalArgumentException(
+      s"ON needs a date/timestamp field, '$field' is $other")
+  }
+
+  private def condColumn(df: DataFrame, c: Cmp,
+      now: Option[java.time.Instant]): Column = {
     val f = col(c.field)
     c.op match {
+      case "ONToday" =>
+        val day = requireNow(now, c).atZone(java.time.ZoneOffset.UTC).toLocalDate
+        onDay(f, fieldType(df.schema, c.field), day, c.field)
+      case "ON" =>
+        val day = try java.time.LocalDate.parse(c.value) catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"ON needs a yyyy-MM-dd date, got '${c.value}' for field '${c.field}'")
+        }
+        onDay(f, fieldType(df.schema, c.field), day, c.field)
+      case op if op.startsWith("RELATIVE") =>
+        // RELATIVEGT@hour@ago@2 — field strictly after the instant 2 hours
+        // before `now`; ahead mirrors forward. Units are fixed spans
+        // (minute/hour/day = 60 s/3600 s/86400 s — UTC has no DST).
+        val parts = c.value.stripPrefix("@").split("@", -1)
+        require(parts.length == 3,
+          s"$op needs @unit@ago|ahead@n, got '${c.value}' for field '${c.field}'")
+        val Array(unit, dir, nStr) = parts
+        val secs = unit match {
+          case "minute" => 60L
+          case "hour"   => 3600L
+          case "day"    => 86400L
+          case u => throw new IllegalArgumentException(
+            s"unknown relative-date unit '$u' in '${c.value}' (minute|hour|day)")
+        }
+        val n = try nStr.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"relative-date amount must be an integer, got '$nStr'") }
+        require(n >= 0, s"relative-date amount must be >= 0, got $n")
+        val base = requireNow(now, c)
+        val boundary = dir match {
+          case "ago"   => base.minusSeconds(n * secs)
+          case "ahead" => base.plusSeconds(n * secs)
+          case d => throw new IllegalArgumentException(
+            s"relative-date direction must be ago|ahead, got '$d'")
+        }
+        require(fieldType(df.schema, c.field) == TimestampType,
+          s"$op needs a timestamp field, '${c.field}' is " +
+            fieldType(df.schema, c.field))
+        op match {
+          case "RELATIVEGT" => f > tsLit(boundary)
+          case "RELATIVEGE" => f >= tsLit(boundary)
+          case "RELATIVELT" => f < tsLit(boundary)
+          case "RELATIVELE" => f <= tsLit(boundary)
+        }
       case "="          => f === typed(df, c.field, c.value)
       case "!="         => f =!= typed(df, c.field, c.value)
       case ">"          => f > typed(df, c.field, c.value)
@@ -157,19 +237,21 @@ object EncodedQuery {
     * second alternative is only a sort spec) is match-all — ORed with the
     * rest, the whole predicate folds to TRUE, matching the Table API's
     * behavior for a condition-free query. */
-  def toPredicate(df: DataFrame, q: String): Column = {
+  def toPredicate(df: DataFrame, q: String,
+      now: Option[java.time.Instant] = None): Column = {
     val p = parse(q)
     if (p.alternatives.exists(_.isEmpty)) lit(true)
     else p.alternatives.map { groups =>
-      groups.map(g => g.map(condColumn(df, _)).reduce(_ || _)).reduce(_ && _)
+      groups.map(g => g.map(condColumn(df, _, now)).reduce(_ || _)).reduce(_ && _)
     }.reduce(_ || _)
   }
 
   /** Apply filter + ORDERBY spec — the full server-side-query emulation. */
-  def applyTo(df: DataFrame, q: String): DataFrame = {
+  def applyTo(df: DataFrame, q: String,
+      now: Option[java.time.Instant] = None): DataFrame = {
     val p = parse(q)
     val filtered =
-      if (p.alternatives.exists(_.isEmpty)) df else df.filter(toPredicate(df, q))
+      if (p.alternatives.exists(_.isEmpty)) df else df.filter(toPredicate(df, q, now))
     if (p.orderBy.isEmpty) filtered
     else filtered.orderBy(p.orderBy.map { case (f, desc) =>
       if (desc) col(f).desc else col(f).asc
@@ -187,9 +269,10 @@ object EncodedQuery {
     * without ORDERBY).
     */
   def tableApi(df: DataFrame, q: String, fields: Seq[String] = Nil,
-      offset: Int = 0, limit: Int = -1, pageKey: Option[String] = None): DataFrame = {
+      offset: Int = 0, limit: Int = -1, pageKey: Option[String] = None,
+      now: Option[java.time.Instant] = None): DataFrame = {
     val p = parse(q)
-    val base = applyTo(df, q)
+    val base = applyTo(df, q, now)
     val ordered = (p.orderBy, pageKey) match {
       case (Nil, Some(k)) => base.orderBy(col(k))
       case (Nil, None) if offset > 0 || limit >= 0 =>
@@ -278,6 +361,32 @@ object EncodedQuery {
       acc.withColumn(r.childKey, col(s"${r.name}.${r.display}"))
     }
     // return the TABLE's shape (walked structs were render scaffolding)
+    val shaped = refs.foldLeft(rendered)((acc, r) => acc.drop(r.name))
+    if (fields.isEmpty) shaped else shaped.select(fields.map(col): _*)
+  }
+
+  /** `sysparm_display_value=all` — the Table API's remaining rendering
+    * mode: every reference field comes back as BOTH the raw key and the
+    * referenced record's display value, side by side (the REST response's
+    * `{"value": …, "display_value": …}` pair, flattened here to the raw
+    * column plus a `<field>_display` column — columnar responses have no
+    * nested envelope to hide it in). Query semantics are identical to the
+    * other two modes: `sysparm_query` conditions, ORDERBY, and pagination
+    * all bind to RAW values (rendering is response-only), a dangling
+    * reference renders a NULL display next to its orphaned raw key, and
+    * the cost is the same one broadcast dim join per edge the dot-walk
+    * already pays — mode `all` adds zero work over mode `true`, it just
+    * keeps both columns. */
+  def tableApiDisplayAll(df: DataFrame, refs: Seq[Ref], q: String,
+      fields: Seq[String] = Nil, offset: Int = 0, limit: Int = -1,
+      pageKey: Option[String] = None,
+      now: Option[java.time.Instant] = None): DataFrame = {
+    refs.foreach(r => require(r.display.nonEmpty,
+      s"display rendering needs a display column for edge '${r.name}'"))
+    val paged = tableApi(resolveRefs(df, refs), q, Nil, offset, limit, pageKey, now)
+    val rendered = refs.foldLeft(paged) { (acc, r) =>
+      acc.withColumn(s"${r.childKey}_display", col(s"${r.name}.${r.display}"))
+    }
     val shaped = refs.foldLeft(rendered)((acc, r) => acc.drop(r.name))
     if (fields.isEmpty) shaped else shaped.select(fields.map(col): _*)
   }

@@ -610,6 +610,45 @@ object CoreRelational {
         .orderBy("c_custkey")
     }),
 
+    // B13b: `sysparm_display_value=all` — raw key AND display value side
+    // by side (the REST `{"value", "display_value"}` pair flattened to a
+    // column pair). The encoded query and ORDERBY still bind to RAW
+    // values — here the filter is on the raw c_nationkey — so rendering
+    // provably never leaks into query semantics; the oracle is the same
+    // plain left join emitting both columns.
+    "b13b_display_all" -> ((s, d) => {
+      import graft.api.EncodedQuery.Ref
+      graft.api.EncodedQuery.tableApiDisplayAll(
+        customer(s, d),
+        Seq(Ref("nation", "c_nationkey", nation(s, d), "n_nationkey",
+          display = "n_name")),
+        "c_nationkey>=10^c_acctbal>1000^ORDERBYc_custkey",
+        fields = Seq("c_custkey", "c_name", "c_nationkey",
+          "c_nationkey_display"))
+        .orderBy("c_custkey")
+    }),
+
+    // B14: relative-date terms in the encoded query — the single most
+    // common CMDB sync predicate ("updated in the last N days") plus the
+    // ON whole-day forms, compiled against an EXPLICIT now (2024-01-15
+    // 12:00 UTC here — deterministic, never wall-clock). Three term
+    // shapes in one query: a fixed ON day, ONToday (midnight-inclusive,
+    // next-midnight-exclusive — boundary pinned by EncodedQuerySpec),
+    // and a RELATIVE window (strictly after 2 days ago AND at-or-before
+    // 36 hours ago). Every term folds to plain timestamp-literal range
+    // filters, so pushdown sees ordinary comparisons.
+    "b14_relative_dates" -> ((s, d) => {
+      val now = java.time.Instant.parse("2024-01-15T12:00:00Z")
+      graft.api.EncodedQuery.applyTo(
+        events(s, d),
+        "tsON2024-01-10^ORtsONToday" +
+          "^NQtsRELATIVEGT@day@ago@2^tsRELATIVELE@hour@ago@36" +
+          "^ORDERBYevent_id",
+        now = Some(now))
+        .select(col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+    }),
+
     // ---------------------------------------------------------------- C
     // C1: fact ⋈ small dim with explicit broadcast hint.
     "c1_join_broadcast" -> ((s, d) =>
@@ -2308,6 +2347,26 @@ object CoreRelational {
          FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
          WHERE c_acctbal > 1000
          ORDER BY c_custkey""",
+
+    // mode `all` = the same left join keeping BOTH columns; the filter
+    // binds to the raw key, proving rendering is response-only
+    "b13b_display_all" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+                n_name AS c_nationkey_display
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE c_nationkey >= 10 AND c_acctbal > 1000
+         ORDER BY c_custkey""",
+
+    // relative-date mirror: interval arithmetic off the same explicit now
+    "b14_relative_dates" ->
+      """SELECT event_id, epoch_us(ts) AS us, event_type FROM events
+         WHERE (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts < TIMESTAMP '2024-01-11 00:00:00')
+            OR (ts >= TIMESTAMP '2024-01-15 00:00:00'
+                AND ts < TIMESTAMP '2024-01-16 00:00:00')
+            OR (ts > TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 2 DAY
+                AND ts <= TIMESTAMP '2024-01-15 12:00:00' - INTERVAL 36 HOUR)
+         ORDER BY event_id""",
 
     // the dot-walk is server-side joins in the real API — plain joins here
     "b12_dotwalk_query" ->

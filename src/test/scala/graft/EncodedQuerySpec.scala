@@ -299,4 +299,81 @@ class EncodedQuerySpec extends AnyFunSuite {
         "nation.n_nameISEMPTY")
     assert(walkedOrphans.count() == cust.count())
   }
+
+  test("relative-date terms: midnight boundary inclusivity, RELATIVE " +
+    "window arithmetic, explicit-now discipline") {
+    import org.apache.spark.sql.functions.col
+    val ts = Seq(
+      // the four boundary probes of ONToday with now = 2024-01-15 12:00Z
+      ("eve_2359", "2024-01-14 23:59:59"), // day before → out
+      ("midnight", "2024-01-15 00:00:00"), // midnight STARTS the day → in
+      ("noon", "2024-01-15 12:00:00"),
+      ("next_mid", "2024-01-16 00:00:00"), // next midnight is exclusive
+      // RELATIVE probes around now − 2h = 10:00Z
+      ("at_10", "2024-01-15 10:00:00"),
+      ("after_10", "2024-01-15 10:00:01"))
+      .toDF("name", "s")
+      .select(col("name"), col("s").cast("timestamp").as("ts"))
+    def names(q: String): Seq[String] =
+      EncodedQuery.applyTo(ts, q,
+        now = Some(java.time.Instant.parse("2024-01-15T12:00:00Z")))
+        .select("name").collect().map(_.getString(0)).toSeq
+    assert(names("tsONToday^ORDERBYname") ==
+      Seq("after_10", "at_10", "midnight", "noon"))
+    assert(names("tsON2024-01-14^ORDERBYname") == Seq("eve_2359"))
+    // GT is strict, GE includes the boundary instant (now − 2h = 10:00)
+    assert(names("tsRELATIVEGT@hour@ago@2^tsRELATIVELT@hour@ago@0^ORDERBYname") ==
+      Seq("after_10"))
+    assert(names("tsRELATIVEGE@hour@ago@2^tsRELATIVELE@hour@ago@0^ORDERBYname") ==
+      Seq("after_10", "at_10", "noon"))
+    // day and minute units, and ahead direction: (now − 1 day, now + 720 min)
+    // = (Jan 14 12:00, Jan 16 00:00) — eve_2359 is in, next_mid is not
+    assert(names("tsRELATIVEGT@day@ago@1^tsRELATIVELT@minute@ahead@720^ORDERBYname") ==
+      Seq("after_10", "at_10", "eve_2359", "midnight", "noon"))
+    // relative terms REQUIRE an explicit now — never wall-clock
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(ts, "tsONToday")
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(ts, "tsRELATIVEGT@hour@ago@2")
+    }
+    // malformed unit / direction / amount fail loudly at compile time
+    val now = Some(java.time.Instant.parse("2024-01-15T12:00:00Z"))
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(ts, "tsRELATIVEGT@week@ago@2", now)
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(ts, "tsRELATIVEGT@hour@since@2", now)
+    }
+    intercept[IllegalArgumentException] {
+      EncodedQuery.applyTo(ts, "tsONnot-a-date", now)
+    }
+  }
+
+  test("display_value=all keeps raw + display pairs; query and ORDERBY " +
+    "still bind to raw values") {
+    import graft.api.EncodedQuery.Ref
+    import org.apache.spark.sql.functions.col
+    val cust = graft.sources.Tables.customer(spark, sf)
+    val nat = graft.sources.Tables.nation(spark, sf)
+    val refs = Seq(Ref("nation", "c_nationkey", nat, "n_nationkey",
+      display = "n_name"))
+    val r = graft.api.EncodedQuery.tableApiDisplayAll(
+      cust, refs, "c_nationkey=3^ORDERBYc_custkey",
+      fields = Seq("c_custkey", "c_nationkey", "c_nationkey_display"))
+    val expectName = nat.filter(col("n_nationkey") === 3)
+      .select("n_name").head().getString(0)
+    assert(r.count() > 0)
+    // raw keys survive AND the display column rides alongside
+    assert(r.select("c_nationkey").distinct().collect().toSeq
+      .map(_.getInt(0)) == Seq(3))
+    assert(r.select("c_nationkey_display").distinct().collect().toSeq
+      .map(_.getString(0)) == Seq(expectName))
+    // a dangling reference keeps its raw key, renders a NULL display
+    val orphaned = cust.withColumn("c_nationkey", col("c_nationkey") + 1000)
+    val o = graft.api.EncodedQuery.tableApiDisplayAll(orphaned, refs,
+      "c_acctbal>0")
+    assert(o.filter(col("c_nationkey").isNull).isEmpty)
+    assert(o.filter(col("c_nationkey_display").isNotNull).isEmpty)
+  }
 }
