@@ -1389,21 +1389,41 @@ object LlmOps {
           (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("height"))
         .orderBy("doc_id")),
 
+    // Header-level image dimension parse — JPEG SOF0/PNG IHDR byte
+    // arithmetic over a raw binary column (graft.multimodal.ImageHeaders:
+    // public formats, no codec, pure codegen'd byte reads). Payloads are
+    // synthesized with REAL header layouts around formula dims — the
+    // variable-length COM segment forces the JPEG parser to actually
+    // scan the marker chain — and the parser sees only the bytes; the
+    // oracle recomputes dims from the stored doc_id metadata. At 100 TB
+    // this is a bounded prefix read per file feeding the geometry
+    // queries below — the metadata plane is honest end to end while the
+    // pixel decode stays stubbed.
+    "mm_image_dims" -> ((s, d) => {
+      import graft.multimodal.ImageHeaders
+      val imgs = documents(s, d).select(col("doc_id"),
+        ImageHeaders.fakeImagePayload(col("doc_id")).as("payload"))
+      ImageHeaders.withImageDims(imgs, "payload")
+        .select(col("doc_id"), col("fmt"), col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal resize planning — the geometry pass a vision-ingest
     // pipeline runs BEFORE any pixels move: shorter-side-to-224 scale in
     // pure integer arithmetic (aspect preserved, floor division — both
     // engines truncate on positive operands) plus the center-crop box.
-    // Metadata-only over the decode stub's dims (degenerate 0-dims
-    // clamped to 1), a linear scan; at 100 TB the PLAN rows — not the
-    // pixels — are what the scheduler shuffles to co-locate decode work,
-    // which is why the geometry is graded separately from the decode.
-    "mm_resize_plan" -> ((s, d) =>
-      documents(s, d)
+    // Metadata-only over the PARSED header dims (mm_image_dims — real
+    // SOF0/IHDR byte reads, not a stub), a linear scan; at 100 TB the
+    // PLAN rows — not the pixels — are what the scheduler shuffles to
+    // co-locate decode work, which is why the geometry is graded
+    // separately from the decode.
+    "mm_resize_plan" -> ((s, d) => {
+      import graft.multimodal.ImageHeaders
+      val imgs = documents(s, d).select(col("doc_id"),
+        ImageHeaders.fakeImagePayload(col("doc_id")).as("payload"))
+      ImageHeaders.withImageDims(imgs, "payload")
         .select(col("doc_id"),
-          greatest(ascii(substring(col("text"), 1, 1)) * 7 % 640, lit(1))
-            .as("src_w"),
-          greatest(ascii(substring(col("text"), 2, 1)) * 5 % 480, lit(1))
-            .as("src_h"))
+          col("width").as("src_w"), col("height").as("src_h"))
         .withColumn("rs_w",
           when(col("src_w") <= col("src_h"), lit(224))
             .otherwise(expr("(src_w * 224) div src_h").cast("int")))
@@ -1413,7 +1433,8 @@ object LlmOps {
             .otherwise(lit(224)))
         .withColumn("crop_x", expr("(rs_w - 224) div 2").cast("int"))
         .withColumn("crop_y", expr("(rs_h - 224) div 2").cast("int"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Multimodal frame sampling — the payload stands in for a media
     // container of (n_bytes div 100)+1 fixed-size frames; keep every 4th.
@@ -1439,13 +1460,14 @@ object LlmOps {
     // (+1 CLS token). This is the column a packing/batching stage keys on
     // (sequence length drives batch shape and cost), and it must be
     // computable WITHOUT decoding — a 100-TB image corpus plans its
-    // training batches from metadata, decoding only what ships. Pure
-    // per-row projection over the stub decoder's dimensions; no shuffle.
-    "mm_patch_grid" -> ((s, d) =>
-      documents(s, d)
-        .select(col("doc_id"),
-          (ascii(substring(col("text"), 1, 1)) * 7 % 640).as("w"),
-          (ascii(substring(col("text"), 2, 1)) * 5 % 480).as("h"))
+    // training batches from metadata (here the PARSED SOF0/IHDR header
+    // dims), decoding only what ships. Per-row projection; no shuffle.
+    "mm_patch_grid" -> ((s, d) => {
+      import graft.multimodal.ImageHeaders
+      val imgs = documents(s, d).select(col("doc_id"),
+        ImageHeaders.fakeImagePayload(col("doc_id")).as("payload"))
+      ImageHeaders.withImageDims(imgs, "payload")
+        .select(col("doc_id"), col("width").as("w"), col("height").as("h"))
         .filter(col("w") > 0 && col("h") > 0)
         .withColumn("m", greatest(col("w"), col("h")))
         .withColumn("rw", when(col("m") <= 96, col("w"))
@@ -1457,7 +1479,8 @@ object LlmOps {
           expr("(rh + 15) div 16").cast("int").as("patch_rows"),
           (expr("(rw + 15) div 16") * expr("(rh + 15) div 16") + 1)
             .cast("int").as("seq_len"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Multimodal audio frame windowing — the 25 ms / 10 ms hop frame count
     // (the feature-extractor contract: 16 kHz mono 16-bit, 400-sample
@@ -2373,6 +2396,15 @@ object LlmOps {
                 CAST(ascii(text[2]) * 5 % 480 AS INT) AS height
          FROM documents ORDER BY doc_id""",
 
+    // the parser reads only the payload bytes; the oracle recomputes the
+    // dims from the stored doc_id metadata the payload was built around
+    "mm_image_dims" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+                CAST(doc_id * 7 % 624 + 16 AS INT) AS width,
+                CAST(doc_id * 5 % 464 + 16 AS INT) AS height
+         FROM documents ORDER BY doc_id""",
+
     "mm_resize_plan" ->
       """SELECT doc_id, src_w, src_h, rs_w, rs_h,
                 CAST((rs_w - 224) // 2 AS INT) AS crop_x,
@@ -2385,8 +2417,8 @@ object LlmOps {
                             ELSE 224 END AS INT) AS rs_h
            FROM (
              SELECT doc_id,
-                    CAST(greatest(ascii(text[1]) * 7 % 640, 1) AS INT) AS src_w,
-                    CAST(greatest(ascii(text[2]) * 5 % 480, 1) AS INT) AS src_h
+                    CAST(doc_id * 7 % 624 + 16 AS INT) AS src_w,
+                    CAST(doc_id * 5 % 464 + 16 AS INT) AS src_h
              FROM documents))
          ORDER BY doc_id""",
 
@@ -2526,8 +2558,8 @@ object LlmOps {
     "mm_patch_grid" ->
       """WITH dims AS (
            SELECT doc_id,
-                  CAST(ascii(text[1]) * 7 % 640 AS INT) AS w,
-                  CAST(ascii(text[2]) * 5 % 480 AS INT) AS h
+                  CAST(doc_id * 7 % 624 + 16 AS INT) AS w,
+                  CAST(doc_id * 5 % 464 + 16 AS INT) AS h
            FROM documents),
          scaled AS (
            SELECT doc_id, w, h,

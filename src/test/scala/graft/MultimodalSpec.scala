@@ -134,4 +134,59 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows.map(_._1).sum == n && rows.map(_._2).sum == b, s"source $s0")
     }
   }
+
+  test("image header parse: genuine PNG and JPEG byte fixtures, segment " +
+    "scanning, and quarantine NULLs for unknown payloads") {
+    import spark.implicits._
+    import graft.multimodal.ImageHeaders
+    def bytes(hexStr: String): Array[Byte] =
+      hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // the canonical 1x1 transparent PNG: real signature, real IHDR with
+    // the real CRC (1F15C489), real IDAT/IEND — an actual decodable file
+    val realPng = bytes(
+      "89504E470D0A1A0A0000000D4948445200000001000000010806000000" +
+        "1F15C4890000000A49444154789C6300010000050001" +
+        "0D0A2DB40000000049454E44AE426082")
+    // a baseline JPEG prefix with w=5, h=7 where SOF0 sits BEHIND an
+    // APP0/JFIF segment and a 2-byte-payload COM segment — fixed offsets
+    // would misread it, only a marker-chain scan finds the frame header
+    val realJpeg = bytes(
+      "FFD8" +
+        "FFE000104A46494600010100000100010000" + // APP0, 16 bytes
+        "FFFE0004DEAD" + // COM: length 4 (2 payload bytes)
+        "FFC00011" + "08" + "0007" + "0005" + "03011100021101031101" +
+        "FFD9")
+    // progressive JPEG (SOF2) with three APPn segments in front
+    val progJpeg = bytes(
+      "FFD8" +
+        "FFE000104A46494600010100000100010000" +
+        "FFE100044578" + // APP1 stub, 2 payload bytes (EXIF would sit here)
+        "FFED0006503373B0" + // APP13 stub, 4 payload bytes
+        "FFC20011" + "08" + "0100" + "0280" + "03011100021101031101" +
+        "FFD9")
+    val junk = "not an image at all".getBytes("UTF-8")
+    val df = Seq(
+      (1L, realPng), (2L, realJpeg), (3L, progJpeg), (4L, junk))
+      .toDF("doc_id", "payload")
+    val got = ImageHeaders.withImageDims(df, "payload")
+      .select("doc_id", "fmt", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(got(1L) == (("png", 1, 1)))
+    assert(got(2L) == (("jpeg", 5, 7)))
+    assert(got(3L) == (("jpeg", 640, 256))) // 0x0280 wide, 0x0100 tall
+    assert(got(4L) == ((null, -1, -1)))
+    // the synthesized corpus round-trips: parsed dims equal the formula
+    // dims the payload builder embedded (the mm_image_dims oracle)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        ImageHeaders.fakeImagePayload(col("doc_id")).as("payload"))
+    val parsed = ImageHeaders.withImageDims(docs, "payload")
+    val mism = parsed.filter(
+      col("width") =!= (col("doc_id") * 7 % 624 + 16).cast("int") ||
+        col("height") =!= (col("doc_id") * 5 % 464 + 16).cast("int") ||
+        col("fmt") =!= when(col("doc_id") % 2 === 0, "png").otherwise("jpeg"))
+    assert(mism.count() == 0 && parsed.filter(col("width").isNull).count() == 0)
+  }
 }
