@@ -570,4 +570,55 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(r(2L) == ((2L, 1.0)))
     assert(!r.contains(3L))
   }
+
+  test("stored-index refresh handles the cap-crossing shingle a stale " +
+    "artifact manufactures pairs through") {
+    import spark.implicits._
+    import graft.operators.LlmOps
+    // cap 2: shingle "a b c" has df 2 in the OLD corpus (under the cap)
+    // and df 3 once doc 5 lands (over it). A probe against the STALE
+    // artifact keeps it and manufactures (1,5)/(2,5) pairs; a full
+    // rebuild drops it and finds none of them. The (3,10) pair shares
+    // only under-cap shingles and must survive everywhere.
+    val cap = 2
+    val tau = 0.1
+    val docs = Seq(
+      (1L, "en", "a b c x1 y1"), (2L, "en", "a b c x2 y2"),
+      (3L, "en", "p q r s"),
+      (5L, "en", "a b c x3 y3"), (10L, "en", "p q r s z"))
+      .toDF("doc_id", "lang", "text")
+    val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+    def probePairs(inv: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      LlmOps.jaccardFromIndex(inv, tau)
+        .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = graft.sources.ScratchDirs
+      .freshDirFor(spark, "/tmp/idx_refresh_spec", "cap_cross")
+    val oldRows = LlmOps.shingleRows(docs.filter(!isNew(col("doc_id"))))
+    val incRows = LlmOps.shingleRows(docs.filter(isNew(col("doc_id"))))
+    LlmOps.writeShingleArtifact(spark, root, oldRows, 0L, maxDf = cap)
+    // STALE probe: the increment's rows checked against v0's stop list —
+    // "a b c" is not hot there, so the phantom pairs appear
+    val stale = probePairs(
+      oldRows.unionByName(incRows)
+        .join(broadcast(spark.read.parquet(s"$root/v0/stop")),
+          Seq("h"), "left_anti"))
+    assert(stale == Set((1L, 5L), (2L, 5L), (3L, 10L)))
+    // full rebuild over old ∪ increment: the cap drops "a b c"
+    val rebuild = LlmOps.jaccardPairsOf(docs, tau, maxDf = cap)
+      .filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuild == Set((3L, 10L)))
+    // REFRESH republishes df + stop over the union; the refreshed-artifact
+    // probe now equals the rebuild, and the pointer moved atomically
+    val v1 = LlmOps.refreshShingleArtifact(spark, root, incRows, maxDf = cap)
+    assert(v1 == 1L)
+    assert(graft.streaming.StreamingOps
+      .readVersionPointer(spark, root).contains(1L))
+    assert(probePairs(LlmOps.readCappedShingleIndex(spark, root)) == rebuild)
+    // v0 stays readable (immutable versions) until a vacuum prunes it
+    assert(spark.read.parquet(s"$root/v0/rows").count() == oldRows.count())
+  }
 }
