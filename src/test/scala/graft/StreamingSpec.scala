@@ -1237,4 +1237,47 @@ class StreamingSpec extends AnyFunSuite {
     // empty new-vertex set and the re-applied edges contract to no-ops
     assert(run(Seq(b1, b1, b2), "replay") == expected)
   }
+
+  test("SG20 batch kernel: IVF maintenance assigns against the fixed grid, " +
+      "chains versions, and redelivery republishes value-identical") {
+    import spark.implicits._
+    // a 2-cell grid on 4-dim vectors; assignment is nearest-squared-
+    // distance with the clabel tiebreak — the Lsh.assignVectors rule
+    val cents = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)), (1, Seq(10.0, 10.0, 10.0, 10.0)))
+      .toDF("clabel", "cent")
+    val oldRows = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0), 0), // near cell 0
+      (2L, Seq(9.0, 10.0, 10.0, 10.0), 1)) // near cell 1
+      .toDF("vec_id", "cell_v", "cell")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        lit(0).as("is_new"))
+    val b1 = Seq((5L, Seq(0.5, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val b2 = Seq((10L, Seq(10.0, 9.5, 10.0, 10.0)),
+      (15L, Seq(5.0, 5.0, 5.0, 5.0))) // equidistant → clabel 0 tiebreak
+      .toDF("vec_id", "embedding")
+    def run(batches: Seq[org.apache.spark.sql.DataFrame], tag: String)
+        : (Long, Map[Long, (Int, Int)]) = {
+      val root = graft.sources.ScratchDirs
+        .freshDirFor(spark, "/tmp/sg20synth", s"sg20_$tag")
+      oldRows.write.mode("overwrite").parquet(s"$root/index/v0")
+      StreamingOps.writeVersionPointer(spark, s"$root/index", 0L)
+      batches.foreach(b => StreamingOps.maintainIvfBatch(spark, root, cents, b))
+      val fin = StreamingOps.readVersionPointer(spark, s"$root/index").get
+      val rows = spark.read.parquet(s"$root/index/v$fin").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2))))
+      assert(rows.length == rows.map(_._1).distinct.length,
+        s"duplicate index rows after $tag")
+      (fin, rows.toMap)
+    }
+    val expected = Map(
+      1L -> ((0, 0)), 2L -> ((1, 0)), // stored corpus untouched
+      5L -> ((0, 1)), 10L -> ((1, 1)), 15L -> ((0, 1))) // tiebreak → 0
+    val (v2, clean) = run(Seq(b1, b2), "clean")
+    assert(v2 == 2L && clean == expected)
+    // redelivery of b1: identical assignment rows collapse in the dedup,
+    // one more version is published but the table value is unchanged
+    val (v3, replay) = run(Seq(b1, b1, b2), "replay")
+    assert(v3 == 3L && replay == expected)
+  }
 }
