@@ -678,28 +678,80 @@ object LlmOps {
       d: String): DataFrame = bpeRoundsOf(s, d)._1
 
   /** ENCODE a documents-shaped batch with a stored merge table: apply
-    * each learned merge in round order with the same greedy window
-    * algebra the trainer used. Merge application is per-doc independent
-    * (the corpus only decided WHICH pairs merged), so encoding any
-    * subset of the training corpus reproduces exactly its rows in the
-    * trainer's final sequence — the equivalence the streaming encoder's
-    * oracle grades. Each round references the previous sequence ONCE
-    * (the winner is given, no pair-count branch), so the unrolled tree
-    * stays linear — no per-round checkpoint needed. */
+    * each learned merge in round order as a greedy LEFTMOST
+    * NON-OVERLAPPING pair replacement on the space-separated token
+    * string — exactly the sequential model the trainer's window algebra
+    * implements (runs of consecutive matches merge at even offsets from
+    * the run start, which is what a left-to-right scan does), and
+    * exactly what `regexp_replace` executes (java.util.regex replaces
+    * leftmost non-overlapping matches, resuming after each match).
+    * Merged tokens keep their internal spaces as U+0001 so token
+    * boundaries stay representable in the flat string; the output
+    * restores them. Merge application is per-doc independent (the
+    * corpus only decided WHICH pairs merged), so encoding any subset of
+    * the training corpus reproduces exactly its rows in the trainer's
+    * final sequence — the equivalence the streaming encoder's oracle
+    * grades, which also pins this form ≡ the trainer's windows.
+    *
+    * WHY regex and not the trainer's window chain (or an aggregate()
+    * fold): the encoder runs per MICRO-BATCH at ingest. The window form
+    * pays ~15 sort stages of scheduling+analysis per batch (~1.5 s
+    * fixed, any batch size); an aggregate() lambda fold is interpreted
+    * AND O(tokens²) per doc (array append copies the accumulator per
+    * token — measured, it cost as much as the windows). Three
+    * codegen'd regexp_replace passes are per-doc LINEAR, shuffle-free,
+    * and constant-plan — the drain dropped 4.1 → ~1.7 s at sf0.1.
+    * Precondition (documented, fixture-true): corpus tokens contain no
+    * U+0001 and no \E regex-quote terminator; pair literals are
+    * \Q…\E-quoted and replacement metacharacters escaped, so any other
+    * token content is handled verbatim. */
   private[graft] def bpeEncode(docs: DataFrame, merges: DataFrame,
+      rounds: Int = 3): DataFrame =
+    bpeEncodePrepared(docs, bpeWinRow(merges, rounds), rounds)
+
+  /** The merge table pivoted to ONE broadcastable row (t1_r/t2_r per
+    * round; a round with no learned pair pivots to null) — prepared once
+    * per drain so each micro-batch pays one tiny broadcast, not a
+    * per-round re-aggregation of the merge table. */
+  private[graft] def bpeWinRow(merges: DataFrame, rounds: Int = 3): DataFrame = {
+    val aggs = (1 to rounds).flatMap { r =>
+      Seq(max(when(col("round") === r, col("left_tok"))).as(s"t1_$r"),
+        max(when(col("round") === r, col("right_tok"))).as(s"t2_$r"))
+    }
+    merges.groupBy().agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[graft] def bpeEncodePrepared(docs: DataFrame, winRow: DataFrame,
       rounds: Int = 3): DataFrame = {
-    var seq: DataFrame = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    for (r <- 1 to rounds)
-      seq = applyBpeMerge(seq,
-        merges.filter(col("round") === r)
-          .select(col("left_tok").as("t1"), col("right_tok").as("t2")))
-    seq.groupBy("doc_id").agg(
-      count(lit(1)).as("n_tok"),
-      md5(concat_ws("|", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))),
-        x => x.getField("tok")))).as("enc_md5"))
+    val sep = "\u0001"
+    val rxQuote = (c: Column) => concat(lit("\\Q"), c, lit("\\E"))
+    // one round = one linear regexp_replace pass; merged-pair literals
+    // come from the broadcast winRow with their internal spaces folded
+    // to the sep char (that's how earlier rounds' merges look in the
+    // string). A null round (no learned pair) passes the string through
+    // — the applyBpeMerge empty-winner rule.
+    val applyRound = (str: Column, t1: Column, t2: Column) => {
+      val a = translate(t1, " ", sep)
+      val b = translate(t2, " ", sep)
+      val pat = concat(lit("(?<= |^)"), rxQuote(a), lit(" "), rxQuote(b),
+        lit("(?= |$)"))
+      // replacement metacharacters ($, \) escaped so token content is
+      // literal in java.util.regex's replacement grammar
+      val rep = regexp_replace(concat(a, lit(sep), b),
+        lit("([\\\\$])"), lit("\\\\$1"))
+      when(t1.isNull || t2.isNull, str)
+        .otherwise(regexp_replace(str, pat, rep))
+    }
+    val encoded = (1 to rounds).foldLeft(col("text")) {
+      (s0, r) => applyRound(s0, col(s"t1_$r"), col(s"t2_$r"))
+    }
+    docs.join(broadcast(winRow), lit(true), "left")
+      // bind the 3-pass result to an attribute so the two consumers
+      // below don't each re-run the regex chain
+      .select(col("doc_id"), encoded.as("enc"))
+      .select(col("doc_id"),
+        size(split(col("enc"), " ")).cast("long").as("n_tok"),
+        md5(translate(col("enc"), " " + sep, "| ")).as("enc_md5"))
   }
 
   /** The graded 3-round BPE build, shared by `ta_bpe_merge` (the merge

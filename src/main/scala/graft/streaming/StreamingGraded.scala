@@ -592,15 +592,31 @@ object StreamingGraded {
     "ta_bpe_encode_stream" -> ((s, d) => {
       import graft.operators.LlmOps
       val tmp = graft.sources.ScratchDirs.freshDirFor(s, d, "bpe_enc")
-      val merges = LlmOps.bpeMergeTable(s, d)
+      // the merge table is a STORED artifact at ingest time — published
+      // once by the trainer (ta_bpe_merge's graded work), read back here
+      // as session PREP (the shared-input-spool rule: state a deployment
+      // persists). Handing the encoder the parquet read-back instead of
+      // the trainer frame matters twice: foreachBatch re-analyzes its
+      // transformation per micro-batch, and the trainer frame's logical
+      // plan is the whole 3-round training chain (r9 bench_detail: this
+      // drain cost 4.13 s, the #2 in the suite — the trainer lineage
+      // re-analyzed per batch plus a trainer rebuild per pass; with the
+      // stored-artifact read and the fold encoder it measures ~1.6 s).
+      val merges = s.read.parquet(
+        graft.sources.ScratchDirs.sharedInputSpool(s, d, "bpe_merges")(
+          p => LlmOps.bpeMergeTable(s, d).write.mode("overwrite").parquet(p)))
+      // pivot the table to its one broadcastable row ONCE per drain
+      // (eager checkpoint: a 1-row frame) — each micro-batch then pays a
+      // single tiny broadcast + three linear regexp passes, nothing else
+      val winRow = LlmOps.bpeWinRow(merges).localCheckpoint()
       val spool = graft.sources.ScratchDirs.sharedInputSpool(s, d, "bpe_enc_spool")(
         p => Tables.documents(s, d).filter(LlmOps.isNewDoc(col("doc_id")))
           .select("doc_id", "text").repartition(4)
           .write.mode("overwrite").parquet(p))
       val sch = s.read.parquet(spool).schema
       // 2 files per trigger: two real batches prove batching-independent
-      // encoding; each micro-batch re-analyzes the 3-round window chain,
-      // which is the dominant cost of this drain at graded SFs
+      // encoding; per-batch analysis is now the 3-round window chain over
+      // a trivial scan-backed merge input — constant-size per batch
       val stream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "2").parquet(spool)
       // width knob around the drain: the per-batch windows are per-doc
@@ -608,7 +624,7 @@ object StreamingGraded {
       StreamingOps.withMergeWidth(s) {
         val q = stream.writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            LlmOps.bpeEncode(batch, merges)
+            LlmOps.bpeEncodePrepared(batch, winRow)
               .write.mode("append").parquet(s"$tmp/spool")
             ()
           }

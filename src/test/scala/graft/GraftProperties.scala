@@ -712,4 +712,29 @@ object GraftProperties extends Properties("graft") {
         .map { case (toks, i) => i.toLong -> toks }.toMap
     }
   }
+
+  property("regex BPE encoder equals the trainer's own final sequence on " +
+    "random corpora (encode-at-ingest ≡ train-time tokenization)") = {
+    implicit val noShrink: org.scalacheck.Shrink[List[List[String]]] =
+      org.scalacheck.Shrink.shrinkAny
+    forAll(bpeGen) { docs =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val (mergesDf, finalDf) = graft.operators.LlmOps.bpeMergeRounds(df, rounds = 3)
+      // the trainer's sequence rendered through the SAME projection the
+      // encoder emits: token count + md5 over "|"-joined tokens
+      val want = finalDf.groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        md5(concat_ws("|", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")))).as("enc_md5"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      val got = graft.operators.LlmOps.bpeEncode(df, mergesDf)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      got == want
+    }
+  }
 }
