@@ -58,17 +58,15 @@ object LlmOps {
   /** Vocabulary-growth core (see the `ta_heaps` registry note) over any
     * (doc_id, tok, m) occurrence frame. */
   private[graft] def heapsOf(occ: DataFrame, bucketDocs: Int): DataFrame =
-    occ
-      .groupBy("tok").agg(min(col("doc_id")).as("fd"))
-      .groupBy(expr(s"fd div $bucketDocs").as("bucket"))
-      .agg(count(lit(1)).as("new_types"))
-      .withColumn("vocab",
-        // unpartitioned ordered window BY DESIGN (source of a benign
-        // WindowExec "No Partition Defined" WARN): the frame is the
-        // bucket histogram — corpus_docs/bucketDocs rows, the dataset-card
-        // resolution knob — never the doc or token volume
-        sum(col("new_types")).over(
-          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)))
+    graft.functions.BandedScan.cumSum(
+      occ
+        .groupBy("tok").agg(min(col("doc_id")).as("fd"))
+        .groupBy(expr(s"fd div $bucketDocs").as("bucket"))
+        .agg(count(lit(1)).as("new_types")),
+      // the frame is the bucket histogram — corpus_docs/bucketDocs rows,
+      // the dataset-card resolution knob — scanned band-partitioned
+      "bucket", "new_types", "vocab",
+      desc = false, includeCurrent = true, bandWidth = 32L)
       .select((col("bucket") * bucketDocs).as("docs_start"), col("new_types"),
         col("vocab"))
       .orderBy("docs_start")
@@ -82,11 +80,14 @@ object LlmOps {
       .filter(col("c") >= 2)
       .orderBy(col("c").desc, col("tok").asc).limit(200)
     top
-      .withColumn("r",
-        // unpartitioned ordered window BY DESIGN (benign WindowExec WARN):
-        // it ranks the top-200 frame the limit() above already bounded,
-        // never the vocabulary
-        row_number().over(Window.orderBy(col("c").desc, col("tok").asc)))
+      // rank the limit-bounded frame by one array sort (struct(-c, tok)
+      // ascending = (c desc, tok asc)) + posexplode — no window, so no
+      // single-partition WindowExec; the frame is ≤ 200 rows by the
+      // limit() above, never the vocabulary
+      .agg(array_sort(collect_list(
+        struct((-col("c")).as("nc"), col("tok"), col("c")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("i", "s")))
+      .select((col("i") + 1).cast("long").as("r"), col("s.c").as("c"))
       .select(round(log(col("r")) * 1e4).cast("long").as("x"),
         round(log(col("c")) * 1e4).cast("long").as("y"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
@@ -1456,19 +1457,21 @@ object LlmOps {
     // LM score (the bucketing CCNet/LLaMA-style pipelines filter and
     // sample by). Exact two-phase (the d16 discipline): per-doc scores
     // snap to their 1e-4 grid, fold to a TICK HISTOGRAM (bounded by the
-    // score grid, never doc volume — the single-partition cumulative
-    // window is over that bounded frame, the e19 precedent), and each
-    // tick's bucket is decided by its FIRST doc's integer rank position
-    // (3·cum_before < n / < 2n — cross-multiplied, no division, ties
-    // share a bucket by construction). Output is the 3-row dataset card:
-    // docs per bucket + the score range each bucket spans.
+    // score grid, never doc volume — the cumulative scan over it is
+    // band-partitioned + stitched, BandedScan.cumSum, the e19 shape), and
+    // each tick's bucket is decided by its FIRST doc's integer rank
+    // position (3·cum_before < n / < 2n — cross-multiplied, no division,
+    // ties share a bucket by construction). Output is the 3-row dataset
+    // card: docs per bucket + the score range each bucket spans.
     "ta_ppl_buckets" -> ((s, d) => {
       val lp = unigramLogprobOf(documents(s, d))
         .select(col("doc_id"),
           round(col("avg_logprob") * 1e4).cast("long").as("lp4"))
-      lp.groupBy("lp4").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("lp4").desc)))
-        .withColumn("ntot", sum(col("cnt")).over(Window.partitionBy()))
+      val hist = lp.groupBy("lp4").agg(count(lit(1)).as("cnt"))
+      val ntot = hist.agg(sum(col("cnt")).as("ntot"))
+      graft.functions.BandedScan.cumSum(hist, "lp4", "cnt", "cum",
+        desc = true, includeCurrent = true, bandWidth = 1000L)
+        .crossJoin(broadcast(ntot))
         .withColumn("bucket",
           when((col("cum") - col("cnt")) * 3 < col("ntot"), "head")
             .when((col("cum") - col("cnt")) * 3 < col("ntot") * 2, "middle")

@@ -432,12 +432,12 @@ object TrainingPipeline {
         .select("doc_id", "score_t", "n_tok")
       val budget = t.agg(expr("sum(n_tok) div 4").as("budget"))
       // tokens consumed by strictly better score ticks: aggregate-sized
-      // frame (≤ 10⁴ distinct ticks no matter the corpus), so the
-      // unpartitioned ordered window is over histogram rows, never docs
-      val hist = t.groupBy("score_t").agg(sum(col("n_tok")).as("btok"))
-        .withColumn("prefix", coalesce(
-          sum(col("btok")).over(Window.orderBy(col("score_t").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // frame (≤ 10⁴ distinct ticks no matter the corpus), scanned with
+      // the explicit band-partition + stitch form (BandedScan.cumSum)
+      val hist = graft.functions.BandedScan.cumSum(
+        t.groupBy("score_t").agg(sum(col("n_tok")).as("btok")),
+        "score_t", "btok", "prefix",
+        desc = true, includeCurrent = false, bandWidth = 500L)
         .select("score_t", "prefix")
       val wtick = Window.partitionBy("score_t").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

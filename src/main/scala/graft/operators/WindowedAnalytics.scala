@@ -506,24 +506,20 @@ object WindowedAnalytics {
     // ((cum_before·10) div total_users, clamped — deterministic integer
     // arithmetic, no percentile interpolation). Revenue per tick is the
     // exact integer cents·n_users; shares divide once at the end.
-    // The global (no-partition) cumulative window is INTENTIONAL and safe:
-    // it runs over the cents histogram, whose row count is bounded by the
-    // value range in cents — never by user count — so the single-partition
-    // execution Spark warns about is a bounded-size frame by construction;
-    // the explicit repartition(1) states that contract in the plan (and
-    // silences the WARN) instead of leaving it implicit.
+    // The cumulative scan runs over the cents histogram, whose row count
+    // is bounded by the value range in cents — never by user count — and
+    // is EXPLICITLY band-partitioned + stitched (BandedScan.cumSum): the
+    // per-band windows run in parallel with the bound stated in the plan,
+    // instead of an implicit single-partition window Spark warns about.
     "e19_concentration" -> ((s, d) => {
       val hist = events(s, d)
         .groupBy("user_id")
         .agg(sum(graft.functions.ExactNum.cents(col("value"))).as("c"))
         .groupBy("c").agg(count(lit(1)).as("nu"))
-        .repartition(1)
       val tot = hist.agg(sum(col("nu")).as("tu"),
         sum(col("c") * col("nu")).as("tc"))
-      val w = Window.orderBy(col("c").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      hist
-        .withColumn("cum_before", coalesce(sum(col("nu")).over(w), lit(0L)))
+      graft.functions.BandedScan.cumSum(hist, "c", "nu", "cum_before",
+        desc = true, includeCurrent = false, bandWidth = 1000000L)
         .crossJoin(broadcast(tot))
         .withColumn("decile",
           least(lit(9L), expr("(cum_before * 10) div tu")) + 1)

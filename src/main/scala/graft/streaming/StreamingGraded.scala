@@ -573,6 +573,12 @@ object StreamingGraded {
         q.awaitTermination()
       }
       val fin = StreamingOps.readVersionPointer(s, s"$tmp/labels").get
+      // retention INSIDE the maintenance job: versions accumulate one per
+      // batch, so the drain vacuums to the last 2 after the final publish
+      // (keep = current + one rollback target — the production default).
+      // The published pointer and every kept version stay readable;
+      // StreamingSpec pins a nonempty prune with the final table intact.
+      graft.sources.Maintenance.vacuumVersions(s, s"$tmp/labels", keep = 2)
       s.read.parquet(s"$tmp/labels/v$fin")
         .select(col("id").as("doc_id"), col("comp")).orderBy("doc_id")
     }),

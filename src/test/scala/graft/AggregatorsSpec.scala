@@ -86,4 +86,27 @@ class AggregatorsSpec extends AnyFunSuite {
     }
     assert(agg.finish(full) == Seq((9.0, 3L), (9.0, 2L), (7.0, 5L)))
   }
+
+  test("BandedScan.cumSum equals a sequential prefix scan in every " +
+    "direction/inclusivity, across band boundaries and negative keys") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // distinct keys spanning negatives and several bands at width 10
+    val keys = rnd.shuffle((-40 to 60).toList).take(37).map(_.toLong)
+    val rows = keys.map(k => (k, (rnd.nextInt(100) + 1).toLong))
+    val df = rows.toDF("k", "v")
+    for (desc <- Seq(true, false); incl <- Seq(true, false)) {
+      val got = graft.functions.BandedScan
+        .cumSum(df, "k", "v", "cum", desc, incl, bandWidth = 10L)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val ordered = if (desc) rows.sortBy(-_._1) else rows.sortBy(_._1)
+      var run = 0L
+      val want = ordered.map { case (k, v) =>
+        val out = if (incl) run + v else run
+        run += v
+        k -> out
+      }.toMap
+      assert(got == want, s"desc=$desc includeCurrent=$incl")
+    }
+  }
 }

@@ -89,7 +89,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // query-term-filtered posting rows
       "ta_bm25",
       // cross-combines two single-row rule aggregates, like c11's audits
-      "d15_dq_report")
+      "d15_dq_report",
+      // BandedScan.cumSum's stitch is a bands×bands broadcast range-join
+      // over the band-total frame — (key range / bandWidth)-sized by
+      // construction (e19/ppl_buckets/token_budget already appear above
+      // for their single-row total combines; heaps rides only the scan)
+      "ta_heaps")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
   // can't broadcast either side, and lsh_rp_near_dup's candidate join is a

@@ -1238,6 +1238,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(Seq(b1, b1, b2), "replay") == expected)
   }
 
+  test("label-version vacuum after a drain: nonempty prune, published table " +
+      "and rollback version stay readable") {
+    import spark.implicits._
+    val root = graft.sources.ScratchDirs
+      .freshDirFor(spark, "/tmp/sg18vac", "sg18_vacuum")
+    Seq((1L, 1L), (2L, 1L)).toDF("id", "comp")
+      .write.mode("overwrite").parquet(s"$root/labels/v0")
+    StreamingOps.writeVersionPointer(spark, s"$root/labels", 0L)
+    val newPairs = Seq((1L, 5L), (2L, 10L)).toDF("src", "dst")
+    Seq(Seq(5L), Seq(10L)).foreach(ids =>
+      StreamingOps.applyComponentsBatch(spark, root, newPairs,
+        ids.toDF("doc_id"), c => c % 5 === 0))
+    // three versions landed (v0..v2); keep = 2 prunes exactly v0
+    val pruned = graft.sources.Maintenance
+      .vacuumVersions(spark, s"$root/labels", keep = 2)
+    assert(pruned == Seq(0L))
+    assert(StreamingOps.readVersionPointer(spark, s"$root/labels").contains(2L))
+    // published version intact and correct; the rollback version readable
+    val fin = spark.read.parquet(s"$root/labels/v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fin == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 10L -> 1L))
+    assert(spark.read.parquet(s"$root/labels/v1").count() == 3)
+    // the pruned version is gone
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      spark.read.parquet(s"$root/labels/v0").collect()
+    }
+  }
+
   test("SG20 batch kernel: IVF maintenance assigns against the fixed grid, " +
       "chains versions, and redelivery republishes value-identical") {
     import spark.implicits._
