@@ -47,6 +47,26 @@ object GraphOps {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
     s.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_FIXPOINT_WIDTH", "8"))
+    try withNoAdaptive(s)(body) finally s.conf.set(key, old)
+  }
+
+  /** Run `body` (an ITERATIVE builder over model/delta-sized frames) with
+    * adaptive query execution off — the companion knob to the width
+    * scopes. AQE re-optimizes between every stage and re-plans each
+    * localCheckpoint leaf at plan build; on a fixpoint that runs dozens of
+    * model-sized stages per query, that replanning is the dominant cost
+    * and buys nothing (there is no skew or partition sizing to adapt on a
+    * 64-row or delta-sized frame). Measured at sf0.1 (QueryProf):
+    * dd_components_incr 3.9 → 1.8 s wall (37 → 5 jobs), emb_pca_topk
+    * 2.0 → 1.7 s, ta_bpe_compress 2.7 → 2.0 s. Results are AQE-independent
+    * by construction; the big corpus-scan queries keep AQE (coalescing /
+    * skew handling is exactly right for them — guide §2). Reentrant on the
+    * driver thread (session monitor), restored on exit. */
+  private[graft] def withNoAdaptive[T](s: org.apache.spark.sql.SparkSession)(
+      body: => T): T = s.synchronized {
+    val key = "spark.sql.adaptive.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
     try body finally s.conf.set(key, old)
   }
 

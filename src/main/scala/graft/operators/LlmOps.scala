@@ -781,7 +781,16 @@ object LlmOps {
 
   private def bpeRoundsOf(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    bpeMemo.getOrElseUpdate((s, d), bpeMergeRounds(documents(s, d), rounds = 3))
+    bpeMemo.getOrElseUpdate((s, d),
+      // withNoAdaptive (AQE only — the session width stays: the merge
+      // windows partition by doc_id over the CORPUS, so shrinking the
+      // width would cost sort parallelism): the 3-round build runs ~6
+      // corpus passes as a ladder of small stages, and AQE's per-stage
+      // replanning was ~25% of wall — measured 2.7 → 2.0 s at sf0.1 with
+      // identical rows (see GraphOps.withNoAdaptive)
+      graft.operators.GraphOps.withNoAdaptive(s) {
+        bpeMergeRounds(documents(s, d), rounds = 3)
+      })
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     bigramRows(docs)

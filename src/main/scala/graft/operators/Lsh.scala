@@ -130,7 +130,14 @@ object Lsh {
   private def pcaBasisOf(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     basisMemo.getOrElseUpdate((s, d),
-      graft.CacheRegistry.materializeShared(pcaTopkOf(embeddings(s, d))))
+      // withNoAdaptive: everything past the one corpus covariance pass is
+      // 64×64 iterative arithmetic (9 power rounds + deflation), where
+      // AQE's between-stage replanning and per-checkpoint build execution
+      // dominate — measured 2.0 → 1.7 s wall at sf0.1 with identical rows
+      // (see GraphOps.withNoAdaptive)
+      graft.operators.GraphOps.withNoAdaptive(s) {
+        graft.CacheRegistry.materializeShared(pcaTopkOf(embeddings(s, d)))
+      })
 
   val queries: Map[String, Q] = Map(
     // MinHash signatures → banded LSH buckets → candidate pairs → exact

@@ -581,9 +581,23 @@ object StreamingOps {
   def withMergeWidth[T](spark: SparkSession)(body: => T): T =
     spark.synchronized {
       val key = "spark.sql.shuffle.partitions"
+      val aqe = "spark.sql.adaptive.enabled"
       val old = spark.conf.get(key)
+      val oldAqe = spark.conf.get(aqe)
       spark.conf.set(key, sys.env.getOrElse("SPARK_GRAFT_MERGE_WIDTH", "4"))
-      try body finally spark.conf.set(key, old)
+      // adaptive off for the drain scope (the GraphOps.withNoAdaptive
+      // rationale): every per-batch merge/fixpoint plan here is
+      // batch/delta-sized, and AQE's between-stage replanning is the
+      // dominant per-batch cost at any data size — the streaming plan
+      // itself already runs without AQE, this extends that to the
+      // foreachBatch bodies the streaming thread plans (conf is
+      // session-global, so the scope covers them without the streaming
+      // thread ever taking this monitor — the deadlock rule).
+      spark.conf.set(aqe, "false")
+      try body finally {
+        spark.conf.set(key, old)
+        spark.conf.set(aqe, oldAqe)
+      }
     }
 
   /** One LWW merge-and-publish step of the versioned upsert table — THE
