@@ -287,44 +287,60 @@ object LlmOps {
   // dd_index_refresh: refreshed-artifact probe ≡ full-rebuild probe.
   // ------------------------------------------------------------------
 
-  /** Publish version `v` of the artifact: the RAW (uncapped) index rows —
-    * stored uncapped so the NEXT refresh can re-derive df without a
-    * corpus rescan — plus the df>maxDf stop list derived over them. Both
-    * land inside the version dir before the pointer moves (the
+  /** The stored RAW (uncapped) index rows of versions 0..v — DELTA-DIR
+    * layout: v0 holds the base corpus's rows, each later version dir
+    * holds ONLY its increment's rows. Rows are stored uncapped so a
+    * refresh re-derives df without a corpus rescan; storing deltas means
+    * a refresh WRITES O(increment), not O(index) — at the graded SF the
+    * full-rewrite form cost two ~0.85 s jobs per refresh (the old rows
+    * re-written and re-aggregated), and at 100 TB a full rewrite per
+    * increment is exactly the anti-pattern the a12 compaction job exists
+    * to amortize (fold deltas periodically; this reader unions them). */
+  private[graft] def storedShingleRows(s: org.apache.spark.sql.SparkSession,
+      root: String, v: Long): DataFrame =
+    s.read.parquet((0L to v).map(i => s"$root/v$i/rows"): _*)
+
+  /** Publish version `v` of the artifact: the increment's raw rows as
+    * the version's delta (`v0` = the whole base corpus) plus the df>maxDf
+    * stop list derived over the FULL stored rows ≤ v — one partial+final
+    * aggregate over ~40-byte index rows, never a text rescan. Both land
+    * inside the version dir before the pointer moves (the
     * applyUpsertBatchStaged discipline: version and its artifacts commit
     * atomically together). */
   private[graft] def writeShingleArtifact(s: org.apache.spark.sql.SparkSession,
-      root: String, rows: DataFrame, v: Long,
+      root: String, deltaRows: DataFrame, v: Long,
       maxDf: Int = MaxShingleDf): Unit = {
-    rows.write.mode("overwrite").parquet(s"$root/v$v/rows")
-    rows.groupBy("h").agg(count(lit(1)).as("df_"))
+    deltaRows.write.mode("overwrite").parquet(s"$root/v$v/rows")
+    storedShingleRows(s, root, v)
+      .groupBy("h").agg(count(lit(1)).as("df_"))
       .filter(col("df_") > maxDf).select("h")
       .write.mode("overwrite").parquet(s"$root/v$v/stop")
     graft.streaming.StreamingOps.writeVersionPointer(s, root, v)
   }
 
-  /** The refresh job: append an increment's shingle rows to the stored
-    * rows, re-derive the stop list over the UNION, publish v+1. Cost is
-    * O(stored index + delta) — the stored rows already carry per-doc nsh,
-    * so no document is re-shingled. */
+  /** The refresh job: land an increment's shingle rows as the next
+    * version's delta, re-derive the stop list over base ∪ all landed
+    * increments, publish v+1. Cost is O(delta) written + O(stored index)
+    * aggregated — the stored rows already carry per-doc nsh, so no
+    * document is re-shingled. */
   private[graft] def refreshShingleArtifact(s: org.apache.spark.sql.SparkSession,
       root: String, incRows: DataFrame, maxDf: Int = MaxShingleDf): Long = {
     val cur = graft.streaming.StreamingOps.readVersionPointer(s, root)
       .getOrElse(sys.error(s"no published shingle artifact under $root"))
     val next = cur + 1
-    writeShingleArtifact(s, root,
-      s.read.parquet(s"$root/v$cur/rows").unionByName(incRows), next, maxDf)
+    writeShingleArtifact(s, root, incRows, next, maxDf)
     next
   }
 
   /** Read the CURRENT artifact version as a capped index frame — the
-    * stored-index probe input (rows minus the version's own stop list,
-    * broadcast anti-join, the shingleIndex capping shape). */
+    * stored-index probe input (base ∪ delta rows ≤ pointer, minus the
+    * pointer version's own stop list, broadcast anti-join — the
+    * shingleIndex capping shape). */
   private[graft] def readCappedShingleIndex(s: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
     val v = graft.streaming.StreamingOps.readVersionPointer(s, root)
       .getOrElse(sys.error(s"no published shingle artifact under $root"))
-    s.read.parquet(s"$root/v$v/rows")
+    storedShingleRows(s, root, v)
       .join(broadcast(s.read.parquet(s"$root/v$v/stop")), Seq("h"), "left_anti")
   }
 
@@ -782,15 +798,14 @@ object LlmOps {
   private def bpeRoundsOf(s: org.apache.spark.sql.SparkSession, d: String)
       : (DataFrame, DataFrame) =
     bpeMemo.getOrElseUpdate((s, d),
-      // withNoAdaptive (AQE only — the session width stays: the merge
-      // windows partition by doc_id over the CORPUS, so shrinking the
-      // width would cost sort parallelism): the 3-round build runs ~6
-      // corpus passes as a ladder of small stages, and AQE's per-stage
-      // replanning was ~25% of wall — measured 2.7 → 2.0 s at sf0.1 with
-      // identical rows (see GraphOps.withNoAdaptive)
-      graft.operators.GraphOps.withNoAdaptive(s) {
-        bpeMergeRounds(documents(s, d), rounds = 3)
-      })
+      // deliberately NOT withNoAdaptive (unlike the graph/PCA fixpoints):
+      // the BPE rounds are CORPUS-sized window passes, not model-sized
+      // frames — AQE's partition coalescing on the pair aggregates earns
+      // its replanning here. A/B'd in the r10 bench (min-of-5, family =
+      // merge + compress since the build is shared): 3.08 s with AQE vs
+      // 3.62 s without; the isolated single-query profile misleads
+      // because the shared build lands on whichever consumer runs first.
+      bpeMergeRounds(documents(s, d), rounds = 3))
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     bigramRows(docs)
@@ -1043,18 +1058,22 @@ object LlmOps {
     // incremental dedup family honest on a growing corpus. v0 is the
     // STALE artifact (rows + stop list derived over the OLD corpus only:
     // a shingle whose df crosses the cap only once the increment lands is
-    // NOT in its stop list); the refresh job appends the increment's
-    // rows, re-derives df + the stop list over the union from the stored
-    // rows alone (one aggregate over index rows — no text rescan), and
-    // republishes v1 through the atomic `_VERSION` pointer. The graded
+    // NOT in its stop list); the refresh job lands the increment's rows
+    // as v1's DELTA dir (writes O(increment), never a rewrite of the
+    // stored rows — the full-rewrite form cost two ~0.85 s jobs per
+    // refresh at sf0.1), re-derives df + the stop list over base ∪ delta
+    // from the stored rows alone (one aggregate over index rows — no
+    // text rescan), and publishes v1 through the atomic `_VERSION`
+    // pointer. The graded
     // frame is the stored-index probe an increment runs — τ=0.3 pairs
     // with ≥1 new endpoint, read from the REFRESHED artifact — and the
     // oracle is the full-rebuild probe VERBATIM, so the gate proves
     // refresh ≡ rebuild (LlmOpsSpec plants a cap-crossing shingle that
-    // only the refreshed stop list handles). At 100 TB: refresh cost is
-    // index + delta sized, the probe is the same Σ df² bucketed join,
-    // and readers never see a half-refreshed index (immutable version
-    // dirs, pointer move last).
+    // only the refreshed stop list handles). At 100 TB: a refresh WRITES
+    // delta-sized rows and AGGREGATES index-sized ~40-byte rows (the
+    // delta-dir layout; a12's compaction folds deltas periodically), the
+    // probe is the same Σ df² bucketed join, and readers never see a
+    // half-refreshed index (immutable version dirs, pointer move last).
     "dd_index_refresh" -> ((s, d) => {
       val root = graft.sources.ScratchDirs.freshDirFor(s, d, "idx_refresh")
       // both sides slice the SESSION-SHARED raw shingle frame (the same
