@@ -800,11 +800,14 @@ object LlmOps {
     bpeMemo.getOrElseUpdate((s, d),
       // deliberately NOT withNoAdaptive (unlike the graph/PCA fixpoints):
       // the BPE rounds are CORPUS-sized window passes, not model-sized
-      // frames — AQE's partition coalescing on the pair aggregates earns
-      // its replanning here. A/B'd in the r10 bench (min-of-5, family =
-      // merge + compress since the build is shared): 3.08 s with AQE vs
-      // 3.62 s without; the isolated single-query profile misleads
-      // because the shared build lands on whichever consumer runs first.
+      // frames, so AQE's coalescing is the right default here. A/B'd in
+      // the r10 bench (min-of-5, family = merge + compress since the
+      // build is shared): 3.08/3.87 s with AQE across two runs vs 3.62 s
+      // without — within the family's run-to-run noise (checkpointed
+      // corpus windows swing ±0.5 s under host load), so the scale-
+      // -correct default stands. The isolated single-query profile also
+      // misleads here: the shared build lands on whichever consumer runs
+      // first.
       bpeMergeRounds(documents(s, d), rounds = 3))
 
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
