@@ -95,14 +95,45 @@ object Bench {
     // The itemized map is BUDGETED, not threshold-only: at 140 queries the
     // 0.095 s cutoff alone produced a 2047-char line — past the driver's
     // 2000-char tail window. Itemize the slowest queries first (those are
-    // the ones worth comparing round-over-round) until ~1400 chars of map,
+    // the ones worth comparing round-over-round) until ~1500 chars of map,
     // and fold everything else into the count + sum summary.
-    val slowCandidates = results.toSeq.filter(_._2 >= 0.095).sortBy(-_._2)
+    // PINNED FIRST (additions-only): queries itemized in the previous
+    // round's stdout map stay itemized even when they got FASTER —
+    // otherwise an improvement pushes a query out of the budgeted map and
+    // the round-over-round diff misreads it as dropped (7 false drops in
+    // PERF_r10). Pinned entries keep priority over new slow entries; the
+    // list is refreshed each round from the committed BENCH json.
+    val pinned = Set(
+      "a12_compaction_roundtrip", "a13_vacuum_roundtrip", "a14_asof_read",
+      "a15_change_feed", "a16_merge_delete", "a17_delete_feed",
+      "a18_zorder_roundtrip", "c12_salted_join", "c13_fuzzy_match",
+      "c2_star_join", "cdc_ivm_stream", "d16_weighted_median", "d4_having",
+      "dd_admit_near_stream", "dd_admit_stream", "dd_components_incr",
+      "dd_components_incr_stream", "dd_index_refresh", "dd_keep_one",
+      "dd_simhash_stream", "e13b_volume_stream", "e15_sliding_distinct",
+      "e18b_cusum_stream", "e19_concentration", "e20_theil_sen",
+      "e7b_funnel_stream", "e8b_retention_stream", "e9b_quantiles_stream",
+      "emb_bq_rerank", "emb_pca_topk", "f3_topk_per_key", "gr_kcore",
+      "gr_lpa", "gr_sssp", "i11b_sync_stream", "i14_stream_join",
+      "i3b_session_stream", "i4_watermark_stream", "i7b_upsert_stream",
+      "i7c_merge_stream", "j2b_containment", "lsh_ivf_maintain_stream",
+      "lsh_ivf_serve_stream", "lsh_ivfpq_refined", "lsh_ivfpq_topk",
+      "lsh_minhash_est", "lsh_minhash_pairs", "lsh_rp_multiprobe",
+      "lsh_rp_near_dup", "pp_score_calibration", "sem_dedup",
+      "ta_bigram_logprob", "ta_bm25", "ta_bpe_compress",
+      "ta_bpe_encode_stream", "ta_kn_bigram", "ta_novelty",
+      "ta_ppl_buckets", "ta_tfidf", "tp_decontaminate",
+      "tp_decontaminate_stream", "tp_dsir_stream")
+    val slowCandidates =
+      (results.toSeq.filter { case (k, v) => v >= 0 && pinned(k) }
+        .sortBy(-_._2) ++
+        results.toSeq.filter { case (k, v) => v >= 0.095 && !pinned(k) }
+          .sortBy(-_._2))
     val itemized = scala.collection.mutable.LinkedHashMap[String, Double]()
     var mapLen = 2
     slowCandidates.foreach { case (k, v) =>
       val entryLen = k.length + fmt(v).length + 4 // quotes + colon + comma
-      if (mapLen + entryLen <= 1400) { itemized += (k -> v); mapLen += entryLen }
+      if (mapLen + entryLen <= 1500) { itemized += (k -> v); mapLen += entryLen }
     }
     val slow = itemized.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }

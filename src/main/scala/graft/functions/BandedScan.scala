@@ -38,7 +38,11 @@ object BandedScan {
 
   /** Append `out` = running sum of `value` over `key` order (long columns;
     * `desc` flips the direction, `includeCurrent` picks running-total vs
-    * strictly-before semantics). */
+    * strictly-before semantics). NULL keys are dropped (same semantics as
+    * the former band+stitch form, whose null __band never matched the
+    * stitch equi-join) — the distinct-non-null-key contract is enforced
+    * here instead of silently producing an independent null-partition
+    * prefix for a violating call site. */
   def cumSum(df: DataFrame, key: String, value: String, out: String,
       desc: Boolean = false, includeCurrent: Boolean = true): DataFrame = {
     // pmod(key, 1) = 0 for every non-null key, but is NOT foldable (the
@@ -49,6 +53,23 @@ object BandedScan {
       .orderBy(if (desc) col(key).desc else col(key).asc)
       .rowsBetween(Window.unboundedPreceding,
         if (includeCurrent) Window.currentRow else -1)
-    df.withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
+    df.filter(col(key).isNotNull)
+      .withColumn(out, coalesce(sum(col(value)).over(w), lit(0L)))
   }
+
+  /** The FULL-partition frame over the same explicit constant partition —
+    * for grand totals a call site needs NEXT TO the running sum. Totals
+    * computed as `df.agg(...)` re-reference the histogram input, and a
+    * second reference re-executes the corpus-sized FEED that built it
+    * (exchange reuse never fires across branches with different column
+    * pruning — the BandedScan re-execution bug class). A windowed total
+    * over [[cumSum]]'s own partitioning adds one WindowExec above the
+    * already-sorted single partition: zero extra scans, zero exchanges.
+    * Usage: `cumSum(df, k, v, "cum").withColumn("tot", sum(col(v)).over(
+    * BandedScan.totalOver(k)))`. */
+  def totalOver(key: String): org.apache.spark.sql.expressions.WindowSpec =
+    // no orderBy and no explicit frame: an unordered window spec defaults
+    // to the entire partition (an ordered one would default to a running
+    // frame, and an explicit frame without ordering fails analysis)
+    Window.partitionBy(pmod(col(key), lit(1L)))
 }

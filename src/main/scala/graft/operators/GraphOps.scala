@@ -61,13 +61,24 @@ object GraphOps {
     * 2.0 → 1.7 s, ta_bpe_compress 2.7 → 2.0 s. Results are AQE-independent
     * by construction; the big corpus-scan queries keep AQE (coalescing /
     * skew handling is exactly right for them — guide §2). Reentrant on the
-    * driver thread (session monitor), restored on exit. */
+    * driver thread (session monitor), restored on exit.
+    *
+    * SPARK_GRAFT_NO_AQE is the deployment escape hatch (the same
+    * env-knob convention as the width scopes): at 100 TB a delta or
+    * contraction frame after a bad day can be arbitrarily large, and an
+    * operator losing AQE's skew handling with no lever would be a
+    * config-only trick. `SPARK_GRAFT_NO_AQE=0` keeps AQE ON inside every
+    * scope (results are identical by construction — the oracle gate is
+    * green both ways); default unchanged. */
   private[graft] def withNoAdaptive[T](s: org.apache.spark.sql.SparkSession)(
       body: => T): T = s.synchronized {
-    val key = "spark.sql.adaptive.enabled"
-    val old = s.conf.get(key)
-    s.conf.set(key, "false")
-    try body finally s.conf.set(key, old)
+    if (sys.env.get("SPARK_GRAFT_NO_AQE").contains("0")) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val old = s.conf.get(key)
+      s.conf.set(key, "false")
+      try body finally s.conf.set(key, old)
+    }
   }
 
   /** @param vertices one column `id`; @param edges columns `src`, `dst`
@@ -86,26 +97,25 @@ object GraphOps {
         .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = graft.CacheRegistry.materializeShared(
       vertices.select(col("id"), col("id").as("comp")))
-    var round = 0
-    var done = false
-    while (!done) {
-      val nbr = e.join(labels.select(col("id").as("nid"), col("comp").as("ncomp")),
+    // ONE round: hop + jump, returning (id, comp, changed). comp0 (the
+    // round's starting label) rides along so convergence is a per-row
+    // comparison INSIDE this round's plan — no extra join against the
+    // previous labels frame at check time.
+    // hop appears twice in this plan, so the tree would double every
+    // round (2^rounds copies — OOM in the analyzer by round 5); the lazy
+    // localCheckpoint truncates lineage to an RDD leaf per round while
+    // deferring execution, and each round's result is computed once and
+    // reused across bench passes.
+    def step(lab: DataFrame): DataFrame = {
+      val nbr = e.join(lab.select(col("id").as("nid"), col("comp").as("ncomp")),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("ncomp")).as("nbr_comp"))
-      // comp0 (the round's starting label) rides along so convergence is a
-      // per-row comparison INSIDE this round's plan — no extra join against
-      // the previous labels frame at check time.
-      val hop = labels.join(nbr, col("id") === col("src"), "left")
+      val hop = lab.join(nbr, col("id") === col("src"), "left")
         .select(col("id"), col("comp").as("comp0"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label — opportunistic chain
       // collapsing (see scaladoc; correctness never depends on it).
-      // hop appears twice in this plan, so the tree would double every
-      // round (2^rounds copies — OOM in the analyzer by round 5); the lazy
-      // localCheckpoint truncates lineage to an RDD leaf per round while
-      // deferring execution, and each round's result is computed once and
-      // reused across bench passes.
-      val stepped = hop.alias("h")
+      hop.alias("h")
         .join(hop.select(col("id").as("jid"), col("comp").as("jcomp")).alias("j"),
           col("h.comp") === col("j.jid"), "left")
         .select(col("h.id").as("id"),
@@ -113,18 +123,32 @@ object GraphOps {
           (least(col("h.comp"), coalesce(col("j.jcomp"), col("h.comp")))
             < col("h.comp0")).as("changed"))
         .localCheckpoint(eager = false)
-      round += 1
-      done = rounds match {
-        case Some(n) => round >= n
-        case None =>
-          // verified fixpoint: labels only ever DECREASE, so "no row's comp
-          // dropped below its round-start comp0" IS "nothing changed" — one
-          // filter scan of the (checkpointed) round result, no join.
-          stepped.filter(col("changed")).isEmpty
-      }
-      labels = stepped.select(col("id"), col("comp"))
     }
-    labels
+    rounds match {
+      case Some(n) =>
+        for (_ <- 1 to n) labels = step(labels).select(col("id"), col("comp"))
+        labels
+      case None =>
+        // verified fixpoint, TWO rounds per check: labels only ever
+        // DECREASE, so "no row's comp dropped below its round-start comp0"
+        // IS "nothing changed", and a second round changing nothing is a
+        // verified fixpoint regardless of what the first did. Checking
+        // every other round halves the driver's per-round cost (one plan
+        // analysis + one isEmpty job ladder per TWO rounds) for at most
+        // one extra no-op round of delta-sized joins — the per-batch
+        // planning floor was the dominant cost of the incremental
+        // maintenance drain (r10 scaling ratio 0.67: FASTER on 8 cores
+        // than 32). Extra rounds at the fixpoint are no-ops under
+        // min-label algebra, so the result is round-count-independent.
+        var done = false
+        while (!done) {
+          val b = step(step(labels).select(col("id"), col("comp")))
+          // one filter scan of the (checkpointed) round result, no join
+          done = b.filter(col("changed")).isEmpty
+          labels = b.select(col("id"), col("comp"))
+        }
+        labels
+    }
   }
 
   /** Incremental connected-components maintenance — update a STORED label
@@ -201,9 +225,16 @@ object GraphOps {
         .join(reached.select("doc_id"), Seq("doc_id"), "left_anti")
         .withColumn("depth", lit(i))
       // each round references the previous `reached` THREE times (frontier
-      // filter, anti join, union) — materialize per round or the unrolled
-      // tree re-evaluates the whole prefix exponentially in `rounds`
-      reached = graft.CacheRegistry.materialize(reached.union(next))
+      // filter, anti join, union) — truncate per round or the unrolled
+      // tree re-evaluates the whole prefix exponentially in `rounds`.
+      // localCheckpoint, not persist: persist leaves the exponential tree
+      // in the LOGICAL plan, and every downstream action re-ANALYZES it
+      // (dd_blast_radius spent ~1.8 s of a 2.0 s wall in the analyzer on
+      // a 3^rounds tree — the gr_sssp plan-blowup class); the lazy
+      // checkpoint truncates to an RDD leaf with the same computed-once,
+      // block-cached execution. Callers hold AQE off (withFixpointWidth)
+      // so the checkpoint's toRdd stays lazy at plan build.
+      reached = reached.union(next).localCheckpoint(eager = false)
     }
     reached
   }
@@ -262,8 +293,13 @@ object GraphOps {
         .join(dist.select(col("id").as("uid"), col("dist").as("du")),
           col("u") === col("uid"))
         .select(col("v").as("id"), (col("du") + col("cost")).as("dist"))
-      dist = graft.CacheRegistry.materialize(
-        dist.union(relaxed).groupBy("id").agg(min("dist").as("dist")))
+      // localCheckpoint, not persist — the bfsDepths rationale: each round
+      // references `dist` twice (union + relaxation join), so a persisted
+      // but un-truncated tree doubles per round and every count() on the
+      // final frame re-analyzes 2^rounds subtree copies (gr_sssp: 142
+      // scans, 377 KB of plan text, ~1 s of analyzer per bench pass)
+      dist = dist.union(relaxed).groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(eager = false)
     }
     dist
   }
@@ -292,6 +328,14 @@ object GraphOps {
         .join(pr.withColumn("c", expr("pr div deg")), col("u") === col("id"))
         .groupBy(col("v").as("vid"))
         .agg((lit(150000L) + expr("(85 * sum(c)) div 100")).as("pr"))
+      // materialize (persist), NOT localCheckpoint: 3 rounds × 2
+      // references keep the analyzed tree small enough that the per-pass
+      // analyzer cost is ~0.2 s (measured r11), while a localCheckpoint
+      // would wire broadcast jobs at plan build and force the builder
+      // eager — re-paying the whole build per bench pass for no win.
+      // shortestPathRounds/bfsDepths differ: their trees carry the
+      // corpus-sized knn/pair subtrees at 2^4/3^3 copies and the analyzer
+      // dominated (gr_sssp 0.9 s), so they truncate and run eager.
       pr = graft.CacheRegistry.materialize(
         deg.join(next, col("id") === col("vid")).drop("vid"))
     }

@@ -297,8 +297,36 @@ object LlmOps {
     * increment is exactly the anti-pattern the a12 compaction job exists
     * to amortize (fold deltas periodically; this reader unions them). */
   private[graft] def storedShingleRows(s: org.apache.spark.sql.SparkSession,
-      root: String, v: Long): DataFrame =
-    s.read.parquet((0L to v).map(i => s"$root/v$i/rows"): _*)
+      root: String, v: Long,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // layout marker (ADVICE r10): nothing else on disk distinguishes the
+    // delta-dir layout from the old full-rewrite layout (where v1/rows
+    // already held base ∪ increment), and unioning full-rewrite dirs
+    // would silently double-count base rows. Readers fail loudly on an
+    // unmarked root instead. An a12-style compaction that folds version
+    // dirs must rewrite the marker's dir list semantics — today the
+    // marker pins exactly "union contiguous v0..pointer".
+    val marker = new org.apache.hadoop.fs.Path(root, "_LAYOUT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(marker),
+      s"shingle artifact at $root carries no _LAYOUT marker — refusing to " +
+        "union version dirs that may be full-rewrite snapshots")
+    // caller-supplied schema skips the per-read footer inference (the
+    // applyUpsertBatchStaged rule) — every version dir is this module's
+    // own write of the same shingle-row shape
+    val reader = schema.map(s.read.schema(_)).getOrElse(s.read)
+    reader.parquet((0L to v).map(i => s"$root/v$i/rows"): _*)
+  }
+
+  /** Stamp the delta-dir layout marker — written ONCE at v0, before any
+    * rows land, so a reader can never see an unmarked delta-dir root. */
+  private def writeShingleLayoutMarker(s: org.apache.spark.sql.SparkSession,
+      root: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, "_LAYOUT")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    try out.write("delta-dirs-v1\n".getBytes("UTF-8")) finally out.close()
+  }
 
   /** Publish version `v` of the artifact: the increment's raw rows as
     * the version's delta (`v0` = the whole base corpus) plus the df>maxDf
@@ -310,8 +338,9 @@ object LlmOps {
   private[graft] def writeShingleArtifact(s: org.apache.spark.sql.SparkSession,
       root: String, deltaRows: DataFrame, v: Long,
       maxDf: Int = MaxShingleDf): Unit = {
+    if (v == 0L) writeShingleLayoutMarker(s, root)
     deltaRows.write.mode("overwrite").parquet(s"$root/v$v/rows")
-    storedShingleRows(s, root, v)
+    storedShingleRows(s, root, v, schema = Some(deltaRows.schema))
       .groupBy("h").agg(count(lit(1)).as("df_"))
       .filter(col("df_") > maxDf).select("h")
       .write.mode("overwrite").parquet(s"$root/v$v/stop")
@@ -630,12 +659,14 @@ object LlmOps {
     * run-start flag (match with no matched predecessor), running
     * max-of-start-positions, parity test, then a lag() consumption filter
     * and a row_number() re-index. No self-joins, no driver data: per
-    * round one corpus-linear window pass + one pair hash-aggregate + a
-    * single-row TakeOrdered winner broadcast back. Each round's sequence
-    * frame is lazily localCheckpoint'd (the PCA-deflation lesson: round
-    * r's tree references round r−1 three times, so the plan STRING would
-    * grow 3^rounds without truncation) — which makes the builder eager by
-    * the AQE-planning rule; Bench rebuilds it inside the timed pass.
+    * round ONE shared corpus-linear window pass (pair count and merge
+    * both read the persisted windowed frame) + one pair hash-aggregate +
+    * a single-row TakeOrdered winner broadcast back — the corpus is
+    * exchanged once for the whole trainer, and each round's only shuffle
+    * is the model-sized pair aggregate. Round frames are persisted
+    * (materializeShared, reset per bench pass — one honest build each),
+    * which makes the builder eager; Bench rebuilds it inside the timed
+    * pass.
     *
     * Sequential-model property: GraftProperties replays random small
     * corpora (3-letter alphabet → overlapping runs and count ties)
@@ -649,16 +680,32 @@ object LlmOps {
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
     val perRound = (1 to rounds).map { r =>
-      val pc = seq
-        .withColumn("nxt", lead(col("tok"), 1).over(byPos))
+      // ONE windowed frame per round, shared by the pair count AND the
+      // merge (r10 profile: the two consumers each re-sorted the corpus —
+      // two ~0.5 s exchange+sort passes per round). The persisted frame
+      // (materializeShared — reset per bench pass, one honest build each)
+      // keeps its hash(doc_id) partitioning and (doc_id, pos) ordering
+      // through InMemoryRelation, so the merge's window chain adds NO
+      // exchange and round r+1's lead() window needs only a
+      // partition-local re-sort: the corpus is exchanged ONCE for the
+      // whole trainer; each round's only shuffle is the pair-count hash
+      // aggregate over its model-sized (t1, t2) key space. Persisting
+      // round frames instead of localCheckpoint keeps lineage in the
+      // logical plan — bounded here (each round references the previous
+      // frame twice → 2^rounds = 8 subtree copies at analysis for the
+      // fixed 3-round build; CacheManager substitutes the cached subtree
+      // before execution), unlike the unbounded fixpoints that must
+      // truncate.
+      val seqN = graft.CacheRegistry.materializeShared(
+        seq.withColumn("nxt", lead(col("tok"), 1).over(byPos)))
+      val pc = seqN
         .filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
         .agg(count(lit(1)).as("cnt"))
       // single-row winner — shared by this round's merge AND the output
       val win = graft.CacheRegistry.materializeShared(
         pc.orderBy(col("cnt").desc, col("t1").asc, col("t2").asc).limit(1))
-      seq = applyBpeMerge(seq, win.select(col("t1"), col("t2")))
-        .localCheckpoint(eager = false)
+      seq = applyBpeMergePrewindowed(seqN, win.select(col("t1"), col("t2")))
       win.select(lit(r).as("round"), col("t1").as("left_tok"),
         col("t2").as("right_tok"), col("cnt").as("pair_cnt"))
     }
@@ -669,10 +716,19 @@ object LlmOps {
     * (doc_id, pos, tok) sequence frame — the greedy left-to-right window
     * algebra shared by the trainer and the at-ingest encoder. Positions
     * must be consecutive per doc on entry; re-indexed on exit. */
-  private def applyBpeMerge(seq: DataFrame, win: DataFrame): DataFrame = {
+  private[graft] def applyBpeMerge(seq: DataFrame, win: DataFrame): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    seq
-      .withColumn("nxt", lead(col("tok"), 1).over(byPos))
+    applyBpeMergePrewindowed(
+      seq.withColumn("nxt", lead(col("tok"), 1).over(byPos)), win)
+  }
+
+  /** [[applyBpeMerge]] over a frame that ALREADY carries the `nxt` lead
+    * column — the trainer shares one windowed frame per round between the
+    * pair count and the merge, so the corpus is not re-sorted twice. */
+  private def applyBpeMergePrewindowed(seqN: DataFrame, win: DataFrame)
+      : DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    seqN
       // LEFT join on true, not crossJoin: a round with NO pairs (every
       // doc already a single token) has an EMPTY winner frame, and a
       // cross join would wipe the corpus instead of passing it through —
@@ -834,6 +890,9 @@ object LlmOps {
     * registry query still runs jobs at warm plan build. */
   val eager: Set[String] =
     Set("dd_components", "dd_keep_one", "dd_keep_best", "dd_components_incr",
+      // per-round lazy localCheckpoints execute their broadcast-join build
+      // sides at plan build — rebuilt inside the timing (gr_kcore rule)
+      "dd_blast_radius",
       // per-round localCheckpoints force AQE planning at build (the
       // emb_pca_topk rule); compress rides the same shared build
       "ta_bpe_merge", "ta_bpe_compress",
@@ -1108,7 +1167,10 @@ object LlmOps {
     // from the graph guarantees the graded rows exercise real traversal,
     // not just the depth-0 echo); edges ride the cached τ=0.3 pair frame
     // that dd_components already builds.
-    "dd_blast_radius" -> ((s, d) => {
+    // withFixpointWidth: iterative builder over pair-graph-sized frames —
+    // and the scope's AQE-off keeps each round's lazy localCheckpoint from
+    // executing stages at plan build (the gr_kcore audit class)
+    "dd_blast_radius" -> ((s, d) => GraphOps.withFixpointWidth(s) {
       val e = jaccardPairs(s, d, 0.3)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val bi = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -1524,10 +1586,14 @@ object LlmOps {
         .select(col("doc_id"),
           round(col("avg_logprob") * 1e4).cast("long").as("lp4"))
       val hist = lp.groupBy("lp4").agg(count(lit(1)).as("cnt"))
-      val ntot = hist.agg(sum(col("cnt")).as("ntot"))
+      // ntot rides the SAME single-partition window as the running sum
+      // (BandedScan.totalOver): the former `hist.agg(sum)` was a second
+      // reference to hist, and the whole per-doc LM scoring feed re-ran
+      // for it (7 scans in the r10 plan — the +0.45 s residual vs r9)
       graft.functions.BandedScan.cumSum(hist, "lp4", "cnt", "cum",
         desc = true, includeCurrent = true)
-        .crossJoin(broadcast(ntot))
+        .withColumn("ntot",
+          sum(col("cnt")).over(graft.functions.BandedScan.totalOver("lp4")))
         .withColumn("bucket",
           when((col("cum") - col("cnt")) * 3 < col("ntot"), "head")
             .when((col("cum") - col("cnt")) * 3 < col("ntot") * 2, "middle")

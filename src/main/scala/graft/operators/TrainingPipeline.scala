@@ -430,22 +430,26 @@ object TrainingPipeline {
           lit(0.3) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
             lit(0.3) * least(col("n_tok") / 100.0, lit(1.0))))
         .select("doc_id", "score_t", "n_tok")
-      val budget = t.agg(expr("sum(n_tok) div 4").as("budget"))
       // tokens consumed by strictly better score ticks: aggregate-sized
       // frame (≤ 10⁴ distinct ticks no matter the corpus), scanned with
       // the explicit single-reference scan (BandedScan.cumSum — the
       // band+stitch form re-executed the per-doc scoring feed 3×,
-      // measured 0.95 vs ~0.5 s at sf0.1)
+      // measured 0.95 vs ~0.5 s at sf0.1). The budget (sum over ticks of
+      // btok ≡ sum(n_tok), div 4) rides the SAME single-partition window
+      // (BandedScan.totalOver): the former `t.agg(...)` was a THIRD
+      // reference to t, re-running the per-doc scoring feed for it.
       val hist = graft.functions.BandedScan.cumSum(
         t.groupBy("score_t").agg(sum(col("n_tok")).as("btok")),
         "score_t", "btok", "prefix",
         desc = true, includeCurrent = false)
-        .select("score_t", "prefix")
+        .withColumn("ttok",
+          sum(col("btok")).over(graft.functions.BandedScan.totalOver("score_t")))
+        .withColumn("budget", expr("ttok div 4"))
+        .select("score_t", "prefix", "budget")
       val wtick = Window.partitionBy("score_t").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.withColumn("wcum", sum(col("n_tok")).over(wtick))
         .join(broadcast(hist), "score_t")
-        .crossJoin(broadcast(budget))
         .withColumn("cum_tok", col("prefix") + col("wcum"))
         .filter(col("cum_tok") <= col("budget"))
         .select("doc_id", "score_t", "n_tok", "cum_tok")

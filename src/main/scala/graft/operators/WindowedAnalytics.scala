@@ -518,11 +518,14 @@ object WindowedAnalytics {
         .groupBy("user_id")
         .agg(sum(graft.functions.ExactNum.cents(col("value"))).as("c"))
         .groupBy("c").agg(count(lit(1)).as("nu"))
-      val tot = hist.agg(sum(col("nu")).as("tu"),
-        sum(col("c") * col("nu")).as("tc"))
+      // tu/tc ride the SAME single-partition window as the running sum
+      // (BandedScan.totalOver): `hist.agg(...)` was a second reference to
+      // hist, re-executing the per-user revenue aggregate feed
+      val wAll = graft.functions.BandedScan.totalOver("c")
       graft.functions.BandedScan.cumSum(hist, "c", "nu", "cum_before",
         desc = true, includeCurrent = false)
-        .crossJoin(broadcast(tot))
+        .withColumn("tu", sum(col("nu")).over(wAll))
+        .withColumn("tc", sum(col("c") * col("nu")).over(wAll))
         .withColumn("decile",
           least(lit(9L), expr("(cum_before * 10) div tu")) + 1)
         .groupBy("decile", "tu", "tc")

@@ -592,8 +592,15 @@ object StreamingOps {
       // itself already runs without AQE, this extends that to the
       // foreachBatch bodies the streaming thread plans (conf is
       // session-global, so the scope covers them without the streaming
-      // thread ever taking this monitor — the deadlock rule).
-      spark.conf.set(aqe, "false")
+      // thread ever taking this monitor — the deadlock rule). The
+      // session-global flip assumes the single-driver/one-query-at-a-time
+      // contract every width scope shares: an unrelated batch query
+      // planned on this session mid-drain would lose AQE for its
+      // duration. SPARK_GRAFT_NO_AQE=0 is the deployment escape hatch
+      // (GraphOps.withNoAdaptive): AQE stays on inside the scope, e.g.
+      // when a 100 TB delta frame needs skew handling.
+      if (!sys.env.get("SPARK_GRAFT_NO_AQE").contains("0"))
+        spark.conf.set(aqe, "false")
       try body finally {
         spark.conf.set(key, old)
         spark.conf.set(aqe, oldAqe)
@@ -665,7 +672,14 @@ object StreamingOps {
     val bIds = batch.select(col("doc_id").as("id"))
     bIds.withColumn("b", lit(curBatch))
       .write.mode("append").parquet(s"$root/arrived")
-    val arrived = s.read.parquet(s"$root/arrived")
+    // explicit schemas on the per-batch reads: the layouts are this
+    // kernel's own writes, and schema inference would re-read a parquet
+    // footer on the DRIVER every micro-batch — pure per-batch planning
+    // cost on the ingest path
+    val longCol = org.apache.spark.sql.types.LongType
+    val arrivedSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", longCol).add("b", longCol)
+    val arrived = s.read.schema(arrivedSchema).parquet(s"$root/arrived")
       .groupBy("id").agg(min(col("b")).as("b"))
     val e = newPairs
       .join(arrived.select(col("id").as("sa"), col("b").as("ba")),
@@ -677,7 +691,9 @@ object StreamingOps {
         greatest(coalesce(col("ba"), lit(0L)), coalesce(col("bb"), lit(0L)))
           === curBatch)
       .select("src", "dst")
-    val lab = s.read.parquet(s"$root/labels/v$cur")
+    val labSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", longCol).add("comp", longCol)
+    val lab = s.read.schema(labSchema).parquet(s"$root/labels/v$cur")
     // a REDELIVERED batch's docs are already labeled — feeding them as
     // new vertices again would emit duplicate label rows (they would
     // surface through both the relabel join and the new-vertex branch);
@@ -720,7 +736,10 @@ object StreamingOps {
     val cur = readVersionPointer(s, s"$root/index").getOrElse(
       sys.error(s"no published IVF index under $root/index"))
     val next = cur + 1
-    s.read.parquet(s"$root/index/v$cur").unionByName(asg)
+    // explicit schema: every version holds this kernel's own (vec_id,
+    // cell, is_new) rows — skip the per-batch footer inference (the
+    // applyUpsertBatchStaged rule)
+    s.read.schema(asg.schema).parquet(s"$root/index/v$cur").unionByName(asg)
       .dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(s"$root/index/v$next")
     writeVersionPointer(s, s"$root/index", next)
@@ -750,7 +769,13 @@ object StreamingOps {
     val prevV = readVersionPointer(spark, target)
     val next = prevV.map(_ + 1).getOrElse(0L)
     val merged = prevV
-      .map(v => spark.read.parquet(s"$target/v$v")
+      // explicit schema on the snapshot re-read: every version was written
+      // by THIS kernel from the same batch shape, so inference would only
+      // re-read a parquet footer on the driver per merge — pure per-batch
+      // planning cost for the streaming sink that calls this per
+      // micro-batch (parquet matches columns by name, so column order is
+      // irrelevant)
+      .map(v => spark.read.schema(latest.schema).parquet(s"$target/v$v")
         .unionByName(latest)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).drop("rn"))

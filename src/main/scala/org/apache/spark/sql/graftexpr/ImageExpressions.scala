@@ -35,10 +35,19 @@ case class ImageFmt(child: Expression) extends ImageHeaderExpression {
     graft.functions.ImageHeaderKernel.fmt(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      UTF8String f = graft.functions.ImageHeaderKernel.fmt($c);
-      if (f == null) { ${ev.isNull} = true; } else { ${ev.value} = f; }
-    """)
+    // ctx.freshName, never a fixed local: nullSafeCodeGen only braces the
+    // snippet when the child is nullable, so two instances of this
+    // expression in one codegen scope (alias-substituted filter + project)
+    // would declare duplicate Java locals, janino would refuse, and the
+    // stage would silently fall back to interpreted eval (the
+    // VectorExpressions convention).
+    nullSafeCodeGen(ctx, ev, c => {
+      val f = ctx.freshName("imgFmt")
+      s"""
+      UTF8String $f = graft.functions.ImageHeaderKernel.fmt($c);
+      if ($f == null) { ${ev.isNull} = true; } else { ${ev.value} = $f; }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -53,10 +62,14 @@ case class ImageWidth(child: Expression, maxSegments: Int)
       .width(input.asInstanceOf[Array[Byte]], maxSegments)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      Integer w = graft.functions.ImageHeaderKernel.width($c, $maxSegments);
-      if (w == null) { ${ev.isNull} = true; } else { ${ev.value} = w.intValue(); }
-    """)
+    // ctx.freshName — see ImageFmt.doGenCode
+    nullSafeCodeGen(ctx, ev, c => {
+      val w = ctx.freshName("imgW")
+      s"""
+      Integer $w = graft.functions.ImageHeaderKernel.width($c, $maxSegments);
+      if ($w == null) { ${ev.isNull} = true; } else { ${ev.value} = $w.intValue(); }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -71,10 +84,14 @@ case class ImageHeight(child: Expression, maxSegments: Int)
       .height(input.asInstanceOf[Array[Byte]], maxSegments)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      Integer h = graft.functions.ImageHeaderKernel.height($c, $maxSegments);
-      if (h == null) { ${ev.isNull} = true; } else { ${ev.value} = h.intValue(); }
-    """)
+    // ctx.freshName — see ImageFmt.doGenCode
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("imgH")
+      s"""
+      Integer $h = graft.functions.ImageHeaderKernel.height($c, $maxSegments);
+      if ($h == null) { ${ev.isNull} = true; } else { ${ev.value} = $h.intValue(); }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
